@@ -1,0 +1,221 @@
+package graft
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import scala.concurrent.{ExecutionContext, Future}
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The engine's user-facing context: catalog + SQL entry point + explain +
+ * async query API + config surface.
+ *
+ * Re-expresses the reference's `BlazingContext` API
+ * (reference: pyblazing/pyblazing/apiv2/context.py — create_table :2079,
+ * sql :3071, explain :1842, drop_table/list_tables/describe_table :2079-2652,
+ * async token API :3071-3345, config defaults :1242-1289) on top of a
+ * SparkSession. Where the reference carries its own Calcite frontend and a
+ * C++ relational-algebra executor, here parsing/optimization/execution are
+ * Catalyst + Tungsten; this class is deliberately a thin catalog/dialect
+ * shim, per SURVEY.md §7.1.
+ */
+class EngineContext(val spark: SparkSession) {
+
+  // ---------------------------------------------------------------- catalog
+
+  /** Source metadata kept per registered table (≈ reference Schema objects,
+    * engine/src/io/Schema.h). */
+  final case class TableInfo(
+      name: String,
+      format: String,
+      paths: Seq[String],
+      options: Map[String, String])
+
+  private val tables = new ConcurrentHashMap[String, TableInfo]()
+
+  /** Register a table from files. Format inferred from the file extension
+    * when not given (reference: context.py:983-990 sniffs extensions).
+    * Supported formats mirror the reference's io::DataType
+    * (engine/src/io/DataType.h:7-19): parquet, orc, csv, json. */
+  def createTable(
+      name: String,
+      path: String,
+      format: String = "",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val fmt =
+      if (format.nonEmpty) format
+      else {
+        val p = path.toLowerCase
+        if (p.endsWith(".parquet") || p.endsWith(".pq")) "parquet"
+        else if (p.endsWith(".orc")) "orc"
+        else if (p.endsWith(".csv") || p.endsWith(".psv")) "csv"
+        else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+        else "parquet"
+      }
+    val reader = spark.read.format(fmt).options(options)
+    val df = fmt match {
+      // CSV/JSON default to schema inference like the reference's format
+      // sniffers (engine/src/io/data_parser/{CSVParser,JSONParser}.cpp);
+      // explicit dtypes arrive via options("schema"->ddl) like the
+      // reference's `dtype=` kwarg (context.py:884-941).
+      case "csv" =>
+        val withHeader =
+          if (options.contains("header")) reader else reader.option("header", "true")
+        options.get("schema") match {
+          case Some(ddl) => withHeader.schema(ddl).load(path)
+          case None      => withHeader.option("inferSchema", "true").load(path)
+        }
+      case "json" =>
+        options.get("schema") match {
+          case Some(ddl) => reader.schema(ddl).load(path)
+          case None      => reader.load(path)
+        }
+      case _ => reader.load(path)
+    }
+    df.createOrReplaceTempView(name)
+    tables.put(name, TableInfo(name, fmt, Seq(path), options))
+    df
+  }
+
+  /** Register an existing DataFrame (reference: create_table from
+    * cudf/pandas/arrow in-memory inputs, context.py:2079+). */
+  def createTable(name: String, df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView(name)
+    tables.put(name, TableInfo(name, "dataframe", Nil, Map.empty))
+    df
+  }
+
+  /** Register a JDBC-backed table (reference RDBMS providers,
+    * engine/src/io/data_provider/sql/ C++ sources). Partitioning options
+    * (partitionColumn/lowerBound/upperBound/numPartitions) are passed
+    * straight through — the Spark analog of `table_batch_size`. */
+  def createTableJdbc(
+      name: String,
+      url: String,
+      dbtable: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", dbtable).options(options).load()
+    df.createOrReplaceTempView(name)
+    tables.put(name, TableInfo(name, "jdbc", Seq(url), options + ("dbtable" -> dbtable)))
+    df
+  }
+
+  def dropTable(name: String): Unit = {
+    spark.catalog.dropTempView(name)
+    tables.remove(name)
+  }
+
+  def listTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  /** name → (columnName, dataType) pairs (reference describe_table). */
+  def describeTable(name: String): Seq[(String, String)] =
+    spark.table(name).dtypes.toSeq
+
+  // ------------------------------------------------------------------- sql
+
+  /** Main entry point: run SQL over the registered catalog.
+    * Reference: bc.sql(query) (context.py:3071). Lazily returns the
+    * DataFrame; Catalyst replaces the Calcite+RAL pipeline (SURVEY §3.1). */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Two-level explain, mirroring bc.explain(sql, detail)
+    * (context.py:1842-1924): detail=false → optimized logical algebra,
+    * detail=true → physical plan. */
+  def explain(query: String, detail: Boolean = false): String = {
+    val qe = spark.sql(query).queryExecution
+    if (detail) qe.executedPlan.toString else qe.optimizedPlan.toString
+  }
+
+  // -------------------------------------------------------- async token API
+
+  /** Reference async surface: bc.sql(q, return_token=True) → token,
+    * bc.status(token), bc.fetch(token) (context.py:3071-3345). The
+    * reference executes eagerly; Spark is lazy, so the token API forces an
+    * async job and caches the materialized result. */
+  private val pending = new ConcurrentHashMap[String, Future[DataFrame]]()
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  def sqlAsync(query: String): String = {
+    val token = UUID.randomUUID().toString
+    val fut = Future {
+      val df = spark.sql(query)
+      df.cache()
+      df.count() // force materialization
+      df
+    }
+    pending.put(token, fut)
+    token
+  }
+
+  def status(token: String): String = {
+    val f = pending.get(token)
+    if (f == null) "unknown"
+    else if (!f.isCompleted) "running"
+    else if (f.value.exists(_.isSuccess)) "done"
+    else "failed"
+  }
+
+  def fetch(token: String): DataFrame = {
+    val f = pending.remove(token)
+    require(f != null, s"unknown token $token")
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+  }
+
+  // ----------------------------------------------------------------- config
+
+  /** Map the reference's engine config keys (context.py:1242-1289 defaults,
+    * :1334-1480 docs) onto the Spark conf knobs that play the same role.
+    * Unknown keys are set verbatim on spark.conf (future-proof passthrough). */
+  def config(key: String, value: String): Unit = {
+    val mapped: Option[(String, String)] = key match {
+      case "JOIN_PARTITION_SIZE_THRESHOLD" => // bytes per join partition
+        Some("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> value)
+      case "MAX_JOIN_SCATTER_MEM_OVERHEAD" => // broadcast threshold (bytes)
+        Some("spark.sql.autoBroadcastJoinThreshold" -> value)
+      case "NUM_BYTES_PER_ORDER_BY_PARTITION" =>
+        Some("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> value)
+      case "EXECUTOR_THREADS" | "MAX_KERNEL_RUN_THREADS" =>
+        Some("spark.sql.shuffle.partitions" -> value)
+      case "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE" =>
+        Some("spark.sql.files.maxPartitionBytes" -> value)
+      case "MAX_ORDER_BY_SAMPLES_PER_NODE" =>
+        Some("spark.sql.execution.rangeExchange.sampleSizePerPartition" -> value)
+      case _ => None
+    }
+    val (k, v) = mapped.getOrElse(key -> value)
+    spark.conf.set(k, v)
+  }
+
+  def config(options: Map[String, String]): Unit = options.foreach { case (k, v) => config(k, v) }
+
+  def getConfig(key: String): Option[String] = Try(spark.conf.get(key)).toOption
+}
+
+object EngineContext {
+
+  /** Tuned session for this engine. shuffle.partitions sized for the local
+    * harness (32 cores); on a real cluster this is cores×2-3 or AQE-coalesced. */
+  def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Build a context with every driver-testdata table registered. */
+  def forDir(spark: SparkSession, sfDir: String): EngineContext = {
+    val ctx = new EngineContext(spark)
+    Tables.names.foreach { n => ctx.createTable(n, s"$sfDir/$n.parquet", "parquet") }
+    ctx
+  }
+}
