@@ -8,7 +8,11 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    ExpressionQueries,
+    WindowQueries,
+    EventQueries,
+    PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs TPC-H Q1 through the EngineContext SQL path (catalog + spark.sql),

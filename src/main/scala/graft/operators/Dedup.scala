@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHashing._
+
+/**
+ * Document deduplication operators for large-scale corpus curation: exact
+ * (hash-groupBy), exact n-gram Jaccard (bounded candidate sets), MinHash+LSH
+ * (the scale path: shingle → 16-way minhash signature → 4×4 banding →
+ * bucket join → exact-Jaccard verify on candidates only), and SimHash
+ * (64→32-bit sign sketch + Hamming pairing).
+ *
+ * Scale design: every operator is a pure DataFrame pipeline whose joins key
+ * on hash/bucket values — at 100 TB each stage is a shuffle on a
+ * high-cardinality key with no driver-side state. The LSH bucket join is
+ * the only pairwise step, and it only materializes same-bucket candidate
+ * pairs (collision probability tuned by bands×rows), not the O(n²) cross
+ * product that exact Jaccard would need.
+ */
+object Dedup {
+
+  /** Exact dedup: group identical texts (by md5 + length to keep the
+    * group key narrow), keep min doc id — the Spark-native analog of a
+    * hash-based DISTINCT at corpus scale. */
+  def exactDuplicates(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("text_md5"), length(col(text)).as("text_len"))
+      .agg(
+        min(col(id)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** (id, gram) distinct shingle relation — the shared input of the
+    * Jaccard-family operators. */
+  def shingleSet(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("sid"), explode(array_distinct(shingles3(col(text)))).as("g"))
+
+  /** Exact 3-gram Jaccard similarity for all pairs sharing at least one
+    * shingle, thresholded. O(sum over grams of df²) — use only on bounded
+    * candidate sets (the `filter` arg); MinHash-LSH below is the scale path. */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, id, text).cache()
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.sid"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.sid"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-hash MinHash signature per document: one shuffle (groupBy id) with
+    * 16 min-aggregates — partial aggregation makes this map-side cheap. */
+  def minHashSignatures(docs: DataFrame, id: String, text: String): DataFrame = {
+    val h = shingleSet(docs, id, text).withColumn("h", gramHash(col("g")))
+    val aggs = MinHashParams.indices.map(j => min(minHashJ(col("h"), j)).as(s"m$j"))
+    h.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate pairs from LSH banding over the signature (NumBands bands of
+    * RowsPerBand hashes each): same band signature → candidate. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val sig = concat_ws("-",
+        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val exploded = signatures
+      .select(col("sid"), explode(array(bands: _*)).as("bs"))
+      .select(col("sid"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banding, then
+    * exact Jaccard verification restricted to candidates. */
+  def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
+    val cands = lshCandidates(minHashSignatures(docs, id, text))
+    val sh = shingleSet(docs, id, text).cache()
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("a"), col("id_a") === col("a.sid"))
+      .join(sh.as("b"), col("id_b") === col("b.sid") && col("a.g") === col("b.g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.sid"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.sid"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash fingerprint per document over whitespace tokens. */
+  def simHashFingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id).as("sid"), explode(split(col(text), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("h", tokenHash(col("t")))
+    val bits = toks.select(col("sid"), col("h"),
+      explode(sequence(lit(0), lit(31))).as("bit"))
+    bits
+      .groupBy(col("sid"), col("bit"))
+      .agg(sum(when(expr("(shiftright(h, bit) & 1)") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy(col("sid"))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("bit")).cast("long"))
+        .otherwise(0L)).as("fingerprint"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance over fingerprints ≤ maxDist.
+    * Pairwise but over one small row per doc (not per token); at true scale
+    * you'd band the fingerprint bits like LSH — noted for SURVEY §2. */
+  def simHashPairs(fingerprints: DataFrame, maxDist: Int): DataFrame =
+    fingerprints.as("a").select(col("sid").as("id_a"), col("fingerprint").as("fa"))
+      .crossJoin(fingerprints.as("b").select(col("sid").as("id_b"), col("fingerprint").as("fb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: media payloads travel as opaque `binary`
+ * columns with a typed metadata struct alongside; decode / feature-extract
+ * runs batched per partition via a typed Dataset mapPartitions (the Scala
+ * analog of an Arrow-batched Pandas UDF — same batch shape: the executor
+ * sees a partition-iterator of rows, amortizing any per-model/per-codec
+ * setup across the batch).
+ *
+ * The actual image/audio decode is STUBBED (no codec libs in this
+ * environment): `decodeStub` derives deterministic fake dimensions from the
+ * payload byte length. Everything around it — schema, encoders, partition
+ * batching, and the flattened output contract — is real and oracle-checked
+ * (byte-length arithmetic is reproducible in SQL).
+ */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, payload: Array[Byte], kind: String, source: String)
+
+  /** Decoded features (the part a real codec would fill in). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, source: String,
+      byte_len: Int, width: Int, height: Int, frames: Int)
+
+  /** Deterministic fake decode: dimensions derived from payload length.
+    * Swap this body for a real codec (JNI/ffmpeg/ImageIO) without touching
+    * the pipeline — the signature is the contract. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    (64 + n % 640, 64 + (n * 7) % 480, 1 + n % 8)
+  }
+
+  /** Batched decode over partitions. `numPartitions` controls batch
+    * granularity — at scale, size it so one partition's payloads fit the
+    * executor's decode working set. */
+  def decodeFeatures(media: Dataset[MediaRow], numPartitions: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(numPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        // per-partition setup would go here (codec init, model load)
+        rows.map { r =>
+          val (w, h, f) = decodeStub(r.payload)
+          MediaFeatures(r.media_id, r.kind, r.source, r.payload.length, w, h, f)
+        }
+      }
+  }
+
+  /** Build a media table from the documents table: utf-8 payload bytes as
+    * the opaque binary column (stands in for image/audio bytes). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      col("source"))
+      .as[MediaRow]
+  }
+}

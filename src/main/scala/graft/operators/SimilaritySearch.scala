@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (Array[Float]).
+ *
+ * Two tiers:
+ *  - brute-force cosine top-k (exact baseline): query-set × corpus join,
+ *    ranked per query. O(|Q|·|C|·d) — fine for small query batches, and
+ *    embarrassingly parallel (corpus side stays partitioned; only the small
+ *    query set is broadcast).
+ *  - sign-LSH bucketed top-k (scale path): bucket = sign bits of the first
+ *    16 dimensions (random-hyperplane LSH with axis-aligned hyperplanes —
+ *    deterministic, needs no stored projection matrix). Candidates are
+ *    same-bucket only, so the join is equi on bucket and the pairwise work
+ *    drops by ~2^16/corpus-skew. Recall is tunable via multi-probe /
+ *    fewer bits; exactness is traded for a bounded shuffle.
+ *
+ * Dot products run through SQL higher-order functions (zip_with +
+ * aggregate) — codegen-adjacent, no UDF serialization, and expressible in
+ * the DuckDB oracle via parallel unnest.
+ */
+object SimilaritySearch {
+
+  /** Sequential left-to-right dot product of two float-array columns in
+    * DOUBLE (order fixed = array order, so engines agree bit-for-bit). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k: for each query vector (small set — broadcast), rank
+    * the whole corpus. Ranking key is cosine rounded to 6dp with id
+    * tiebreak, keeping results deterministic across engines and runs. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (l2norm(col("qv")) * l2norm(col("cv"))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket id from the first `bits` dimensions (1-indexed
+    * element_at; `bits` is static so this unrolls to a flat codegen'd sum). */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits)
+      .map(j => when(element_at(v, j + 1) > 0f, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: same-bucket candidates only, then exact cosine rank.
+    * Lower recall than bruteForceTopK by construction; the oracle checks
+    * the deterministic pipeline, SURVEY §2 records the recall trade. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      signBucket(col("embedding"), bits).as("qb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      signBucket(col("embedding"), bits).as("cb"))
+    val scored = broadcast(q)
+      .join(c, col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (l2norm(col("qv")) * l2norm(col("cv"))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (pairwise over
+    * id_a < id_b; bucket with signBucket first at scale). */
+  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (l2norm(col("va")) * l2norm(col("vb"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

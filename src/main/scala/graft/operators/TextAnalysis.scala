@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis columns for corpus curation: token counting, quality
+ * scoring, n-gram-heuristic language ID, and content fingerprinting. All
+ * pure Column expressions (whole-stage-codegen friendly, no UDFs) and all
+ * reproducible in portable SQL for the oracle.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single other
+    * non-space chars — the shape of a byte-pair pre-tokenizer split. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Count non-overlapping occurrences of `needle` (regex-metachar-free)
+    * via length difference — identical left-to-right non-overlapping
+    * semantics as the oracle's literal replace(). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, needle, "")))
+      / needle.length).cast("int")
+
+  /** Stopword-hit score for a language: total hits of its marker words
+    * (space-padded match so word boundaries are respected). */
+  def stopwordScore(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+  }
+
+  /** Marker stopwords per language (tiny n-gram-heuristic language ID). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y", "una"))
+
+  /** Predicted language = argmax of the score columns (first-listed wins
+    * ties); "und" (undetermined) when no marker hits at all. Takes
+    * already-materialized score COLUMNS — inlining the score expressions
+    * into the argmax would replicate each regexp ~10× in the plan (one per
+    * CASE branch), which kills codegen at scale; compute scores in a
+    * projection first (see langPredicted). */
+  def langFromScores(scores: Seq[(String, Column)]): Column = {
+    val total = scores.map(_._2).reduce(_ + _)
+    // lang i wins iff its score strictly exceeds every earlier lang's
+    // (ties → first listed). Folding 1..n wraps later langs outermost, so
+    // the CASE checks the last lang's win condition first — required, since
+    // an inner "de > en" branch would otherwise shadow an "es beats all" win.
+    val pred = scores.indices.drop(1)
+      .foldLeft(lit(scores.head._1): Column) { (els, i) =>
+        val (lang, sc) = scores(i)
+        val prevBest =
+          if (i == 1) scores.head._2 else greatest(scores.take(i).map(_._2): _*)
+        when(sc > prevBest, lang).otherwise(els)
+      }
+    when(total === 0, "und").otherwise(pred)
+  }
+
+  /** documents → (scores projected once) → predicted column. */
+  def langPredicted(df: org.apache.spark.sql.DataFrame, textCol: String, keep: Seq[String])
+    : org.apache.spark.sql.DataFrame = {
+    val scored = df.select(
+      keep.map(col) ++
+        LangMarkers.map { case (lang, ws) => stopwordScore(col(textCol), ws).as(s"s_$lang") }: _*)
+    scored.withColumn("predicted",
+      langFromScores(LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs and normal
+    * word lengths, penalizes punctuation soup. Deterministic arithmetic
+    * only — the exact formula matters less than it being cheap, monotone,
+    * and identical in the oracle. */
+  def qualityScore(textLen: Column, punctRatio: Column, meanWordLen: Column): Column = {
+    val lenScore = least(textLen.cast("double") / 400.0, lit(1.0))
+    val wordScore = when(meanWordLen.between(3.0, 9.0), 1.0).otherwise(0.5)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 5.0)
+    round((lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3), 6)
+  }
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / total. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)), 6)
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column =
+    round((length(text) - (wsTokenCount(text) - 1)).cast("double") /
+      greatest(wsTokenCount(text), lit(1)), 6)
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text. The
+    * positional rolling-hash variant lives in TextHashing (gramHash) and
+    * feeds MinHash; this one is the content-equality key. */
+  def contentFingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

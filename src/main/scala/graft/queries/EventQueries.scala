@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{davg, davgSql, dsum, dsumSql, load}
+
+/**
+ * Event/time-series batch analytics over the `events` table: time bucketing,
+ * sessionization, funnel-style conditional aggregation, and JSON-ish field
+ * extraction. The reference is strictly batch (SURVEY §2.10) — these are the
+ * batch analogs of its groupby/window machinery applied to event data; the
+ * true streaming path lives in graft.streaming (Structured Streaming
+ * superset, not oracle-checkable).
+ *
+ * props JSON is extracted with a regexp rather than JSON functions so the
+ * oracle stays independent of DuckDB's JSON extension.
+ */
+object EventQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Tumbling-window aggregation (hourly buckets via date_trunc)
+    "q38_events_hourly" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("hour_start") < lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+          col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+        .orderBy(col("hour_str"), col("event_type"))
+    }),
+
+    // ---- Sessionization: 30-minute inactivity gap → new session (lag +
+    // running sum of boundaries; the batch analog of stream session windows)
+    "q39_events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      withGap
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("session_id")).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          count(lit(1)).as("n_session_rows"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Conditional (funnel-style) aggregation: per-user behavior profile
+    "q40_events_funnel" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"),
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("purchase_value"),
+          davg(col("value")).as("avg_value"))
+        .filter(col("n_purchases") > 0)
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- JSON-ish extraction from the props string column
+    "q41_events_props" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k_val"))
+        .groupBy((col("k_val") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k_val")).as("max_k"))
+        .orderBy(col("k_bucket"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q38_events_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+         |event_type, count(*) AS n_events,
+         |${dsumSql("value")} AS sum_value,
+         |count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE date_trunc('hour', ts) < TIMESTAMP '2024-01-03 00:00:00'
+         |GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    "q39_events_sessionize" ->
+      """SELECT user_id,
+        |CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |max(n_events) AS max_session_events,
+        |count(*) AS n_session_rows
+        |FROM (
+        |  SELECT user_id, session_id, count(*) AS n_events FROM (
+        |    SELECT user_id,
+        |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |             CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS new_session
+        |      FROM (
+        |        SELECT user_id, ts, event_id,
+        |               lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)))
+        |  GROUP BY user_id, session_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q40_events_funnel" ->
+      s"""SELECT user_id,
+         |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+         |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+         |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         |${dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value,
+         |${davgSql("value")} AS avg_value
+         |FROM events GROUP BY user_id
+         |HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+         |ORDER BY user_id""".stripMargin,
+
+    "q41_events_props" ->
+      """SELECT k_bucket, count(*) AS n, max(k_val) AS max_k FROM (
+        |  SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) % 10 AS k_bucket,
+        |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k_val
+        |  FROM events)
+        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+  )
+}

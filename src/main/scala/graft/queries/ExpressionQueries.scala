@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.EngineContext
+import graft.Tables.{dsum, dsumSql, load}
+
+/**
+ * Scalar function / expression surface from SURVEY.md §2.8 (reference token→op
+ * map engine/src/parser/expression_utils.cpp:270-347): CASE, casts, string
+ * ops, math ops, date/time extraction, interval arithmetic, conditional
+ * functions, IN/BETWEEN/LIKE, plus the SQL-path features (CTE, nested
+ * subqueries) that Calcite handled pre-engine in the reference.
+ *
+ * Numeric notes mirrored in the oracle SQL:
+ * - transcendental results are rounded to 6dp (JVM libm vs DuckDB libm can
+ *   differ in the last ulp);
+ * - CONCAT uses `||` in the oracle: reference CONCAT is null-propagating
+ *   (expression_utils.cpp:1590-1622) and so are Spark concat and DuckDB `||`,
+ *   but DuckDB concat() skips nulls;
+ * - DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all;
+ * - DuckDB dayofweek is 0=Sunday (Postgres dow); Spark/Calcite use 1=Sunday,
+ *   so the oracle adds 1 (SURVEY §2.8 date note).
+ */
+object ExpressionQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CASE WHEN (reference MAGIC_IF_NOT lowering) + casts (§2.8 casts)
+    "q21_case_cast" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .filter(col("o_orderkey") < 3000)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("low").as("price_band"),
+          col("o_totalprice").cast("int").as("price_int"),
+          col("o_totalprice").cast("bigint").as("price_long"),
+          col("o_orderkey").cast("double").as("key_dbl"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- String functions (LogicalProject.cpp:112-599 set)
+    "q22_string_funcs" -> ((s, dir) => {
+      load(s, dir, "customer")
+        .filter(col("c_custkey") < 300)
+        .select(
+          col("c_custkey"),
+          length(col("c_name")).as("name_len"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          substring(col("c_name"), 10, 8).as("name_digits"),
+          concat(col("c_mktsegment"), lit("_"), col("c_name")).as("seg_name"),
+          regexp_replace(col("c_name"), "0", "#").as("name_masked"),
+          trim(lit("  pad  ")).as("trimmed"),
+          ltrim(lit("  pad  ")).as("ltrimmed"),
+          rtrim(lit("  pad  ")).as("rtrimmed"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_translated"),
+          col("c_name").like("%00001%").as("like_hit"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- Math functions (expression_utils token set: ABS/FLOOR/CEIL/ROUND/
+    // MOD/POWER/SQRT/LN/LOG10 + trig; transcendentals rounded for x-engine
+    // bit-stability)
+    "q23_math_funcs" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 600)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") * lit(-1.0)).as("abs_qty"),
+          floor(col("l_extendedprice")).as("floor_price"),
+          ceil(col("l_extendedprice")).as("ceil_price"),
+          (col("l_orderkey") % 7).as("mod_key"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(log10(col("l_extendedprice")), 6).as("log10_price"),
+          round(sin(col("l_quantity")), 6).as("sin_qty"),
+          round(cos(col("l_quantity")), 6).as("cos_qty"),
+          round(atan(col("l_discount")), 6).as("atan_disc"),
+          greatest(col("l_quantity"), col("l_tax") * 100).as("greatest_demo"),
+          least(col("l_quantity"), col("l_discount") * 100).as("least_demo"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Date/time extraction (§2.8: EXTRACT + named forms; DOW 1=Sunday)
+    "q24_datetime_funcs" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- Interval arithmetic + date diff (reference timestamp ± INTERVAL,
+    // TIMESTAMPADD/TIMESTAMPDIFF suites)
+    "q25_interval_arith" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("date").as("plus_90d"),
+          (col("o_orderdate") - expr("INTERVAL 2 MONTHS")).cast("date").as("minus_2mo"),
+          (col("o_orderdate") + expr("INTERVAL 1 YEAR")).cast("date").as("plus_1y"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_1999"),
+          add_months(col("o_orderdate"), 3).cast("date").as("add3mo"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- COALESCE / NULLIF / NVL-style conditionals (reference lowers all
+    // to CASE; conditional/FUNC_*.rst)
+    "q26_coalesce_nullif" -> ((s, dir) => {
+      load(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          nullif(col("c_nationkey") % 4, lit(2)).as("grp"),
+          coalesce(nullif(col("c_nationkey") % 4, lit(2)), lit(-1)).as("grp_filled"),
+          when(nullif(col("c_acctbal"), lit(0.0)).isNull, "zero")
+            .otherwise("nonzero").as("bal_class"),
+          (nullif(col("c_nationkey") % 4, lit(2)).isNull).as("is_masked"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- IN / BETWEEN / LIKE predicate trio (docs operators/OPS_IN.rst;
+    // Calcite expands IN→OR chain, BETWEEN→range — Catalyst does the same)
+    "q27_in_between_like" -> ((s, dir) => {
+      load(s, dir, "part")
+        .filter(
+          col("p_type").isin("ECONOMY", "SMALL", "STANDARD") &&
+          col("p_size").between(5, 25) &&
+          col("p_name").like("%part%"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("p_size")).as("sum_size"))
+        .orderBy(col("p_type"))
+    }),
+
+    // ---- CTE (WITH): reference commonTableExpressions suite — SQL path
+    // through EngineContext.sql
+    "q28_cte" -> ((s, dir) => {
+      val ctx = EngineContext.forDir(s, dir)
+      ctx.sql(
+        s"""WITH big_orders AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice
+           |  FROM orders WHERE o_totalprice > 250000
+           |), cust_stats AS (
+           |  SELECT o_custkey, count(*) AS n_big, ${dsumSql("o_totalprice")} AS total_big
+           |  FROM big_orders GROUP BY o_custkey
+           |)
+           |SELECT c_mktsegment, count(*) AS n_custs,
+           |       ${dsumSql("total_big")} AS seg_total
+           |FROM cust_stats JOIN customer ON c_custkey = o_custkey
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment NULLS LAST""".stripMargin)
+    }),
+
+    // ---- Nested/correlated subqueries (reference nestedQueries suite):
+    // scalar subquery + IN subquery through the SQL path
+    "q29_nested_subquery" -> ((s, dir) => {
+      val ctx = EngineContext.forDir(s, dir)
+      ctx.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority NULLS LAST""".stripMargin)
+    }),
+
+    // ---- Wildcard projection via SQL (reference wildCard suite)
+    "q30_wildcard" -> ((s, dir) => {
+      val ctx = EngineContext.forDir(s, dir)
+      ctx.sql(
+        """SELECT * FROM region ORDER BY r_regionkey""".stripMargin)
+    }),
+
+    // ---- Boolean semantics with nulls: IS TRUE / IS NOT TRUE / IS NOT FALSE
+    // (expression_utils.cpp:275-277 — null-safe, unlike plain NOT)
+    "q31_bool_nulls" -> ((s, dir) => {
+      val flag = nullif(col("c_nationkey") % 3, lit(2)) > 0 // null / true / false
+      load(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          (flag <=> lit(true)).as("is_true"),
+          (!(flag <=> lit(true))).as("is_not_true"),
+          (!(flag <=> lit(false))).as("is_not_false"),
+          flag.isNull.as("flag_null"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q21_case_cast" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_totalprice > 300000 THEN 'high'
+        |     WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS price_band,
+        |CAST(trunc(o_totalprice) AS INT) AS price_int,
+        |CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
+        |CAST(o_orderkey AS DOUBLE) AS key_dbl,
+        |CAST(o_orderkey AS VARCHAR) AS key_str,
+        |CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+
+    "q22_string_funcs" ->
+      """SELECT c_custkey,
+        |length(c_name) AS name_len,
+        |upper(c_mktsegment) AS seg_upper,
+        |lower(c_mktsegment) AS seg_lower,
+        |reverse(c_mktsegment) AS seg_rev,
+        |substr(c_name, 10, 8) AS name_digits,
+        |c_mktsegment || '_' || c_name AS seg_name,
+        |regexp_replace(c_name, '0', '#', 'g') AS name_masked,
+        |trim('  pad  ') AS trimmed,
+        |ltrim('  pad  ') AS ltrimmed,
+        |rtrim('  pad  ') AS rtrimmed,
+        |translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+        |c_name LIKE '%00001%' AS like_hit,
+        |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
+
+    "q23_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |abs(l_quantity * -1.0) AS abs_qty,
+        |floor(l_extendedprice) AS floor_price,
+        |ceil(l_extendedprice) AS ceil_price,
+        |l_orderkey % 7 AS mod_key,
+        |round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |round(pow(l_quantity, 2.0), 6) AS qty_sq,
+        |round(ln(l_extendedprice), 6) AS ln_price,
+        |round(log10(l_extendedprice), 6) AS log10_price,
+        |round(sin(l_quantity), 6) AS sin_qty,
+        |round(cos(l_quantity), 6) AS cos_qty,
+        |round(atan(l_discount), 6) AS atan_disc,
+        |greatest(l_quantity, l_tax * 100) AS greatest_demo,
+        |least(l_quantity, l_discount * 100) AS least_demo
+        |FROM lineitem WHERE l_orderkey < 600
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q24_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS INT) AS yr,
+        |CAST(month(o_orderdate) AS INT) AS mo,
+        |CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+        |CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q25_interval_arith" ->
+      """SELECT o_orderkey,
+        |CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS plus_90d,
+        |CAST(o_orderdate - INTERVAL 2 MONTH AS DATE) AS minus_2mo,
+        |CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus_1y,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_1999,
+        |CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS add3mo
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q26_coalesce_nullif" ->
+      """SELECT c_custkey,
+        |nullif(c_nationkey % 4, 2) AS grp,
+        |coalesce(nullif(c_nationkey % 4, 2), -1) AS grp_filled,
+        |CASE WHEN nullif(c_acctbal, 0.0) IS NULL THEN 'zero' ELSE 'nonzero' END AS bal_class,
+        |nullif(c_nationkey % 4, 2) IS NULL AS is_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q27_in_between_like" ->
+      """SELECT p_type, count(*) AS n_parts, CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM part
+        |WHERE p_type IN ('ECONOMY','SMALL','STANDARD')
+        |  AND p_size BETWEEN 5 AND 25
+        |  AND p_name LIKE '%part%'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    "q28_cte" ->
+      s"""WITH big_orders AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice
+         |  FROM orders WHERE o_totalprice > 250000
+         |), cust_stats AS (
+         |  SELECT o_custkey, count(*) AS n_big, ${dsumSql("o_totalprice")} AS total_big
+         |  FROM big_orders GROUP BY o_custkey
+         |)
+         |SELECT c_mktsegment, count(*) AS n_custs,
+         |       ${dsumSql("total_big")} AS seg_total
+         |FROM cust_stats JOIN customer ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment NULLS LAST""".stripMargin,
+
+    "q29_nested_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS LAST""".stripMargin,
+
+    "q30_wildcard" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q31_bool_nulls" ->
+      """SELECT c_custkey,
+        |(nullif(c_nationkey % 3, 2) > 0) IS NOT DISTINCT FROM TRUE AS is_true,
+        |NOT ((nullif(c_nationkey % 3, 2) > 0) IS NOT DISTINCT FROM TRUE) AS is_not_true,
+        |NOT ((nullif(c_nationkey % 3, 2) > 0) IS NOT DISTINCT FROM FALSE) AS is_not_false,
+        |(nullif(c_nationkey % 3, 2) > 0) IS NULL AS flag_null
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

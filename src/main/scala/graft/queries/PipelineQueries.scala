@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.operators._
+import graft.operators.TextHashing._
+
+/**
+ * Training-data pipeline operators (beyond the reference, which is pure
+ * OLAP): deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+ * embedding-cosine), similarity search (brute-force + sign-LSH ANN), text
+ * analysis (language ID, quality, token counts, fingerprints), and
+ * multimodal binary-column plumbing. Implementations in graft.operators;
+ * this pack wires them to the documents/embeddings tables with DuckDB
+ * oracles built from the SAME hash constants (TextHashing) so the approx
+ * algorithms are verified bit-for-bit, not just smoke-tested.
+ */
+object PipelineQueries extends QueryPack {
+
+  // Shared DuckDB CTE: distinct 3-gram shingles + base hash per doc.
+  private val shingleCte =
+    s"""pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2,1))) AS i
+       |  FROM documents
+       |),
+       |gr AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS g FROM pos),
+       |hs AS (SELECT doc_id, CAST(${gramHashSql("g")} AS BIGINT) AS h FROM gr)""".stripMargin
+
+  private val minSqlCols =
+    MinHashParams.indices.map(j => s"min(${minHashJSql("h", j)}) AS m$j").mkString(", ")
+
+  private val bandSql = (0 until NumBands).map { b =>
+    val cols = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band, concat_ws('-', $cols) AS sig FROM mh"
+  }.mkString(" UNION ALL ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Exact dedup. The corpus has no byte-identical texts, so the
+    // query plants copies (doc_id+100000) and the operator must find
+    // exactly those groups.
+    "q42_dedup_exact" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      Dedup.exactDuplicates(docs.unionByName(planted), "doc_id", "text")
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"), col("text_md5"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- Exact 3-gram Jaccard near-dup pairs (bounded corpus)
+    "q43_dedup_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(load(s, dir, "documents"), "doc_id", "text", 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- MinHash-LSH near-dup pairs (the 100 TB path: signature →
+    // banding → bucket join → verify candidates only)
+    "q44_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(load(s, dir, "documents"), "doc_id", "text", 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- SimHash fingerprints + Hamming≤1 pairs
+    "q45_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(
+        Dedup.simHashFingerprints(load(s, dir, "documents"), "doc_id", "text"), 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Embedding-cosine near-dup pairs (synthetic embeddings top out
+    // near cosine 0.51, so 0.4 marks the "suspiciously similar" tail)
+    "q46_dedup_embed_cosine" -> ((s, dir) => {
+      SimilaritySearch.cosineDupPairs(load(s, dir, "embeddings"), 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Brute-force cosine top-5 for 10 query vectors (exact ANN baseline)
+    "q47_ann_topk" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- Sign-LSH bucketed ANN (6-bit bucket → same-bucket candidates)
+    "q48_ann_lsh" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(emb.filter(col("vec_id") < 20), emb, 3, 6)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- Language-ID heuristic vs the labeled lang column
+    "q49_lang_id" -> ((s, dir) => {
+      TextAnalysis.langPredicted(load(s, dir, "documents"), "text", Seq("lang"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // ---- Quality scoring columns
+    "q50_text_quality" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("n_chars"), length(col("text")).as("text_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+        .withColumn("quality",
+          TextAnalysis.qualityScore(col("text_len"), col("punct_ratio"), col("mean_word_len")))
+        .drop("text_len")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Token counting: whitespace + BPE-ish regex tokenizer
+    "q51_token_count" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("regex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Content fingerprinting (normalized md5; positional hashes feed
+    // MinHash in q44)
+    "q52_fingerprint" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Multimodal: binary payload + batched stub decode via typed
+    // Dataset mapPartitions (see operators.Multimodal)
+    "q53_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, load(s, dir, "documents"))
+      Multimodal.decodeFeatures(media, 32).toDF()
+        .select(col("media_id"), col("kind"), col("source"),
+          col("byte_len"), col("width"), col("height"), col("frames"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q42_dedup_exact" ->
+      """SELECT keep_id, n_copies, text_md5 FROM (
+        |  SELECT md5(text) AS text_md5, length(text) AS text_len,
+        |         min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+        |  GROUP BY md5(text), length(text))
+        |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin,
+
+    "q43_dedup_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q44_dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
+         |bands AS ($bandSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
+         |          JOIN gr a ON a.doc_id = id_a
+         |          JOIN gr b ON b.doc_id = id_b AND a.g = b.g
+         |          GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q45_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), th AS (
+         |  SELECT doc_id, CAST(${tokenHashSql("t")} AS BIGINT) AS h
+         |  FROM toks WHERE length(t) > 0
+         |), bits AS (
+         |  SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit FROM th
+         |), bsum AS (
+         |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM bits GROUP BY doc_id, bit
+         |), fp AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
+         |  FROM bsum GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_dedup_embed_cosine" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding ea, b.embedding eb,
+        |                 a.nrm na, b.nrm nb
+        |          FROM norms a JOIN norms b ON a.vec_id < b.vec_id),
+        |dots AS (SELECT id_a, id_b, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(na) AS na, any_value(nb) AS nb
+        |         FROM (SELECT id_a, id_b, unnest(ea) AS x1, unnest(eb) AS x2, na, nb FROM pairs)
+        |         GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, round(dot/(na*nb), 6) AS cosine FROM dots
+        |WHERE round(dot/(na*nb), 6) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q47_ann_topk" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.embedding qv, c.embedding cv,
+        |                 q.nrm nq, c.nrm nc
+        |          FROM norms q JOIN norms c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |dots AS (SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(nq) AS nq, any_value(nc) AS nc
+        |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
+        |         GROUP BY query_id, cand_id),
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |SELECT query_id, rank, cand_id, cosine FROM (
+        |  SELECT query_id, cand_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q48_ann_lsh" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+        |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          FROM unnest(generate_series(0, 5)) AS t(j)) AS bucket
+        |  FROM embeddings),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.embedding qv, c.embedding cv,
+        |                 q.nrm nq, c.nrm nc
+        |          FROM norms q JOIN norms c
+        |          ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |dots AS (SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(nq) AS nq, any_value(nc) AS nc
+        |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
+        |         GROUP BY query_id, cand_id),
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |SELECT query_id, rank, cand_id, cosine FROM (
+        |  SELECT query_id, cand_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q49_lang_id" -> langIdOracle,
+
+    "q50_text_quality" ->
+      """SELECT doc_id, n_chars, punct_ratio, mean_word_len, n_tokens,
+        |round(least(length_score, 1.0)*0.4
+        |      + (CASE WHEN mean_word_len BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.3
+        |      + greatest(0.0, 1.0 - punct_ratio*5.0)*0.3, 6) AS quality
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |         CAST(length(text) AS DOUBLE)/400.0 AS length_score,
+        |         round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |               / greatest(length(text), 1), 6) AS punct_ratio,
+        |         round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |               / greatest(len(string_split(text, ' ')), 1), 6) AS mean_word_len,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents WHERE doc_id < 200)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q51_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS regex_tokens
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q52_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        |count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q53_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |source,
+        |CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+        |CAST(1 + octet_length(encode(text)) % 8 AS INT) AS frames
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
+  /** Language-ID oracle: same padded-replace counting and same
+    * first-wins-tie argmax as TextAnalysis.langId. */
+  private def langIdOracle: String = {
+    def cnt(w: String) =
+      s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS INT)"
+    def score(words: Seq[String]) = words.map(cnt).mkString("(", " + ", ")")
+    val Seq(en, de, fr, es) = TextAnalysis.LangMarkers.map { case (_, ws) => score(ws) }
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |         WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+       |         WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+       |         WHEN s_de > s_en THEN 'de'
+       |         ELSE 'en' END AS predicted
+       |  FROM (
+       |    SELECT lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+       |    FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)))
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+}
