@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineContextSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def ctx = EngineContext.forDir(spark, TestSpark.sfDir)
+
+  test("createTable registers parquet tables and sql() queries them") {
+    val c = ctx
+    val df = c.sql("SELECT count(*) AS n FROM lineitem")
+    assert(df.collect()(0).getLong(0) == 6000)
+  }
+
+  test("catalog: listTables / describeTable / dropTable") {
+    val c = ctx
+    assert(c.listTables().contains("lineitem"))
+    val cols = c.describeTable("region").map(_._1)
+    assert(cols == Seq("r_regionkey", "r_name"))
+    c.createTable("tmp_t", c.sql("SELECT 1 AS x"))
+    assert(c.listTables().contains("tmp_t"))
+    c.dropTable("tmp_t")
+    assert(!c.listTables().contains("tmp_t"))
+  }
+
+  test("createTable infers format from extension: csv and json round-trip") {
+    val c = ctx
+    val dir = Files.createTempDirectory("graft_src").toFile
+    val src = spark.table("region")
+    src.write.mode("overwrite").option("header", "true").csv(s"$dir/r_csv")
+    src.write.mode("overwrite").json(s"$dir/r_json")
+    // directories (no extension) with explicit format
+    c.createTable("r_csv", s"$dir/r_csv", "csv")
+    c.createTable("r_json", s"$dir/r_json", "json")
+    assert(c.sql("SELECT count(*) AS n FROM r_csv").collect()(0).getLong(0) == 5)
+    assert(c.sql("SELECT count(*) AS n FROM r_json").collect()(0).getLong(0) == 5)
+    // orc too (reference io formats: DataType.h parquet/orc/csv/json)
+    src.write.mode("overwrite").orc(s"$dir/r_orc")
+    c.createTable("r_orc", s"$dir/r_orc", "orc")
+    assert(c.sql("SELECT count(*) AS n FROM r_orc").collect()(0).getLong(0) == 5)
+  }
+
+  test("explain returns logical plan, detail=true returns physical plan") {
+    val c = ctx
+    val logical = c.explain("SELECT r_name FROM region WHERE r_regionkey > 1")
+    assert(logical.contains("Filter") || logical.contains("Relation"))
+    val physical = c.explain("SELECT r_name FROM region WHERE r_regionkey > 1", detail = true)
+    assert(physical.contains("FileScan") || physical.contains("Scan"))
+  }
+
+  test("async token API: sqlAsync/status/fetch") {
+    val c = ctx
+    val token = c.sqlAsync("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus")
+    val df = c.fetch(token) // blocks until done
+    assert(df.count() == 3)
+    assert(c.status(token) == "unknown") // consumed
+  }
+
+  test("config maps reference keys onto spark conf") {
+    val c = ctx
+    c.config("MAX_JOIN_SCATTER_MEM_OVERHEAD", "500000000")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "500000000")
+    c.config(Map("EXECUTOR_THREADS" -> "32"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "32")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(2f, 0f, 0f, 0f)),      // parallel to 0 (same sign pattern)
+    (2L, Array(0f, 1f, 0f, 0f)),      // orthogonal to 0
+    (3L, Array(-1f, 0f, 0f, 0f))      // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("dot and l2norm compute expected values") {
+    val r = vecs.filter(col("vec_id") === 0)
+      .select(SimilaritySearch.dot(col("embedding"), col("embedding")).as("d"),
+        SimilaritySearch.l2norm(col("embedding")).as("n")).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("bruteForceTopK ranks nearly-parallel > orthogonal > opposite") {
+    val top = SimilaritySearch.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .orderBy(col("rank")).collect()
+    assert(top.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top(0).getAs[Double]("cosine") > 0.99)
+    assert(math.abs(top(1).getAs[Double]("cosine")) < 1e-6)
+    assert(top(2).getAs[Double]("cosine") == -1.0)
+  }
+
+  test("cosineDupPairs finds only the near-parallel pair at 0.95") {
+    val pairs = SimilaritySearch.cosineDupPairs(vecs, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("signBucket: same-sign vectors share a bucket, opposite don't") {
+    val b = vecs.select(col("vec_id"), SimilaritySearch.signBucket(col("embedding"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(3L))
+  }
+
+  test("lshTopK only returns same-bucket candidates") {
+    val top = SimilaritySearch.lshTopK(vecs.filter(col("vec_id") === 0), vecs, 5, 4)
+      .collect()
+    assert(top.map(_.getAs[Long]("cand_id")).toSet == Set(1L)) // only 1 shares bucket
+  }
+}

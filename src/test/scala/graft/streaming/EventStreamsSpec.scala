@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventStreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("hourlyCounts over a memory stream produces windowed aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(
+      EventStreams.Event(1, ts(0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(10), 10, "click", 2.0),
+      EventStreams.Event(3, ts(70), 11, "view", 3.0))
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      assert(rows.map(_.getAs[Long]("n_events")).sum == 3)
+      assert(rows.length == 2) // two distinct (window, type) groups
+    } finally q.stop()
+  }
+
+  test("dedupedStream drops replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(
+      EventStreams.Event(1, ts(0), 10, "click", 1.0),
+      EventStreams.Event(1, ts(0), 10, "click", 1.0), // duplicate
+      EventStreams.Event(2, ts(1), 10, "view", 2.0))
+    val q = EventStreams.dedupedStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after a 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(
+      EventStreams.Event(1, ts(0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(5), 10, "click", 1.0),
+      EventStreams.Event(3, ts(60), 10, "click", 1.0)) // 55-min gap → new session
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+      // one closed session with 2 events + one open session with 1 event
+      assert(rows.exists(r => r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 2))
+      assert(rows.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 1))
+    } finally q.stop()
+  }
+}
