@@ -1,25 +1,74 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+ * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+ *
+ * Each query is forced through the noop DataSourceV2 sink — unlike
+ * count(), noop computes every output column (count() lets Catalyst prune
+ * the projections away, which would under-report expression-heavy
+ * queries). One warmup query amortizes JIT/codegen/FS-cache startup so
+ * per-query numbers reflect steady-state throughput, which is what a
+ * long-running cluster job sees.
+ */
 object Bench {
+
+  /** Headline set: one per operator family, excluding the deliberately
+    * quadratic exact-Jaccard demo (q43 — its scale path IS q44). */
+  val headline: Seq[String] = Seq(
+    "q01_tpch_q1",        // scan+filter+agg+sort
+    "q03_join3_topk",     // 3-way join + broadcast + topk
+    "q04_join_left",      // outer join + double aggregation
+    "q08_join_nonequi",   // equi join + inequality residual
+    "q12_count_distinct", // distinct aggregation
+    "q16_union_distinct", // set op
+    "q32_window_rownum",  // partitioned window
+    "q34_window_frame",   // sliding frame window
+    "q38_events_hourly",  // time bucketing
+    "q39_events_sessionize", // lag + running-sum sessionization
+    "q42_dedup_exact",    // exact dedup
+    "q44_dedup_minhash_lsh", // minhash+LSH near-dup (scale path)
+    "q45_dedup_simhash",  // simhash fingerprints + hamming pairs
+    "q47_ann_topk",       // brute-force cosine top-k
+    "q48_ann_lsh",        // sign-LSH bucketed ANN
+    "q49_lang_id",        // text analysis
+    "q53_multimodal_decode") // binary columns + batched decode
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    runOnce("q01_tpch_q1") // warmup: JIT, codegen cache, FS metadata
+
+    val results = headline.map(n => n -> runOnce(n))
+    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,21 +81,42 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, then
-    * exact Jaccard verification restricted to candidates. */
+    * exact Jaccard verification restricted to candidates.
+    *
+    * Verification keeps each doc's distinct shingles as ONE array row and
+    * computes |A∩B| with array_intersect in-row. The explode-and-join
+    * formulation (candidates ⋈ shingles ⋈ shingles) multiplies every
+    * candidate pair by its shingle count before the second join — ~400×
+    * the rows for ~zero information; on the shared-vocab sf0.1 corpus that
+    * was 208 s vs ~4 s for this shape. The shingle-array side is
+    * docs-sized (not pairs-sized), so it broadcasts, and the candidate
+    * pairs never shuffle at all. */
   def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
-    val cands = lshCandidates(minHashSignatures(docs, id, text))
-    val sh = shingleSet(docs, id, text).cache()
-    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("a"), col("id_a") === col("a.sid"))
-      .join(sh.as("b"), col("id_b") === col("b.sid") && col("a.g") === col("b.g"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.sid"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.sid"))
+    // localCheckpoint barriers between stages, twice over:
+    // (a) the band self-join consumes the signature subplan on BOTH sides —
+    //     without a barrier the whole shingle→minhash pipeline executes
+    //     twice;
+    // (b) Catalyst pushes the jaccard threshold down into the verify join's
+    //     condition, where the alias substitution re-expands `inter` and
+    //     evaluates array_intersect three times per candidate pair.
+    //     Materializing the scored pairs keeps it at exactly once.
+    // Net effect at sf0.1 (5k docs, 2.46M candidates): ~20 s vs ~205 s
+    // fused. This is the same role the reference's CacheMachines play
+    // between kernels (docsrc/source/engine/caches.rst).
+    val sigs = minHashSignatures(docs, id, text).localCheckpoint()
+    val cands = lshCandidates(sigs).localCheckpoint()
+    val sets = docs.select(col(id).as("sid"),
+      array_distinct(shingles3(col(text))).as("gs"))
+    val scored = cands
+      .join(broadcast(sets.as("sa")), col("id_a") === col("sa.sid"))
+      .join(broadcast(sets.as("sb")), col("id_b") === col("sb.sid"))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+        size(array_intersect(col("sa.gs"), col("sb.gs"))).as("inter"),
+        size(col("sa.gs")).as("na"), size(col("sb.gs")).as("nb"))
+      .localCheckpoint()
+    scored
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
