@@ -61,7 +61,10 @@ object ExpressionQueries extends QueryPack {
           rtrim(lit("  pad  ")).as("rtrimmed"),
           translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_translated"),
           col("c_name").like("%00001%").as("like_hit"),
-          lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"))
+          lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+          initcap(lower(col("c_mktsegment"))).as("seg_title"),
+          // SUBSTRING with column start/len (reference LogicalProject.cpp:212-307)
+          col("c_name").substr((col("c_custkey") % 3 + 1).cast("int"), lit(5)).as("name_dyn"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -102,7 +105,11 @@ object ExpressionQueries extends QueryPack {
           quarter(col("o_orderdate")).as("qtr"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
           last_day(col("o_orderdate")).as("month_end"),
-          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          // TO_DATE / TO_TIMESTAMP with format (reference :339-340)
+          to_date(date_format(col("o_orderdate"), "yyyy/MM/dd"), "yyyy/MM/dd").as("date_rt"),
+          to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss").cast("date").as("ts_rt"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -187,6 +194,60 @@ object ExpressionQueries extends QueryPack {
         """SELECT * FROM region ORDER BY r_regionkey""".stripMargin)
     }),
 
+    // ---- STDDEV / VAR family. The reference implements these entirely as
+    // Calcite's AggregateReduceFunctionsRule rewrite into SUM/COUNT
+    // arithmetic (RelationalAlgebraGenerator.java:204); we apply the same
+    // reduction by hand over exact decimal sums so the result is
+    // bit-stable across engines (plain stddev_samp accumulates doubles in
+    // partition order).
+    "q54_stats_var_stddev" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val d6 = DecimalType(18, 6)
+      // x*x is computed in DOUBLE (same IEEE product both engines) and cast
+      // to DECIMAL(28,8) for the exact sum — a decimal×decimal multiply
+      // overflows DuckDB's int64 fast path at this magnitude.
+      val d28 = DecimalType(28, 8)
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(col("l_extendedprice")).cast(DoubleType).as("n"),
+          sum(col("l_extendedprice").cast(d6)).cast(DoubleType).as("sx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d28))
+            .cast(DoubleType).as("sxx"))
+        .select(
+          col("l_returnflag"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
+            .as("var_samp"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 4).as("var_pop"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+            .as("stddev_samp"),
+          round(col("sx") / col("n"), 6).as("mean"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }),
+
+    // ---- ROLLUP (superset: no grouping sets anywhere in the reference,
+    // SURVEY §2.4)
+    "q55_rollup" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // ---- Pivot (superset; oracle via CASE aggregation)
+    "q56_pivot" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- Boolean semantics with nulls: IS TRUE / IS NOT TRUE / IS NOT FALSE
     // (expression_utils.cpp:275-277 — null-safe, unlike plain NOT)
     "q31_bool_nulls" -> ((s, dir) => {
@@ -228,7 +289,9 @@ object ExpressionQueries extends QueryPack {
         |rtrim('  pad  ') AS rtrimmed,
         |translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
         |c_name LIKE '%00001%' AS like_hit,
-        |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded
+        |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        |upper(substr(lower(c_mktsegment),1,1)) || substr(lower(c_mktsegment),2) AS seg_title,
+        |substr(c_name, CAST(c_custkey % 3 + 1 AS INT), 5) AS name_dyn
         |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
 
     "q23_math_funcs" ->
@@ -258,7 +321,9 @@ object ExpressionQueries extends QueryPack {
         |CAST(quarter(o_orderdate) AS INT) AS qtr,
         |strftime(o_orderdate, '%Y-%m-%d') AS date_str,
         |CAST(last_day(o_orderdate) AS DATE) AS month_end,
-        |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS DATE) AS date_rt,
+        |CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS DATE) AS ts_rt
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
 
     "q25_interval_arith" ->
@@ -310,6 +375,33 @@ object ExpressionQueries extends QueryPack {
 
     "q30_wildcard" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q54_stats_var_stddev" ->
+      """SELECT l_returnflag,
+        |round((sxx - sx*sx/n)/(n - 1), 4) AS var_samp,
+        |round((sxx - sx*sx/n)/n, 4) AS var_pop,
+        |round(sqrt((sxx - sx*sx/n)/(n - 1)), 6) AS stddev_samp,
+        |round(sx/n, 6) AS mean
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(count(l_extendedprice) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag NULLS LAST""".stripMargin,
+
+    "q55_rollup" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |coalesce(o_orderpriority, 'ALL') AS priority,
+         |count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+
+    "q56_pivot" ->
+      s"""SELECT l_returnflag,
+         |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_f,
+         |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q31_bool_nulls" ->
       """SELECT c_custkey,

@@ -182,12 +182,16 @@ object RelationalQueries extends QueryPack {
     // ---- COUNT(DISTINCT) (reference: AggregateExpandDistinctAggregatesRule
     // rewrite; Spark RewriteDistinctAggregates — built in)
     "q12_count_distinct" -> ((s, dir) => {
+      // count_multi = reference COUNT(a, b): rows where ALL args valid
+      // (GroupBy.cpp:237-241 lowers to combined-validity count)
       load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("distinct_parts"),
           countDistinct(col("l_suppkey")).as("distinct_supps"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("n_rows"),
+          sum(when(nullif(col("l_linenumber"), lit(3)).isNotNull &&
+            nullif(col("l_quantity"), lit(10.0)).isNotNull, 1L).otherwise(0L)).as("count_multi"))
         .orderBy(col("l_returnflag").asc_nulls_last)
     }),
 
@@ -357,7 +361,9 @@ object RelationalQueries extends QueryPack {
 
     "q12_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
-        |count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n_rows
+        |count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n_rows,
+        |CAST(sum(CASE WHEN nullif(l_linenumber, 3) IS NOT NULL
+        |               AND nullif(l_quantity, 10.0) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS count_multi
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS LAST""".stripMargin,
 
     "q13_agg_global" ->
