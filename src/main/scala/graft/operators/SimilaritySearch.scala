@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   /** Sequential left-to-right dot product of two float-array columns in
-    * DOUBLE (order fixed = array order, so engines agree bit-for-bit). */
+    * DOUBLE (order fixed = array order, so engines agree bit-for-bit).
+    * Composable higher-order-function form — interpreted per row. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -35,6 +36,13 @@ object SimilaritySearch {
       (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine via the native codegen'd expression (graft.functions
+    * .CosineSimilarity, registered by GraftExtensions). Bit-identical to
+    * dot(a,b)/(l2norm(a)*l2norm(b)) — same widen-to-double, same
+    * left-to-right accumulation — but fused into whole-stage codegen
+    * instead of interpreted lambda evaluation per pair. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** Exact cosine top-k: for each query vector (small set — broadcast), rank
     * the whole corpus. Ranking key is cosine rounded to 6dp with id
@@ -44,7 +52,7 @@ object SimilaritySearch {
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dot(col("qv"), col("cv")) / (l2norm(col("qv")) * l2norm(col("cv"))), 6)
+        round(cosine(col("qv"), col("cv")), 6)
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -70,7 +78,7 @@ object SimilaritySearch {
     val scored = broadcast(q)
       .join(c, col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dot(col("qv"), col("cv")) / (l2norm(col("qv")) * l2norm(col("cv"))), 6)
+        round(cosine(col("qv"), col("cv")), 6)
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -85,7 +93,7 @@ object SimilaritySearch {
     val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (l2norm(col("va")) * l2norm(col("vb"))), 6)
+        round(cosine(col("va"), col("vb")), 6)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }

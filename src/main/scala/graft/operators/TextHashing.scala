@@ -40,15 +40,17 @@ object TextHashing {
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3)))
 
-  /** Base integer hash of one 3-gram: ascii polynomial (base 31). Matches
-    * the oracle's ascii(g)*961 + ascii(substr(g,2,1))*31 + ascii(substr(g,3,1)). */
+  /** Base integer hash of one 3-gram: base-256 ascii polynomial —
+    * INJECTIVE for single-byte chars, so set operations over gram hashes
+    * (cheap long compares) are exactly set operations over the grams
+    * themselves. Mirrored by gramHashSql for the oracle. */
   def gramHash(g: Column): Column =
-    (ascii(g) * lit(961L) + ascii(substring(g, 2, 1)) * lit(31L) +
+    (ascii(g) * lit(65536L) + ascii(substring(g, 2, 1)) * lit(256L) +
       ascii(substring(g, 3, 1))).cast("long")
 
   /** SQL spelling of gramHash for the DuckDB oracle. */
   def gramHashSql(g: String): String =
-    s"(ascii($g)*961 + ascii(substr($g,2,1))*31 + ascii(substr($g,3,1)))"
+    s"(ascii($g)*65536 + ascii(substr($g,2,1))*256 + ascii(substr($g,3,1)))"
 
   /** j-th universal hash of a base hash column. */
   def minHashJ(h: Column, j: Int): Column = {

@@ -16,6 +16,19 @@ class SimilaritySpec extends AnyFunSuite {
     (3L, Array(-1f, 0f, 0f, 0f))      // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("native graft_cosine matches the composable dot/norm form bit-for-bit") {
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        SimilaritySearch.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        (SimilaritySearch.dot(col("a.embedding"), col("b.embedding")) /
+          (SimilaritySearch.l2norm(col("a.embedding")) *
+            SimilaritySearch.l2norm(col("b.embedding")))).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+  }
+
   test("dot and l2norm compute expected values") {
     val r = vecs.filter(col("vec_id") === 0)
       .select(SimilaritySearch.dot(col("embedding"), col("embedding")).as("d"),
