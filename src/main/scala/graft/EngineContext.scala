@@ -192,6 +192,19 @@ class EngineContext(val spark: SparkSession) {
   def config(options: Map[String, String]): Unit = options.foreach { case (k, v) => config(k, v) }
 
   def getConfig(key: String): Option[String] = Try(spark.conf.get(key)).toOption
+
+  // -------------------------------------------------------------- telemetry
+
+  /** Query telemetry table (reference bc.log, context.py:3346-3608).
+    * Lazily installed so sessions that never ask pay nothing. */
+  lazy val queryLog: QueryLog = new QueryLog(spark)
+
+  /** The telemetry log as a DataFrame (optionally registered as a view). */
+  def log(viewName: String = ""): DataFrame = {
+    val df = queryLog.table()
+    if (viewName.nonEmpty) df.createOrReplaceTempView(viewName)
+    df
+  }
 }
 
 object EngineContext {

@@ -1,0 +1,59 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Engine telemetry as a queryable table — the analog of `bc.log(sql)`
+ * (reference context.py:3346-3608, which exposes the engine's own logs as
+ * a queryable relation). Implemented with Spark's QueryExecutionListener:
+ * every completed action on the session records (time, duration, rows-ish
+ * metadata, status, error) into a bounded in-memory buffer; `table()`
+ * returns it as a DataFrame so it can be joined/filtered like any table.
+ */
+class QueryLog(spark: SparkSession, maxEntries: Int = 10000) {
+  import QueryLog.Entry
+
+  private val entries = new ConcurrentLinkedQueue[Entry]()
+
+  private val listener = new QueryExecutionListener {
+    private def head(qe: QueryExecution): String = {
+      val s = qe.optimizedPlan.toString
+      s.linesIterator.take(1).mkString.take(200)
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      add(Entry(System.currentTimeMillis(), funcName, durationNs / 1e6, "success", "", head(qe)))
+    override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
+      add(Entry(System.currentTimeMillis(), funcName, 0.0, "failed",
+        String.valueOf(error.getMessage).take(500), head(qe)))
+  }
+
+  private def add(e: Entry): Unit = {
+    entries.add(e)
+    while (entries.size() > maxEntries) entries.poll()
+  }
+
+  spark.listenerManager.register(listener)
+
+  /** The log as a queryable DataFrame. */
+  def table(): DataFrame = {
+    import spark.implicits._
+    entries.asScala.toSeq.toDF()
+  }
+
+  def clear(): Unit = entries.clear()
+
+  def close(): Unit = spark.listenerManager.unregister(listener)
+}
+
+object QueryLog {
+  // top-level (object-nested) so Spark can derive an Encoder for it
+  final case class Entry(
+      ts_ms: Long, func: String, duration_ms: Double,
+      status: String, error: String, plan_head: String)
+}

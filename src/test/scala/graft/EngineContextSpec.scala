@@ -58,6 +58,41 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.status(token) == "unknown") // consumed
   }
 
+  test("hive-partitioned directory: partition column discovered and pruned") {
+    val c = ctx
+    val dir = Files.createTempDirectory("graft_part").toFile
+    spark.table("orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$dir/orders_part")
+    c.createTable("orders_part", s"$dir/orders_part", "parquet")
+    // partition column round-trips
+    val statuses = c.sql("SELECT DISTINCT o_orderstatus FROM orders_part")
+      .collect().map(_.getString(0)).sorted
+    assert(statuses.sameElements(Array("F", "O", "P")))
+    // partition pruning: filter must land in PartitionFilters, not the scan
+    val plan = c.explain("SELECT count(*) FROM orders_part WHERE o_orderstatus = 'F'", detail = true)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus") ||
+      plan.contains("o_orderstatus#") && plan.contains("PartitionFilters"))
+    val n = c.sql("SELECT count(*) AS n FROM orders_part WHERE o_orderstatus = 'F'")
+      .collect()(0).getLong(0)
+    assert(n == spark.table("orders").where("o_orderstatus = 'F'").count())
+  }
+
+  test("query log records completed actions as a queryable table") {
+    val c = ctx
+    c.queryLog.clear()
+    c.sql("SELECT count(*) AS n FROM region").collect()
+    // QueryExecutionListener events arrive on the async listener bus
+    var rows = Array.empty[org.apache.spark.sql.Row]
+    val deadline = System.currentTimeMillis() + 10000
+    while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      rows = c.log("graft_log").collect()
+    }
+    assert(spark.table("graft_log").columns.contains("duration_ms"))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("status") == "success"))
+  }
+
   test("config maps reference keys onto spark conf") {
     val c = ctx
     c.config("MAX_JOIN_SCATTER_MEM_OVERHEAD", "500000000")
