@@ -47,6 +47,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // reference dialect is non-ANSI: x % 0 and bad casts yield NULL
+      // (cudf semantics), not errors (Spark 4 flipped the default)
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

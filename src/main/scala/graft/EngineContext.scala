@@ -55,16 +55,32 @@ class EngineContext(val spark: SparkSession) {
       }
     val reader = spark.read.format(fmt).options(options)
     val df = fmt match {
-      // CSV/JSON default to schema inference like the reference's format
-      // sniffers (engine/src/io/data_parser/{CSVParser,JSONParser}.cpp);
-      // explicit dtypes arrive via options("schema"->ddl) like the
-      // reference's `dtype=` kwarg (context.py:884-941).
+      // CSV supports the reference's create_table kwargs
+      // (context.py:884-941): names= (column names), dtype= (types,
+      // parallel to names), delimiter=; plus raw Spark options and a
+      // "schema" DDL escape hatch. No names/schema → header+inference,
+      // like the reference's CSV sniffer (data_parser/CSVParser.cpp).
       case "csv" =>
-        val withHeader =
-          if (options.contains("header")) reader else reader.option("header", "true")
-        options.get("schema") match {
-          case Some(ddl) => withHeader.schema(ddl).load(path)
-          case None      => withHeader.option("inferSchema", "true").load(path)
+        val passthrough = options.view
+          .filterKeys(k => !Set("names", "dtype", "schema", "delimiter").contains(k)).toMap
+        val r0 = spark.read.format("csv").options(passthrough)
+        val r1 = options.get("delimiter").fold(r0)(d => r0.option("sep", d))
+        val schemaDdl = (options.get("names"), options.get("dtype")) match {
+          case (Some(ns), Some(ts)) =>
+            Some(ns.split(",").map(_.trim).zip(ts.split(",").map(_.trim))
+              .map { case (n, t) => s"$n $t" }.mkString(", "))
+          case (Some(ns), None) =>
+            Some(ns.split(",").map(n => s"${n.trim} STRING").mkString(", "))
+          case _ => options.get("schema")
+        }
+        schemaDdl match {
+          case Some(ddl) =>
+            // explicit names imply the file carries data, not a header row
+            val r2 = if (options.contains("header")) r1 else r1.option("header", "false")
+            r2.schema(ddl).load(path)
+          case None =>
+            val r2 = if (options.contains("header")) r1 else r1.option("header", "true")
+            r2.option("inferSchema", "true").load(path)
         }
       case "json" =>
         options.get("schema") match {
@@ -221,6 +237,9 @@ object EngineContext {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // reference dialect is non-ANSI: x % 0 and bad casts yield NULL
+      // (cudf semantics), not errors (Spark 4 flipped the default)
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

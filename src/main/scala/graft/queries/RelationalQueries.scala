@@ -265,6 +265,44 @@ object RelationalQueries extends QueryPack {
     // deterministic count; reference has_limit_only path, OrderBy.cpp:228-233)
     "q20_limit_only" -> ((s, dir) => {
       load(s, dir, "lineitem").limit(1000).agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- TPC-H Q5 shape: 6-way join, small dims broadcast, revenue by
+    // region (adapted to available columns: customer-nation via c_nationkey,
+    // supplier-nation via s_nationkey; the c=s nation constraint kept)
+    "q57_tpch_q5" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = load(s, dir, "lineitem")
+      val sup = load(s, dir, "supplier")
+      val n = load(s, dir, "nation")
+      val r = load(s, dir, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- Exact percentiles (linear interpolation — both engines use the
+    // same (1-g)*lo + g*hi rule; rounded to absorb last-bit arithmetic)
+    "q58_percentiles" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          min(col("l_extendedprice")).as("p0"),
+          max(col("l_extendedprice")).as("p100"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -412,6 +450,29 @@ object RelationalQueries extends QueryPack {
         |LIMIT 25""".stripMargin,
 
     "q20_limit_only" ->
-      "SELECT count(*) AS n_rows FROM (SELECT * FROM lineitem LIMIT 1000)"
+      "SELECT count(*) AS n_rows FROM (SELECT * FROM lineitem LIMIT 1000)",
+
+    "q57_tpch_q5" ->
+      s"""SELECT r_name, n_name,
+         |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |count(*) AS n_lines
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q58_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |min(l_extendedprice) AS p0,
+        |max(l_extendedprice) AS p100
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

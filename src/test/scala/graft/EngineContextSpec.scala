@@ -58,6 +58,18 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.status(token) == "unknown") // consumed
   }
 
+  test("csv reference kwargs: names/dtype/delimiter") {
+    val c = ctx
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"), "1|alpha|1.5\n2|beta|2.5\n")
+    c.createTable("kw_csv", s"$dir/data.csv", "csv", Map(
+      "names" -> "id,name,score", "dtype" -> "BIGINT,STRING,DOUBLE", "delimiter" -> "|"))
+    val rows = c.sql("SELECT id, name, score FROM kw_csv ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).sameElements(Array(1L, 2L)))
+    assert(rows(1).getString(1) == "beta" && rows(1).getDouble(2) == 2.5)
+  }
+
   test("hive-partitioned directory: partition column discovered and pruned") {
     val c = ctx
     val dir = Files.createTempDirectory("graft_part").toFile
