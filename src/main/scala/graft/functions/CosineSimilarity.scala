@@ -95,5 +95,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_cosine takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
   }
 }

@@ -105,15 +105,17 @@ object Dedup {
     // between kernels (docsrc/source/engine/caches.rst).
     val sigs = minHashSignatures(docs, id, text).localCheckpoint()
     val cands = lshCandidates(sigs).localCheckpoint()
-    // gramHash is injective, so intersecting hash arrays (long compares)
-    // equals intersecting the gram string sets — ~3× cheaper per pair
+    // gramHash is injective, so set ops on hash arrays equal set ops on the
+    // gram strings; sorted-distinct arrays let the intersection run as a
+    // codegen'd linear merge (graft_sorted_intersect_count) instead of
+    // array_intersect's per-row hash build — the verify step's hot loop.
     val sets = docs.select(col(id).as("sid"),
-      array_distinct(transform(shingles3(col(text)), g => gramHash(g))).as("gs"))
+      sort_array(array_distinct(transform(shingles3(col(text)), g => gramHash(g)))).as("gs"))
     val scored = cands
       .join(broadcast(sets.as("sa")), col("id_a") === col("sa.sid"))
       .join(broadcast(sets.as("sb")), col("id_b") === col("sb.sid"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sa.gs"), col("sb.gs"))).as("inter"),
+        call_function("graft_sorted_intersect_count", col("sa.gs"), col("sb.gs")).as("inter"),
         size(col("sa.gs")).as("na"), size(col("sb.gs")).as("nb"))
       .localCheckpoint()
     scored

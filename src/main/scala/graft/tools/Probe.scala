@@ -1,21 +1,21 @@
 package graft.tools
 
-import graft.{EngineContext, SparkEntry}
+import graft.{EngineContext, Tables}
+import graft.operators.Dedup
 
 /** Ad-hoc scratch main for plan/semantics probes during development. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = EngineContext.session()
-    val dir = "/root/testdata/sf0.1"
-    val out = new StringBuilder
-    for (q <- Seq("q01_tpch_q1", "q03_join3_topk", "q08_join_nonequi",
-        "q04_join_left", "q38_events_hourly")) {
-      val df = SparkEntry.queries(q)(spark, dir)
-      out.append(s"===== $q =====\n")
-      out.append(df.queryExecution.executedPlan.toString).append("\n\n")
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents").cache()
+    docs.count()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans.txt"), out.toString)
-    println("plans written")
+    time("minHashLshPairs (sorted-merge verify)") {
+      println("n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7).count())
+    }
     spark.stop()
   }
 }
