@@ -291,6 +291,35 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // ---- TPC-H Q6: pure filter + single aggregate (forecasting revenue)
+    "q59_tpch_q6" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- TPC-H Q14 shape: conditional revenue ratio over a join
+    "q60_tpch_q14" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = load(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "ECONOMY",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+            .as("economy_revenue"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+        .select(
+          col("economy_revenue"), col("total_revenue"),
+          round(col("economy_revenue") / col("total_revenue") * 100.0, 6).as("economy_pct"))
+    }),
+
     // ---- Exact percentiles (linear interpolation — both engines use the
     // same (1-g)*lo + g*hi rule; rounded to absorb last-bit arithmetic)
     "q58_percentiles" -> ((s, dir) => {
@@ -465,6 +494,25 @@ object RelationalQueries extends QueryPack {
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q59_tpch_q6" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q60_tpch_q14" ->
+      s"""SELECT economy_revenue, total_revenue,
+         |round(economy_revenue / total_revenue * 100.0, 6) AS economy_pct
+         |FROM (
+         |  SELECT
+         |    ${dsumSql("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS economy_revenue,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')""".stripMargin,
 
     "q58_percentiles" ->
       """SELECT l_returnflag,

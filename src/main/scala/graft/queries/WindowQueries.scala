@@ -106,6 +106,9 @@ object WindowQueries extends QueryPack {
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ---- [S] multiple different OVER clauses in one SELECT
+    "q61_window_multi" -> multiWindowQuery,
+
     // ---- Window with no PARTITION BY (reference needed Overlap kernels for
     // this, §2.5; Spark funnels to a single partition — fine after the
     // pre-aggregation shrinks the input, which is how this stays scalable)
@@ -124,7 +127,32 @@ object WindowQueries extends QueryPack {
     })
   )
 
+  private val multiWindowQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    // [S] Multiple DIFFERENT OVER clauses in one SELECT — the reference
+    // rejects this outright (PhysicalPlanGenerator.h:300-302); Spark plans
+    // one Window exec per distinct spec.
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byStatus = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    load(s, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        row_number().over(byCust).as("seq_for_cust"),
+        row_number().over(byStatus).as("rank_in_status"),
+        lag(col("o_totalprice"), 1).over(byCust).as("prev_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q61_window_multi" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS seq_for_cust,
+        |CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank_in_status,
+        |lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders WHERE o_custkey < 30
+        |ORDER BY o_orderkey""".stripMargin,
     "q32_window_rownum" ->
       """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
