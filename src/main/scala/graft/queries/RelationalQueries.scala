@@ -291,6 +291,18 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // ---- UNION type normalization: INT32 ∪ INT64 widens to the common
+    // type, column names taken from the left input (reference
+    // get_common_types + names-from-left, BatchUnionProcessing.cpp:42-131)
+    "q63_union_type_norm" -> ((s, dir) => {
+      graft.EngineContext.forDir(s, dir).sql(
+        """SELECT key, count(*) AS n FROM (
+          |  SELECT n_nationkey AS key FROM nation
+          |  UNION ALL
+          |  SELECT s_suppkey FROM supplier
+          |) GROUP BY key ORDER BY key""".stripMargin)
+    }),
+
     // ---- TPC-H Q6: pure filter + single aggregate (forecasting revenue)
     "q59_tpch_q6" -> ((s, dir) => {
       load(s, dir, "lineitem")
@@ -494,6 +506,13 @@ object RelationalQueries extends QueryPack {
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q63_union_type_norm" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT n_nationkey AS key FROM nation
+        |  UNION ALL
+        |  SELECT s_suppkey FROM supplier
+        |) GROUP BY key ORDER BY key""".stripMargin,
 
     "q59_tpch_q6" ->
       s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows

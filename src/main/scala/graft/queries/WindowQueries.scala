@@ -109,6 +109,23 @@ object WindowQueries extends QueryPack {
     // ---- [S] multiple different OVER clauses in one SELECT
     "q61_window_multi" -> multiWindowQuery,
 
+    // ---- [S] RANGE frame (value-based bounds): the reference rejects
+    // RANGE outright ("RANGE is not currently supported",
+    // PhysicalPlanGenerator.h:304-306). SQL path: the Scala DSL's
+    // rangeBetween only takes Long bounds, which don't match a DOUBLE
+    // ordering column.
+    "q62_window_range" -> ((s, dir) => {
+      graft.EngineContext.forDir(s, dir).sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal,
+          |count(*) OVER w AS peers_within_500,
+          |min(c_acctbal) OVER w AS band_min,
+          |max(c_acctbal) OVER w AS band_max
+          |FROM customer WHERE c_custkey < 400
+          |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+          |             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- Window with no PARTITION BY (reference needed Overlap kernels for
     // this, §2.5; Spark funnels to a single partition — fine after the
     // pre-aggregation shrinks the input, which is how this stays scalable)
@@ -146,6 +163,16 @@ object WindowQueries extends QueryPack {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q62_window_range" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |count(*) OVER w AS peers_within_500,
+        |min(c_acctbal) OVER w AS band_min,
+        |max(c_acctbal) OVER w AS band_max
+        |FROM customer WHERE c_custkey < 400
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q61_window_multi" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS seq_for_cust,
