@@ -39,7 +39,7 @@ object ExpressionQueries extends QueryPack {
           col("o_totalprice").cast("bigint").as("price_long"),
           col("o_orderkey").cast("double").as("key_dbl"),
           col("o_orderkey").cast("string").as("key_str"),
-          col("o_orderdate").cast("date").as("order_date"))
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -104,12 +104,12 @@ object ExpressionQueries extends QueryPack {
           dayofweek(col("o_orderdate")).as("dow"),
           quarter(col("o_orderdate")).as("qtr"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
-          last_day(col("o_orderdate")).as("month_end"),
-          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
           // TO_DATE / TO_TIMESTAMP with format (reference :339-340)
-          to_date(date_format(col("o_orderdate"), "yyyy/MM/dd"), "yyyy/MM/dd").as("date_rt"),
-          to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
-            "yyyy-MM-dd HH:mm:ss").cast("date").as("ts_rt"))
+          date_format(to_date(date_format(col("o_orderdate"), "yyyy/MM/dd"), "yyyy/MM/dd"), "yyyy-MM-dd").as("date_rt"),
+          date_format(to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd").as("ts_rt"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -120,11 +120,11 @@ object ExpressionQueries extends QueryPack {
         .filter(col("o_orderkey") < 2000)
         .select(
           col("o_orderkey"),
-          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("date").as("plus_90d"),
-          (col("o_orderdate") - expr("INTERVAL 2 MONTHS")).cast("date").as("minus_2mo"),
-          (col("o_orderdate") + expr("INTERVAL 1 YEAR")).cast("date").as("plus_1y"),
+          date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").as("plus_90d"),
+          date_format(col("o_orderdate") - expr("INTERVAL 2 MONTHS"), "yyyy-MM-dd").as("minus_2mo"),
+          date_format(col("o_orderdate") + expr("INTERVAL 1 YEAR"), "yyyy-MM-dd").as("plus_1y"),
           datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_1999"),
-          add_months(col("o_orderdate"), 3).cast("date").as("add3mo"))
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("add3mo"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -272,12 +272,12 @@ object ExpressionQueries extends QueryPack {
         |CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
         |CAST(o_orderkey AS DOUBLE) AS key_dbl,
         |CAST(o_orderkey AS VARCHAR) AS key_str,
-        |CAST(o_orderdate AS DATE) AS order_date
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
 
     "q22_string_funcs" ->
       """SELECT c_custkey,
-        |length(c_name) AS name_len,
+        |CAST(length(c_name) AS INT) AS name_len,
         |upper(c_mktsegment) AS seg_upper,
         |lower(c_mktsegment) AS seg_lower,
         |reverse(c_mktsegment) AS seg_rev,
@@ -297,8 +297,8 @@ object ExpressionQueries extends QueryPack {
     "q23_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |abs(l_quantity * -1.0) AS abs_qty,
-        |floor(l_extendedprice) AS floor_price,
-        |ceil(l_extendedprice) AS ceil_price,
+        |CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
         |l_orderkey % 7 AS mod_key,
         |round(sqrt(l_extendedprice), 6) AS sqrt_price,
         |round(pow(l_quantity, 2.0), 6) AS qty_sq,
@@ -320,19 +320,19 @@ object ExpressionQueries extends QueryPack {
         |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
         |CAST(quarter(o_orderdate) AS INT) AS qtr,
         |strftime(o_orderdate, '%Y-%m-%d') AS date_str,
-        |CAST(last_day(o_orderdate) AS DATE) AS month_end,
-        |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-        |CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS DATE) AS date_rt,
-        |CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS DATE) AS ts_rt
+        |strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |strftime(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d'), '%Y-%m-%d') AS date_rt,
+        |strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS ts_rt
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
 
     "q25_interval_arith" ->
       """SELECT o_orderkey,
-        |CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS plus_90d,
-        |CAST(o_orderdate - INTERVAL 2 MONTH AS DATE) AS minus_2mo,
-        |CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus_1y,
+        |strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d,
+        |strftime(o_orderdate - INTERVAL 2 MONTH, '%Y-%m-%d') AS minus_2mo,
+        |strftime(o_orderdate + INTERVAL 1 YEAR, '%Y-%m-%d') AS plus_1y,
         |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_1999,
-        |CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS add3mo
+        |strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS add3mo
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
 
     "q26_coalesce_nullif" ->

@@ -68,7 +68,7 @@ object RelationalQueries extends QueryPack {
       val l = load(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
       broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc_nulls_first, col("l_orderkey").asc_nulls_last)
         .limit(10)
@@ -371,14 +371,14 @@ object RelationalQueries extends QueryPack {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q03_join3_topk" ->
-      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
          |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
          |WHERE c_mktsegment = 'BUILDING'
          |AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
          |AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
-         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
          |ORDER BY revenue DESC NULLS FIRST, l_orderkey NULLS LAST
          |LIMIT 10""".stripMargin,
 
@@ -392,7 +392,7 @@ object RelationalQueries extends QueryPack {
 
     "q05_join_right" ->
       """SELECT p_brand, count(l_orderkey) AS line_count, count(*) AS row_count,
-        |sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS unmatched_parts
+        |CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched_parts
         |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand NULLS LAST""".stripMargin,
 

@@ -45,7 +45,7 @@ object WindowQueries extends QueryPack {
         .filter(col("o_custkey") < 60)
         .select(
           col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("order_date"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           col("o_totalprice"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
@@ -136,7 +136,7 @@ object WindowQueries extends QueryPack {
       val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
       daily
         .select(
-          col("d"), col("n"),
+          date_format(col("d"), "yyyy-MM-dd").as("d"), col("n"),
           sum(col("n")).over(w).as("n_7d"),
           row_number().over(Window.orderBy(col("d"))).as("day_idx"))
         .filter(col("d") < lit("1995-06-01").cast("date"))
@@ -183,13 +183,13 @@ object WindowQueries extends QueryPack {
     "q32_window_rownum" ->
       """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
-        |         row_number() OVER (PARTITION BY c_nationkey
-        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |         CAST(row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
         |  FROM customer)
         |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
 
     "q33_window_lag_lead" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |o_totalprice,
         |lag(o_totalprice, 1) OVER w AS prev_price,
         |lead(o_totalprice, 1) OVER w AS next_price,
@@ -236,7 +236,7 @@ object WindowQueries extends QueryPack {
     // note: window computed over ALL days, filter applied after (matches the
     // Spark plan, where .filter follows the window projection)
     "q37_window_nopartition" ->
-      """SELECT d, n, n_7d, day_idx FROM (
+      """SELECT strftime(d, '%Y-%m-%d') AS d, n, n_7d, day_idx FROM (
         |  SELECT d, n,
         |  CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
         |  CAST(row_number() OVER (ORDER BY d) AS INT) AS day_idx
