@@ -103,26 +103,70 @@ object Dedup {
     // Net effect at sf0.1 (5k docs, 2.46M candidates): ~20 s vs ~205 s
     // fused. This is the same role the reference's CacheMachines play
     // between kernels (docsrc/source/engine/caches.rst).
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sigs = minHashSignatures(docs, id, text).localCheckpoint()
     val cands = lshCandidates(sigs).localCheckpoint()
     // gramHash is injective, so set ops on hash arrays equal set ops on the
     // gram strings; sorted-distinct arrays let the intersection run as a
-    // codegen'd linear merge (graft_sorted_intersect_count) instead of
-    // array_intersect's per-row hash build — the verify step's hot loop.
+    // linear merge instead of array_intersect's per-row hash build — the
+    // verify step's hot loop.
     val sets = docs.select(col(id).as("sid"),
       sort_array(array_distinct(transform(shingles3(col(text)), g => gramHash(g)))).as("gs"))
-    val scored = cands
-      .join(broadcast(sets.as("sa")), col("id_a") === col("sa.sid"))
-      .join(broadcast(sets.as("sb")), col("id_b") === col("sb.sid"))
-      .select(col("id_a"), col("id_b"),
-        call_function("graft_sorted_intersect_count", col("sa.gs"), col("sb.gs")).as("inter"),
-        size(col("sa.gs")).as("na"), size(col("sb.gs")).as("nb"))
-      .localCheckpoint()
+    val nDocs = docs.count()
+    val integralId = docs.schema(id).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val scored =
+      if (integralId && nDocs <= BroadcastVerifyMaxDocs) {
+        // Fast path: ship the whole gram-set map to executors as one Spark
+        // broadcast (same budget logic as the reference's 500 MB scatter
+        // rule) and verify candidate pairs in a single mapPartitions pass —
+        // no per-pair array materialization through join outputs. The merge
+        // walk is identical to functions.SortedIntersectCount, so both
+        // paths (and the oracle) agree exactly.
+        val setsMap: Map[Long, Array[Long]] = sets.collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        val bc = spark.sparkContext.broadcast(setsMap)
+        cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
+          .mapPartitions { it =>
+            val m = bc.value
+            it.map { case (a, b) =>
+              val ga = m(a); val gb = m(b)
+              var i = 0; var j = 0; var n = 0
+              while (i < ga.length && j < gb.length) {
+                if (ga(i) == gb(j)) { n += 1; i += 1; j += 1 }
+                else if (ga(i) < gb(j)) i += 1
+                else j += 1
+              }
+              (a, b, n, ga.length, gb.length)
+            }
+          }
+          .toDF("id_a", "id_b", "inter", "na", "nb")
+          .localCheckpoint()
+      } else {
+        // General path: docs side too big to broadcast as one map —
+        // broadcast-join the array column and intersect with the codegen'd
+        // sorted-merge expression.
+        cands
+          .join(broadcast(sets.as("sa")), col("id_a") === col("sa.sid"))
+          .join(broadcast(sets.as("sb")), col("id_b") === col("sb.sid"))
+          .select(col("id_a"), col("id_b"),
+            call_function("graft_sorted_intersect_count", col("sa.gs"), col("sb.gs")).as("inter"),
+            size(col("sa.gs")).as("na"), size(col("sb.gs")).as("nb"))
+          .localCheckpoint()
+      }
     scored
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Doc-count ceiling for the broadcast-map verify fast path (~350 grams
+    * × 8 B each → ~300 MB at this ceiling, inside the reference's 500 MB
+    * scatter budget, MAX_JOIN_SCATTER_MEM_OVERHEAD). */
+  val BroadcastVerifyMaxDocs: Long = 100000L
 
   /** 32-bit SimHash fingerprint per document over whitespace tokens. */
   def simHashFingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
