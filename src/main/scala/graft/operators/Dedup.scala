@@ -91,7 +91,11 @@ object Dedup {
     * was 208 s vs ~4 s for this shape. The shingle-array side is
     * docs-sized (not pairs-sized), so it broadcasts, and the candidate
     * pairs never shuffle at all. */
-  def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
+  def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double): DataFrame =
+    minHashLshPairs(docs, id, text, threshold, BroadcastVerifyMaxBytes)
+
+  def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double,
+                      broadcastBudgetBytes: Long): DataFrame = {
     // localCheckpoint barriers between stages, twice over:
     // (a) the band self-join consumes the signature subplan on BOTH sides —
     //     without a barrier the whole shingle→minhash pipeline executes
@@ -113,60 +117,78 @@ object Dedup {
     // verify step's hot loop.
     val sets = docs.select(col(id).as("sid"),
       sort_array(array_distinct(transform(shingles3(col(text)), g => gramHash(g)))).as("gs"))
-    val nDocs = docs.count()
+      .localCheckpoint()
     val integralId = docs.schema(id).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    val scored =
-      if (integralId && nDocs <= BroadcastVerifyMaxDocs) {
-        // Fast path: ship the whole gram-set map to executors as one Spark
-        // broadcast (same budget logic as the reference's 500 MB scatter
-        // rule) and verify candidate pairs in a single mapPartitions pass —
-        // no per-pair array materialization through join outputs. The merge
-        // walk is identical to functions.SortedIntersectCount, so both
-        // paths (and the oracle) agree exactly.
-        val setsMap: Map[Long, Array[Long]] = sets.collect()
-          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-        val bc = spark.sparkContext.broadcast(setsMap)
-        cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
-          .mapPartitions { it =>
-            val m = bc.value
-            it.map { case (a, b) =>
-              val ga = m(a); val gb = m(b)
-              var i = 0; var j = 0; var n = 0
-              while (i < ga.length && j < gb.length) {
-                if (ga(i) == gb(j)) { n += 1; i += 1; j += 1 }
-                else if (ga(i) < gb(j)) i += 1
-                else j += 1
-              }
-              (a, b, n, ga.length, gb.length)
-            }
-          }
-          .toDF("id_a", "id_b", "inter", "na", "nb")
-          .localCheckpoint()
-      } else {
-        // General path: docs side too big to broadcast as one map —
-        // broadcast-join the array column and intersect with the codegen'd
-        // sorted-merge expression.
-        cands
-          .join(broadcast(sets.as("sa")), col("id_a") === col("sa.sid"))
-          .join(broadcast(sets.as("sb")), col("id_b") === col("sb.sid"))
-          .select(col("id_a"), col("id_b"),
-            call_function("graft_sorted_intersect_count", col("sa.gs"), col("sb.gs")).as("inter"),
-            size(col("sa.gs")).as("na"), size(col("sb.gs")).as("nb"))
-          .localCheckpoint()
-      }
-    scored
+    // Broadcast eligibility is decided on ESTIMATED BYTES, not doc count —
+    // 8 B per distinct gram hash + fixed per-entry map overhead. A doc-count
+    // gate would mis-fire in both directions (many tiny docs: needless
+    // fallback; few huge docs: broadcast OOM). Same decision rule as the
+    // reference's scatter-vs-shuffle join budget
+    // (engine/src/execution_kernels/BatchJoinProcessing.cpp:672-830, which
+    // compares estimated bytes against MAX_JOIN_SCATTER_MEM_OVERHEAD).
+    val sizing = sets.agg(count(lit(1)), sum(size(col("gs")))).collect()(0)
+    val nDocs = sizing.getLong(0)
+    val nGrams = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
+    val estBytes = nGrams * 8L + nDocs * 64L
+    val useBroadcastMap = integralId && estBytes <= broadcastBudgetBytes
+    minHashVerify(cands, sets, useBroadcastMap).localCheckpoint()
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Doc-count ceiling for the broadcast-map verify fast path (~350 grams
-    * × 8 B each → ~300 MB at this ceiling, inside the reference's 500 MB
-    * scatter budget, MAX_JOIN_SCATTER_MEM_OVERHEAD). */
-  val BroadcastVerifyMaxDocs: Long = 100000L
+  /** Verify stage of minHashLshPairs: intersect sizes for each candidate
+    * pair. Two physical strategies with identical output (both run the same
+    * sorted-merge walk):
+    *  - useBroadcastMap: ship the whole gram-set map to executors as one
+    *    Spark broadcast and score pairs in a single mapPartitions pass —
+    *    no per-pair array materialization through join outputs. Only legal
+    *    under the broadcast byte budget.
+    *  - otherwise: two shuffle-hash joins of candidates against `sets`
+    *    keyed on id — both shuffles move candidate-sized data and the hash
+    *    table per partition is 1/N of the doc side, so nothing needs to fit
+    *    on one node. SHUFFLE_HASH pins `sets` as the build side and keeps
+    *    AQE from re-broadcasting what the budget just ruled out. */
+  def minHashVerify(cands: DataFrame, sets: DataFrame, useBroadcastMap: Boolean): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    if (useBroadcastMap) {
+      val setsMap: Map[Long, Array[Long]] = sets.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val bc = spark.sparkContext.broadcast(setsMap)
+      cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
+        .mapPartitions { it =>
+          val m = bc.value
+          it.map { case (a, b) =>
+            val ga = m(a); val gb = m(b)
+            var i = 0; var j = 0; var n = 0
+            while (i < ga.length && j < gb.length) {
+              if (ga(i) == gb(j)) { n += 1; i += 1; j += 1 }
+              else if (ga(i) < gb(j)) i += 1
+              else j += 1
+            }
+            (a, b, n, ga.length, gb.length)
+          }
+        }
+        .toDF("id_a", "id_b", "inter", "na", "nb")
+    } else {
+      cands
+        .join(sets.as("sa").hint("SHUFFLE_HASH"), col("id_a") === col("sa.sid"))
+        .join(sets.as("sb").hint("SHUFFLE_HASH"), col("id_b") === col("sb.sid"))
+        .select(col("id_a"), col("id_b"),
+          call_function("graft_sorted_intersect_count", col("sa.gs"), col("sb.gs")).as("inter"),
+          size(col("sa.gs")).as("na"), size(col("sb.gs")).as("nb"))
+    }
+  }
+
+  /** Byte ceiling for the broadcast-map verify fast path — the reference's
+    * 500 MB scatter budget (MAX_JOIN_SCATTER_MEM_OVERHEAD,
+    * engine/src/execution_kernels/BatchJoinProcessing.cpp), minus headroom
+    * for the driver hop: the map is collected once before re-broadcast. */
+  val BroadcastVerifyMaxBytes: Long = 300L * 1024 * 1024
 
   /** 32-bit SimHash fingerprint per document over whitespace tokens. */
   def simHashFingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
@@ -183,14 +205,38 @@ object Dedup {
         .otherwise(0L)).as("fingerprint"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance over fingerprints ≤ maxDist.
-    * Pairwise but over one small row per doc (not per token); at true scale
-    * you'd band the fingerprint bits like LSH — noted for SURVEY §2. */
-  def simHashPairs(fingerprints: DataFrame, maxDist: Int): DataFrame =
-    fingerprints.as("a").select(col("sid").as("id_a"), col("fingerprint").as("fa"))
-      .crossJoin(fingerprints.as("b").select(col("sid").as("id_b"), col("fingerprint").as("fb")))
-      .filter(col("id_a") < col("id_b"))
+  /** SimHash near-dup pairs: Hamming distance over fingerprints ≤ maxDist,
+    * found by BANDING rather than all-pairs comparison. Pigeonhole: split
+    * the 32-bit fingerprint into maxDist+1 disjoint bit bands — any pair
+    * within Hamming maxDist has its differing bits in at most maxDist
+    * bands, so it matches EXACTLY in at least one band. Candidate
+    * generation is therefore an equi self-join on (band, band_bits) —
+    * a hash shuffle on a high-cardinality key, never a cross product —
+    * and the exact Hamming check runs on candidates only. Output is
+    * identical to the naive all-pairs formulation (the banding is a
+    * complete cover, not an approximation). */
+  def simHashPairs(fingerprints: DataFrame, maxDist: Int): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 32 / nBands
+    val bands = (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 32 - lo else width
+      struct(lit(b).as("band"),
+        shiftright(col("fingerprint"), lo).bitwiseAND(lit((1L << w) - 1)).as("bits"))
+    }
+    val exploded = fingerprints
+      .select(col("sid"), col("fingerprint"), explode(array(bands: _*)).as("bb"))
+      .select(col("sid"), col("fingerprint"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.sid") < col("b.sid"))
+      // a Hamming-0 pair collides in every band — dedupe candidates
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
+        col("a.fingerprint").as("fa"), col("b.fingerprint").as("fb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

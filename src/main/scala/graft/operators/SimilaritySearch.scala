@@ -86,9 +86,37 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (pairwise over
-    * id_a < id_b; bucket with signBucket first at scale). */
-  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs above a threshold — the scale
+    * path. Candidates come from a sign-LSH bucket equi-join with 1-bit
+    * multi-probe: side A explodes to its own bucket plus the `bits`
+    * single-bit-flipped neighbors, joined to side B's exact bucket, so a
+    * pair is compared iff their sign buckets are within Hamming 1. The
+    * join key is high-cardinality (2^bits) — a plain hash shuffle, no
+    * cross product — and each pair matches at most one probe (probe
+    * buckets of A are distinct values), so no dedup pass is needed.
+    * Recall is a tunable trade (more probes / fewer bits → higher recall,
+    * more candidates); near-dup pairs (cosine→1) almost surely agree on
+    * sign bits, which is the regime dedup cares about. For an exact
+    * all-pairs scan on a bounded corpus use cosineDupPairsExact. */
+  def cosineDupPairs(vectors: DataFrame, threshold: Double, bits: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val flips = array((lit(0L) +: (0 until bits).map(j => lit(1L << j))): _*)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("bucket"), explode(flips).as("flip"))
+      .select(col("id_a"), col("va"), col("bucket").bitwiseXOR(col("flip")).as("pb"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("bucket").as("bb"))
+    a.join(b, col("pb") === col("bb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact all-pairs cosine dup scan (O(n²) nested loop) — correct on any
+    * corpus small enough to afford it; cosineDupPairs is the scale path. */
+  def cosineDupPairsExact(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -70,10 +70,21 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- Embedding-cosine near-dup pairs (synthetic embeddings top out
-    // near cosine 0.51, so 0.4 marks the "suspiciously similar" tail)
+    // ---- Embedding-cosine near-dup pairs, scale path: sign-LSH bucket
+    // equi-join with 1-bit multi-probe (6-bit buckets → ~9× candidate
+    // reduction at sf0.01), then exact cosine on candidates only. The
+    // synthetic embeddings top out near cosine 0.51, so 0.4 marks the
+    // "suspiciously similar" tail. Recall vs the exact scan (q46b) is the
+    // documented LSH trade.
     "q46_dedup_embed_cosine" -> ((s, dir) => {
-      SimilaritySearch.cosineDupPairs(load(s, dir, "embeddings"), 0.4)
+      SimilaritySearch.cosineDupPairs(load(s, dir, "embeddings"), 0.4, 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Exact all-pairs variant (bounded-corpus demo; q46 is the scale
+    // path, same relationship as q43 exact Jaccard vs q44 MinHash-LSH)
+    "q46b_dedup_embed_exact" -> ((s, dir) => {
+      SimilaritySearch.cosineDupPairsExact(load(s, dir, "embeddings"), 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -207,6 +218,27 @@ object PipelineQueries extends QueryPack {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q46_dedup_embed_cosine" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+        |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          FROM unnest(generate_series(0, 5)) AS t(j)) AS bucket
+        |  FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id, embedding, nrm,
+        |         xor(bucket, CASE WHEN j = 0 THEN 0 ELSE CAST(pow(2, j-1) AS BIGINT) END) AS pb
+        |  FROM norms, unnest(generate_series(0, 6)) AS t(j)),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding ea, b.embedding eb,
+        |                 a.nrm na, b.nrm nb
+        |          FROM probes a JOIN norms b ON a.pb = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (SELECT id_a, id_b, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(na) AS na, any_value(nb) AS nb
+        |         FROM (SELECT id_a, id_b, unnest(ea) AS x1, unnest(eb) AS x2, na, nb FROM pairs)
+        |         GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, round(dot/(na*nb), 6) AS cosine FROM dots
+        |WHERE round(dot/(na*nb), 6) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q46b_dedup_embed_exact" ->
       """WITH norms AS (
         |  SELECT vec_id, embedding,
         |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm

@@ -47,4 +47,43 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("simHashPairs banding matches brute-force Hamming and avoids cross products") {
+    val fp = Dedup.simHashFingerprints(docs, "doc_id", "text").localCheckpoint()
+    for (maxDist <- Seq(0, 1, 3)) {
+      val banded = Dedup.simHashPairs(fp, maxDist)
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"maxDist=$maxDist plan has a cross product:\n$plan")
+      val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = fp.as("a").crossJoin(fp.as("b"))
+        .filter(col("a.sid") < col("b.sid"))
+        .select(col("a.sid"), col("b.sid"),
+          bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))).as("h"))
+        .filter(col("h") <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"maxDist=$maxDist: banded $got != brute $brute")
+    }
+  }
+
+  test("minHashLshPairs shuffle-join fallback (budget=0) matches the broadcast fast path") {
+    val fast = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7)
+    val slow = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7, broadcastBudgetBytes = 0L)
+    val f = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val g = slow.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(f == g)
+  }
+
+  test("minHashVerify shuffle path broadcasts nothing (the budget said no)") {
+    val sets = Dedup.shingleSet(docs, "doc_id", "text")
+      .groupBy(col("sid"))
+      .agg(sort_array(collect_set(TextHashing.gramHash(col("g")))).as("gs"))
+    val cands = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val verify = Dedup.minHashVerify(cands, sets, useBroadcastMap = false)
+    val plan = verify.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"fallback verify plan still broadcasts a side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle hash join:\n$plan")
+    assert(verify.count() == 2)
+  }
 }
