@@ -156,8 +156,10 @@ object Dedup {
     val spark = cands.sparkSession
     import spark.implicits._
     if (useBroadcastMap) {
+      // getAs[Number]: integralId admits IntegerType ids too, so the sid
+      // cell may be an Int — a raw getLong would ClassCastException.
       val setsMap: Map[Long, Array[Long]] = sets.collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        .map(r => r.getAs[Number](0).longValue -> r.getSeq[Long](1).toArray).toMap
       val bc = spark.sparkContext.broadcast(setsMap)
       cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
         .mapPartitions { it =>
@@ -216,6 +218,9 @@ object Dedup {
     * identical to the naive all-pairs formulation (the banding is a
     * complete cover, not an approximation). */
   def simHashPairs(fingerprints: DataFrame, maxDist: Int): DataFrame = {
+    // nBands > 32 would give width = 0: every row masks to a constant
+    // (band, 0) key — a degenerate single-bucket cross join.
+    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
     val nBands = maxDist + 1
     val width = 32 / nBands
     val bands = (0 until nBands).map { b =>

@@ -45,8 +45,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(2).getAs[Double]("cosine") == -1.0)
   }
 
-  test("cosineDupPairs finds only the near-parallel pair at 0.95") {
-    val pairs = SimilaritySearch.cosineDupPairs(vecs, 0.95)
+  test("cosineDupPairsExact finds only the near-parallel pair at 0.95") {
+    val pairs = SimilaritySearch.cosineDupPairsExact(vecs, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("cosineDupPairs (sign-LSH bucketed) agrees with exact on same-sign dups") {
+    // Vectors 0 and 1 share all sign bits, so the bucketed path must keep
+    // them; 2 and 3 differ from everything in >1 bit or fail the threshold.
+    val pairs = SimilaritySearch.cosineDupPairs(vecs, 0.95, bits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
