@@ -57,14 +57,24 @@ class EngineContext(val spark: SparkSession) {
     val df = fmt match {
       // CSV supports the reference's create_table kwargs
       // (context.py:884-941): names= (column names), dtype= (types,
-      // parallel to names), delimiter=; plus raw Spark options and a
-      // "schema" DDL escape hatch. No names/schema → header+inference,
-      // like the reference's CSV sniffer (data_parser/CSVParser.cpp).
+      // parallel to names), delimiter, skiprows, nrows, quotechar,
+      // comment, na_values, lineterminator, skipinitialspace; plus raw
+      // Spark options and a "schema" DDL escape hatch. No names/schema →
+      // header+inference, like the reference's CSV sniffer
+      // (data_parser/CSVParser.cpp).
       case "csv" =>
-        val passthrough = options.view
-          .filterKeys(k => !Set("names", "dtype", "schema", "delimiter").contains(k)).toMap
-        val r0 = spark.read.format("csv").options(passthrough)
-        val r1 = options.get("delimiter").fold(r0)(d => r0.option("sep", d))
+        val kwargs = Set("names", "dtype", "schema", "delimiter", "skiprows",
+          "nrows", "quotechar", "comment", "na_values", "lineterminator",
+          "skipinitialspace")
+        val passthrough = options.view.filterKeys(k => !kwargs.contains(k)).toMap
+        // pandas-style kwarg -> Spark CSV reader option
+        val mapped = Seq(
+          "delimiter" -> "sep", "quotechar" -> "quote", "comment" -> "comment",
+          "na_values" -> "nullValue", "lineterminator" -> "lineSep",
+          "skipinitialspace" -> "ignoreLeadingWhiteSpace")
+        val r1 = mapped.foldLeft(spark.read.format("csv").options(passthrough)) {
+          case (r, (kw, opt)) => options.get(kw).fold(r)(v => r.option(opt, v))
+        }
         val schemaDdl = (options.get("names"), options.get("dtype")) match {
           case (Some(ns), Some(ts)) =>
             Some(ns.split(",").map(_.trim).zip(ts.split(",").map(_.trim))
@@ -73,15 +83,29 @@ class EngineContext(val spark: SparkSession) {
             Some(ns.split(",").map(n => s"${n.trim} STRING").mkString(", "))
           case _ => options.get("schema")
         }
-        schemaDdl match {
+        val r2 = schemaDdl match {
           case Some(ddl) =>
             // explicit names imply the file carries data, not a header row
-            val r2 = if (options.contains("header")) r1 else r1.option("header", "false")
-            r2.schema(ddl).load(path)
+            val r = if (options.contains("header")) r1 else r1.option("header", "false")
+            r.schema(ddl)
           case None =>
-            val r2 = if (options.contains("header")) r1 else r1.option("header", "true")
-            r2.option("inferSchema", "true").load(path)
+            val r = if (options.contains("header")) r1 else r1.option("header", "true")
+            r.option("inferSchema", "true")
         }
+        // skiprows: drop the first N physical lines before parsing. Spark
+        // has no such reader option, so feed the parser a Dataset[String]
+        // with the prefix removed — zipWithIndex preserves file order, and
+        // the line dataset stays distributed (no driver materialization).
+        val skipped = options.get("skiprows").map(_.trim.toInt).filter(_ > 0) match {
+          case Some(nSkip) =>
+            val lines = spark.createDataset(
+              spark.read.textFile(path).rdd.zipWithIndex()
+                .filter(_._2 >= nSkip).map(_._1))(org.apache.spark.sql.Encoders.STRING)
+            r2.csv(lines)
+          case None => r2.load(path)
+        }
+        // nrows: first-N-rows cap (pandas semantics), as a plan-level limit
+        options.get("nrows").map(_.trim.toInt).fold(skipped)(skipped.limit)
       case "json" =>
         options.get("schema") match {
           case Some(ddl) => reader.schema(ddl).load(path)
@@ -134,14 +158,16 @@ class EngineContext(val spark: SparkSession) {
 
   /** Main entry point: run SQL over the registered catalog.
     * Reference: bc.sql(query) (context.py:3071). Lazily returns the
-    * DataFrame; Catalyst replaces the Calcite+RAL pipeline (SURVEY §3.1). */
-  def sql(query: String): DataFrame = spark.sql(query)
+    * DataFrame; Catalyst replaces the Calcite+RAL pipeline (SURVEY §3.1).
+    * Queries pass through the Calcite-dialect shims first (Dialect.rewrite,
+    * proven against the reference's 48 E2E suites — DIALECT_COMPAT.md). */
+  def sql(query: String): DataFrame = spark.sql(Dialect.rewrite(query))
 
   /** Two-level explain, mirroring bc.explain(sql, detail)
     * (context.py:1842-1924): detail=false → optimized logical algebra,
     * detail=true → physical plan. */
   def explain(query: String, detail: Boolean = false): String = {
-    val qe = spark.sql(query).queryExecution
+    val qe = sql(query).queryExecution
     if (detail) qe.executedPlan.toString else qe.optimizedPlan.toString
   }
 
@@ -157,7 +183,7 @@ class EngineContext(val spark: SparkSession) {
   def sqlAsync(query: String): String = {
     val token = UUID.randomUUID().toString
     val fut = Future {
-      val df = spark.sql(query)
+      val df = sql(query)
       df.cache()
       df.count() // force materialization
       df

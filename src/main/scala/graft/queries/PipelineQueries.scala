@@ -63,6 +63,16 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Same pipeline forced down the over-budget fallback: candidates
+    // joined to gram sets via two SHUFFLE_HASH joins instead of the
+    // broadcast map. This is the plan that runs at 100 TB; the oracle is
+    // identical to q44, proving the physical strategy cannot change answers.
+    "q44b_dedup_minhash_shuffle" -> ((s, dir) => {
+      Dedup.minHashLshPairs(load(s, dir, "documents"), "doc_id", "text", 0.7,
+          broadcastBudgetBytes = 0L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- SimHash fingerprints + Hamming≤1 pairs
     "q45_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(
@@ -182,6 +192,22 @@ object PipelineQueries extends QueryPack {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q44_dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
+         |bands AS ($bandSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
+         |          JOIN gr a ON a.doc_id = id_a
+         |          JOIN gr b ON b.doc_id = id_b AND a.g = b.g
+         |          GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q44b_dedup_minhash_shuffle" ->
       s"""WITH $shingleCte,
          |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
          |bands AS ($bandSql),

@@ -70,6 +70,30 @@ class EngineContextSpec extends AnyFunSuite {
     assert(rows(1).getString(1) == "beta" && rows(1).getDouble(2) == 2.5)
   }
 
+  test("csv reference kwargs: skiprows/nrows/quotechar/comment/na_values") {
+    val c = ctx
+    val dir = Files.createTempDirectory("graft_csv2").toFile
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      """junk preamble line 1
+        |junk preamble line 2
+        |# a comment line
+        |1,"alpha, quoted",NA
+        |2,beta,9.5
+        |3,gamma,1.25
+        |4,delta,NA
+        |""".stripMargin)
+    c.createTable("kw_csv2", s"$dir/data.csv", "csv", Map(
+      "names" -> "id,name,score", "dtype" -> "BIGINT,STRING,DOUBLE",
+      "skiprows" -> "2", "comment" -> "#", "quotechar" -> "\"",
+      "na_values" -> "NA", "nrows" -> "3"))
+    val rows = c.sql("SELECT id, name, score FROM kw_csv2 ORDER BY id").collect()
+    assert(rows.length == 3) // nrows cap: 4th data row dropped
+    assert(rows(0).getString(1) == "alpha, quoted") // quotechar honored
+    assert(rows(0).isNullAt(2)) // na_values -> null
+    assert(rows(1).getDouble(2) == 9.5)
+  }
+
   test("hive-partitioned directory: partition column discovered and pruned") {
     val c = ctx
     val dir = Files.createTempDirectory("graft_part").toFile
