@@ -53,29 +53,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 16-hash MinHash signature per document: one shuffle (groupBy id) with
-    * 16 min-aggregates — partial aggregation makes this map-side cheap. */
-  def minHashSignatures(docs: DataFrame, id: String, text: String): DataFrame = {
-    val h = shingleSet(docs, id, text).withColumn("h", gramHash(col("g")))
-    val aggs = MinHashParams.indices.map(j => min(minHashJ(col("h"), j)).as(s"m$j"))
-    h.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+  /** (sid, gs) with gs = SORTED DISTINCT gram-hash array per doc — the one
+    * scan both the signature and verify stages derive from. gramHash is
+    * injective, so set ops on these arrays equal set ops on the grams. */
+  def gramSets(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("sid"),
+        sort_array(array_distinct(transform(shingles3(col(text)), g => gramHash(g)))).as("gs"))
+      .filter(col("gs").isNotNull)
+
+  /** 16-hash MinHash signature per document, computed as array folds over
+    * the doc's own gram-hash set (array_min of transform) — a pure
+    * projection with NO shuffle. The naive shape (explode grams, groupBy
+    * doc with 16 min-aggregates) pushes |grams| rows through partial
+    * aggregation for the same result; min over a doc's grams only needs
+    * that doc's array. */
+  def minHashSignatures(docs: DataFrame, id: String, text: String): DataFrame =
+    signaturesFromSets(gramSets(docs, id, text))
+
+  def signaturesFromSets(sets: DataFrame): DataFrame = {
+    val sigs = MinHashParams.indices.map(j =>
+      array_min(transform(col("gs"), h => minHashJ(h, j))).as(s"m$j"))
+    sets.select(col("sid") +: sigs: _*)
   }
 
   /** Candidate pairs from LSH banding over the signature (NumBands bands of
-    * RowsPerBand hashes each): same band signature → candidate. */
+    * RowsPerBand hashes each): same band signature → candidate. The join
+    * key is xxhash64 over the band's hashes — a fixed-width long, not a
+    * concatenated string — so the self-join shuffles narrow rows. A 64-bit
+    * hash collision can only ADD a candidate (never lose one), and the
+    * exact-Jaccard verify stage discards it, so results are unchanged. */
   def lshCandidates(signatures: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
-      val sig = concat_ws("-",
-        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
-      struct(lit(b).as("band"), sig.as("sig"))
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: cols: _*)
     }
     val exploded = signatures
-      .select(col("sid"), explode(array(bands: _*)).as("bs"))
-      .select(col("sid"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("sid"), explode(array(bands: _*)).as("sig"))
     exploded.as("x")
       .join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.sid") < col("y.sid"))
+        col("x.sig") === col("y.sig") && col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .distinct()
   }
@@ -83,41 +99,37 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, then
     * exact Jaccard verification restricted to candidates.
     *
-    * Verification keeps each doc's distinct shingles as ONE array row and
-    * computes |A∩B| with array_intersect in-row. The explode-and-join
-    * formulation (candidates ⋈ shingles ⋈ shingles) multiplies every
-    * candidate pair by its shingle count before the second join — ~400×
-    * the rows for ~zero information; on the shared-vocab sf0.1 corpus that
-    * was 208 s vs ~4 s for this shape. The shingle-array side is
-    * docs-sized (not pairs-sized), so it broadcasts, and the candidate
-    * pairs never shuffle at all. */
+    * Verification keeps each doc's distinct shingles as ONE sorted hash
+    * array row and computes |A∩B| with a linear merge walk. The
+    * explode-and-join formulation (candidates ⋈ shingles ⋈ shingles)
+    * multiplies every candidate pair by its shingle count before the
+    * second join — ~400× the rows for ~zero information; on the
+    * shared-vocab sf0.1 corpus that was 208 s vs ~4 s for this shape. The
+    * gram-set side is docs-sized (not pairs-sized), so under the byte
+    * budget it ships as one broadcast map and the candidate pairs never
+    * shuffle at all. */
   def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double): DataFrame =
     minHashLshPairs(docs, id, text, threshold, BroadcastVerifyMaxBytes)
 
   def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double,
                       broadcastBudgetBytes: Long): DataFrame = {
-    // localCheckpoint barriers between stages, twice over:
-    // (a) the band self-join consumes the signature subplan on BOTH sides —
-    //     without a barrier the whole shingle→minhash pipeline executes
-    //     twice;
-    // (b) Catalyst pushes the jaccard threshold down into the verify join's
-    //     condition, where the alias substitution re-expands `inter` and
-    //     evaluates array_intersect three times per candidate pair.
-    //     Materializing the scored pairs keeps it at exactly once.
-    // Net effect at sf0.1 (5k docs, 2.46M candidates): ~20 s vs ~205 s
-    // fused. This is the same role the reference's CacheMachines play
-    // between kernels (docsrc/source/engine/caches.rst).
+    // Materialization barriers between stages, mirroring the role the
+    // reference's CacheMachines play between kernels
+    // (docsrc/source/engine/caches.rst):
+    // (a) `sets` is persisted because the band self-join, the sizing agg,
+    //     and the verify stage all consume it — and the self-join reads it
+    //     on BOTH sides;
+    // (b) the verify output is localCheckpoint'ed because Catalyst pushes
+    //     the jaccard threshold into the verify join's condition, where
+    //     alias substitution re-expands `inter` and runs the intersect
+    //     three times per candidate pair. (~20 s vs ~205 s fused at sf0.1.)
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = minHashSignatures(docs, id, text).localCheckpoint()
-    val cands = lshCandidates(sigs).localCheckpoint()
-    // gramHash is injective, so set ops on hash arrays equal set ops on the
-    // gram strings; sorted-distinct arrays let the intersection run as a
-    // linear merge instead of array_intersect's per-row hash build — the
-    // verify step's hot loop.
-    val sets = docs.select(col(id).as("sid"),
-      sort_array(array_distinct(transform(shingles3(col(text)), g => gramHash(g)))).as("gs"))
-      .localCheckpoint()
+    // ONE scan of docs: the persisted gram-hash sets feed the signature
+    // projection (no shuffle), the sizing aggregate, and the verify stage.
+    // The cands checkpoint job is also what populates the cache.
+    val sets = gramSets(docs, id, text).persist()
+    val cands = lshCandidates(signaturesFromSets(sets)).localCheckpoint()
     val integralId = docs.schema(id).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
@@ -134,7 +146,9 @@ object Dedup {
     val nGrams = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
     val estBytes = nGrams * 8L + nDocs * 64L
     val useBroadcastMap = integralId && estBytes <= broadcastBudgetBytes
-    minHashVerify(cands, sets, useBroadcastMap).localCheckpoint()
+    // jaccard >= t requires min(|A|,|B|) >= t * max(|A|,|B|): the size-ratio
+    // prefilter drops candidates that cannot pass BEFORE the merge walk runs
+    minHashVerify(cands, sets, useBroadcastMap, threshold).localCheckpoint()
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -152,7 +166,15 @@ object Dedup {
     *    table per partition is 1/N of the doc side, so nothing needs to fit
     *    on one node. SHUFFLE_HASH pins `sets` as the build side and keeps
     *    AQE from re-broadcasting what the budget just ruled out. */
-  def minHashVerify(cands: DataFrame, sets: DataFrame, useBroadcastMap: Boolean): DataFrame = {
+  def minHashVerify(cands: DataFrame, sets: DataFrame, useBroadcastMap: Boolean): DataFrame =
+    minHashVerify(cands, sets, useBroadcastMap, 0.0)
+
+  /** minSizeRatio: drop pairs where min(|A|,|B|) < ratio * max(|A|,|B|)
+    * before intersecting — a necessary condition for jaccard >= ratio, so
+    * passing the jaccard threshold here is result-preserving and skips the
+    * merge walk for pairs that cannot qualify. */
+  def minHashVerify(cands: DataFrame, sets: DataFrame, useBroadcastMap: Boolean,
+                    minSizeRatio: Double): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
     if (useBroadcastMap) {
@@ -161,18 +183,22 @@ object Dedup {
       val setsMap: Map[Long, Array[Long]] = sets.collect()
         .map(r => r.getAs[Number](0).longValue -> r.getSeq[Long](1).toArray).toMap
       val bc = spark.sparkContext.broadcast(setsMap)
+      val ratio = minSizeRatio
       cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
         .mapPartitions { it =>
           val m = bc.value
-          it.map { case (a, b) =>
+          it.flatMap { case (a, b) =>
             val ga = m(a); val gb = m(b)
-            var i = 0; var j = 0; var n = 0
-            while (i < ga.length && j < gb.length) {
-              if (ga(i) == gb(j)) { n += 1; i += 1; j += 1 }
-              else if (ga(i) < gb(j)) i += 1
-              else j += 1
+            if (math.min(ga.length, gb.length) < ratio * math.max(ga.length, gb.length)) None
+            else {
+              var i = 0; var j = 0; var n = 0
+              while (i < ga.length && j < gb.length) {
+                if (ga(i) == gb(j)) { n += 1; i += 1; j += 1 }
+                else if (ga(i) < gb(j)) i += 1
+                else j += 1
+              }
+              Some((a, b, n, ga.length, gb.length))
             }
-            (a, b, n, ga.length, gb.length)
           }
         }
         .toDF("id_a", "id_b", "inter", "na", "nb")
@@ -180,6 +206,8 @@ object Dedup {
       cands
         .join(sets.as("sa").hint("SHUFFLE_HASH"), col("id_a") === col("sa.sid"))
         .join(sets.as("sb").hint("SHUFFLE_HASH"), col("id_b") === col("sb.sid"))
+        .filter(least(size(col("sa.gs")), size(col("sb.gs"))).cast("double") >=
+          lit(minSizeRatio) * greatest(size(col("sa.gs")), size(col("sb.gs"))))
         .select(col("id_a"), col("id_b"),
           call_function("graft_sorted_intersect_count", col("sa.gs"), col("sb.gs")).as("inter"),
           size(col("sa.gs")).as("na"), size(col("sb.gs")).as("nb"))
@@ -192,19 +220,23 @@ object Dedup {
     * for the driver hop: the map is collected once before re-broadcast. */
   val BroadcastVerifyMaxBytes: Long = 300L * 1024 * 1024
 
-  /** 32-bit SimHash fingerprint per document over whitespace tokens. */
+  /** 32-bit SimHash fingerprint per document over whitespace tokens.
+    * One groupBy(sid) with 32 bit-counter aggregates — each token row is
+    * consumed once and partial aggregation runs map-side, instead of the
+    * explode-per-bit formulation (tokens × 32 rows through two shuffles)
+    * that a naive translation produces. Same integer arithmetic, same
+    * fingerprints. */
   def simHashFingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = docs.select(col(id).as("sid"), explode(split(col(text), " ")).as("t"))
       .filter(length(col("t")) > 0)
       .withColumn("h", tokenHash(col("t")))
-    val bits = toks.select(col("sid"), col("h"),
-      explode(sequence(lit(0), lit(31))).as("bit"))
-    bits
-      .groupBy(col("sid"), col("bit"))
-      .agg(sum(when(expr("(shiftright(h, bit) & 1)") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy(col("sid"))
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("bit")).cast("long"))
-        .otherwise(0L)).as("fingerprint"))
+    val bitAggs = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    toks.groupBy(col("sid")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("sid"),
+        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("fingerprint"))
   }
 
   /** SimHash near-dup pairs: Hamming distance over fingerprints ≤ maxDist,
