@@ -34,6 +34,61 @@ class EngineContext(val spark: SparkSession) {
 
   private val tables = new ConcurrentHashMap[String, TableInfo]()
 
+  // ------------------------------------------------------------ filesystems
+
+  /** alias → base URI for registered filesystems (reference: bc.s3 /
+    * bc.hdfs / bc.gs / bc.localfs register a named prefix usable in table
+    * paths — context.py:1695-1827; io/src/FileSystem registers the
+    * concrete clients). On Spark the concrete client is the Hadoop
+    * connector, so registration = alias mapping + hadoop conf keys. */
+  private val filesystems = new ConcurrentHashMap[String, String]()
+
+  private def hadoopSet(kv: (String, String)*): Unit =
+    kv.foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }
+
+  /** Register an S3 bucket under `alias` (reference context.py:1744-1793:
+    * bucket_name, access_key_id, secret_key, session_token,
+    * endpoint_override). Maps onto the s3a connector's conf keys. */
+  def s3(alias: String, bucketName: String, options: Map[String, String] = Map.empty): Unit = {
+    options.get("access_key_id").foreach(v => hadoopSet("fs.s3a.access.key" -> v))
+    options.get("secret_key").foreach(v => hadoopSet("fs.s3a.secret.key" -> v))
+    options.get("session_token").foreach(v => hadoopSet("fs.s3a.session.token" -> v))
+    options.get("endpoint_override").foreach(v => hadoopSet("fs.s3a.endpoint" -> v))
+    filesystems.put(alias, s"s3a://$bucketName")
+  }
+
+  /** Register an HDFS namenode under `alias` (reference context.py:
+  * 1703-1743: host, port, user). */
+  def hdfs(alias: String, host: String, port: Int, user: String = ""): Unit = {
+    if (user.nonEmpty) hadoopSet("hadoop.user.name" -> user)
+    filesystems.put(alias, s"hdfs://$host:$port")
+  }
+
+  /** Register a Google Cloud Storage bucket under `alias` (reference
+    * context.py:1794-1827: project_id, bucket_name). */
+  def gs(alias: String, projectId: String, bucketName: String): Unit = {
+    hadoopSet("fs.gs.project.id" -> projectId)
+    filesystems.put(alias, s"gs://$bucketName")
+  }
+
+  /** Register a local directory under `alias` (reference localfs). */
+  def localfs(alias: String, root: String): Unit =
+    filesystems.put(alias, s"file://$root")
+
+  def listFilesystems(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    filesystems.asScala.toMap
+  }
+
+  /** Resolve `alias://rest` table paths against registered filesystems;
+    * unregistered schemes (s3a://, hdfs://, file://, plain paths) pass
+    * through untouched. */
+  private def resolvePath(path: String): String = path.split("://", 2) match {
+    case Array(alias, rest) if filesystems.containsKey(alias) =>
+      s"${filesystems.get(alias)}/$rest"
+    case _ => path
+  }
+
   /** Register a table from files. Format inferred from the file extension
     * when not given (reference: context.py:983-990 sniffs extensions).
     * Supported formats mirror the reference's io::DataType
@@ -43,10 +98,11 @@ class EngineContext(val spark: SparkSession) {
       path: String,
       format: String = "",
       options: Map[String, String] = Map.empty): DataFrame = {
+    val rpath = resolvePath(path)
     val fmt =
       if (format.nonEmpty) format
       else {
-        val p = path.toLowerCase
+        val p = rpath.toLowerCase
         if (p.endsWith(".parquet") || p.endsWith(".pq")) "parquet"
         else if (p.endsWith(".orc")) "orc"
         else if (p.endsWith(".csv") || p.endsWith(".psv")) "csv"
@@ -99,19 +155,19 @@ class EngineContext(val spark: SparkSession) {
         val skipped = options.get("skiprows").map(_.trim.toInt).filter(_ > 0) match {
           case Some(nSkip) =>
             val lines = spark.createDataset(
-              spark.read.textFile(path).rdd.zipWithIndex()
+              spark.read.textFile(rpath).rdd.zipWithIndex()
                 .filter(_._2 >= nSkip).map(_._1))(org.apache.spark.sql.Encoders.STRING)
             r2.csv(lines)
-          case None => r2.load(path)
+          case None => r2.load(rpath)
         }
         // nrows: first-N-rows cap (pandas semantics), as a plan-level limit
         options.get("nrows").map(_.trim.toInt).fold(skipped)(skipped.limit)
       case "json" =>
         options.get("schema") match {
-          case Some(ddl) => reader.schema(ddl).load(path)
-          case None      => reader.load(path)
+          case Some(ddl) => reader.schema(ddl).load(rpath)
+          case None      => reader.load(rpath)
         }
-      case _ => reader.load(path)
+      case _ => reader.load(rpath)
     }
     df.createOrReplaceTempView(name)
     tables.put(name, TableInfo(name, fmt, Seq(path), options))
@@ -183,13 +239,43 @@ class EngineContext(val spark: SparkSession) {
   def sqlAsync(query: String): String = {
     val token = UUID.randomUUID().toString
     val fut = Future {
-      val df = sql(query)
-      df.cache()
-      df.count() // force materialization
-      df
+      // job group = token, so progress()/cancel() can find this query's
+      // jobs through the status tracker
+      spark.sparkContext.setJobGroup(token, s"graft async $token", interruptOnCancel = true)
+      try {
+        val df = sql(query)
+        df.cache()
+        df.count() // force materialization
+        df
+      } finally spark.sparkContext.clearJobGroup()
     }
     pending.put(token, fut)
     token
+  }
+
+  /** Fraction of the async query's tasks that have completed, in [0, 1]
+    * (reference progress bar, context.py:3609-3768 polls per-query kernel
+    * completion; the Spark analog is StatusTracker over the token's job
+    * group). -1.0 for unknown/consumed tokens; 0.0 before any job starts. */
+  def progress(token: String): Double = {
+    val f = pending.get(token)
+    if (f == null) -1.0
+    else if (f.isCompleted) 1.0
+    else {
+      val st = spark.sparkContext.statusTracker
+      val stages = st.getJobIdsForGroup(token)
+        .flatMap(id => st.getJobInfo(id)).flatMap(_.stageIds())
+        .flatMap(sid => st.getStageInfo(sid))
+      val total = stages.map(_.numTasks).sum
+      if (total == 0) 0.0
+      else stages.map(_.numCompletedTasks).sum.toDouble / total
+    }
+  }
+
+  /** Cancel a running async query (all jobs in the token's group). */
+  def cancel(token: String): Unit = {
+    spark.sparkContext.cancelJobGroup(token)
+    pending.remove(token)
   }
 
   def status(token: String): String = {

@@ -86,6 +86,53 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** IVF coarse centroids: per-dimension mean of each sign-bucket's
+    * members. The quantizer is deliberately DETERMINISTIC (no sampled
+    * k-means init): buckets come from sign bits, and each dimension's mean
+    * is an order-independent DECIMAL sum cast to double — so the oracle
+    * can rebuild the exact same centroids. Returns (cid, centroid). */
+  def ivfCentroids(corpus: DataFrame, bits: Int): DataFrame =
+    corpus
+      .select(signBucket(col("embedding"), bits).as("cid"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** IVF top-k: rank the (few) coarse centroids per query, probe the
+    * nprobe nearest inverted lists, exact cosine rank inside them. Unlike
+    * lshTopK (exact-bucket-only candidates), a query near a Voronoi
+    * boundary still reaches its neighbors' lists — the recall fix for the
+    * axis-aligned-bucket compromise. Centroids and the probe set are
+    * tiny → both broadcast; the corpus-sized list side only shuffles on
+    * the equi cid key. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int, nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, bits)
+    val lists = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      signBucket(col("embedding"), bits).as("cid"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        round(dot(col("qv"), col("centroid")) /
+          (l2norm(col("qv")) * l2norm(col("centroid"))), 6).as("csim"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(probes)
+      .join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — the scale
     * path. Candidates come from a sign-LSH bucket equi-join with 1-bit
     * multi-probe: side A explodes to its own bucket plus the `bits`

@@ -114,6 +114,16 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- IVF ANN: deterministic coarse quantizer (sign-bucket centroids),
+    // query probes the 4 nearest of 16 inverted lists — the recall fix over
+    // q48's exact-bucket-only probing
+    "q48b_ann_ivf" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 20), emb, 3, 4, 4)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- Language-ID heuristic vs the labeled lang column
     "q49_lang_id" -> ((s, dir) => {
       TextAnalysis.langPredicted(load(s, dir, "documents"), "text", Seq("lang"))
@@ -313,6 +323,58 @@ object PipelineQueries extends QueryPack {
         |                any_value(nq) AS nq, any_value(nc) AS nc
         |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
         |         GROUP BY query_id, cand_id),
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |SELECT query_id, rank, cand_id, cosine FROM (
+        |  SELECT query_id, cand_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Mirrors ivfTopK exactly: sign-bucket cid, per-dim DECIMAL-mean
+    // centroids cast to double (order-independent, so engines agree),
+    // top-4 centroids per query by rounded cosine, exact rank within the
+    // probed lists.
+    "q48b_ann_ivf" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+        |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          FROM unnest(generate_series(0, 3)) AS t(j)) AS cid
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT cid, j AS pos,
+        |         CAST(sum(CAST(embedding[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+        |  FROM base, unnest(generate_series(0, 63)) AS t(j)
+        |  GROUP BY cid, j),
+        |cent_arr AS (
+        |  SELECT cid, array_agg(c ORDER BY pos) AS centroid FROM cent GROUP BY cid),
+        |cent_n AS (
+        |  SELECT cid, centroid,
+        |         sqrt((SELECT sum(x*x) FROM unnest(centroid) AS u(x))) AS cnrm
+        |  FROM cent_arr),
+        |probe_flat AS (
+        |  SELECT q.vec_id AS query_id, q.nrm AS nq, ca.cid, ca.cnrm,
+        |         unnest(q.embedding) AS x1, unnest(ca.centroid) AS x2
+        |  FROM base q, cent_n ca WHERE q.vec_id < 20),
+        |probe_score AS (
+        |  SELECT query_id, cid,
+        |         round(sum(CAST(x1 AS DOUBLE)*x2) / (any_value(nq)*any_value(cnrm)), 6) AS csim
+        |  FROM probe_flat GROUP BY query_id, cid),
+        |probes AS (
+        |  SELECT ps.query_id, b.embedding AS qv, b.nrm AS nq, ps.cid FROM (
+        |    SELECT query_id, cid,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cid) AS prank
+        |    FROM probe_score) ps
+        |  JOIN base b ON b.vec_id = ps.query_id
+        |  WHERE ps.prank <= 4),
+        |pairs AS (
+        |  SELECT p.query_id, c.vec_id AS cand_id, p.qv, c.embedding AS cv, p.nq, c.nrm AS nc
+        |  FROM probes p JOIN base c ON p.cid = c.cid AND p.query_id <> c.vec_id),
+        |dots AS (
+        |  SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |         any_value(nq) AS nq, any_value(nc) AS nc
+        |  FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
+        |  GROUP BY query_id, cand_id),
         |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
         |SELECT query_id, rank, cand_id, cosine FROM (
         |  SELECT query_id, cand_id, cosine,

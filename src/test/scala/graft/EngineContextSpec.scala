@@ -113,6 +113,39 @@ class EngineContextSpec extends AnyFunSuite {
     assert(n == spark.table("orders").where("o_orderstatus = 'F'").count())
   }
 
+  test("filesystem registration: localfs alias resolves, s3/gs/hdfs map conf") {
+    val c = ctx
+    // localfs: a registered alias actually reads through file://
+    val dir = Files.createTempDirectory("graft_fs").toFile.getAbsolutePath
+    spark.table("region").write.mode("overwrite").parquet(s"$dir/r")
+    c.localfs("myfs", dir)
+    c.createTable("r_fs", "myfs://r", "parquet")
+    assert(c.sql("SELECT count(*) AS n FROM r_fs").collect()(0).getLong(0) == 5)
+    // s3/gs/hdfs: alias mapping + hadoop conf keys (no cloud in sandbox)
+    c.s3("warehouse", "my-bucket", Map(
+      "access_key_id" -> "AKIATEST", "secret_key" -> "sk", "endpoint_override" -> "http://minio:9000"))
+    c.gs("lake", "proj-1", "gcs-bucket")
+    c.hdfs("cluster", "namenode", 8020, "hdfs")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") == "AKIATEST")
+    assert(hc.get("fs.s3a.endpoint") == "http://minio:9000")
+    assert(hc.get("fs.gs.project.id") == "proj-1")
+    assert(c.listFilesystems() == Map(
+      "myfs" -> s"file://$dir", "warehouse" -> "s3a://my-bucket",
+      "lake" -> "gs://gcs-bucket", "cluster" -> "hdfs://namenode:8020"))
+  }
+
+  test("progress reports task completion for async queries") {
+    val c = ctx
+    val token = c.sqlAsync(
+      "SELECT o_orderstatus, count(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1")
+    val p = c.progress(token)
+    assert(p >= 0.0 && p <= 1.0) // running or already done, never unknown
+    c.fetch(token)
+    assert(c.progress(token) == -1.0) // consumed
+    assert(c.progress("no-such-token") == -1.0)
+  }
+
   test("query log records completed actions as a queryable table") {
     val c = ctx
     c.queryLog.clear()

@@ -66,6 +66,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(0L) != b(3L))
   }
 
+  test("ivfTopK with all lists probed equals brute force; fewer probes are a subset") {
+    val queries = vecs.filter(col("vec_id") < 2)
+    val all = SimilaritySearch.ivfTopK(queries, vecs, 3, bits = 2, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("cand_id"))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(queries, vecs, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("cand_id"))).toSet
+    assert(all == brute) // probing every inverted list = exact search
+    val one = SimilaritySearch.ivfTopK(queries, vecs, 3, bits = 2, nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val brutePairs = brute.map(t => (t._1, t._3))
+    assert(one.subsetOf(brutePairs) && one.nonEmpty)
+  }
+
   test("lshTopK only returns same-bucket candidates") {
     val top = SimilaritySearch.lshTopK(vecs.filter(col("vec_id") === 0), vecs, 5, 4)
       .collect()
