@@ -80,6 +80,10 @@ class EngineContext(val spark: SparkSession) {
     filesystems.asScala.toMap
   }
 
+  /** Formatted registry, mirroring bc.show_filesystems (context.py:1828). */
+  def showFilesystems(): String =
+    listFilesystems().toSeq.sorted.map { case (a, b) => s"$a -> $b" }.mkString("\n")
+
   /** Resolve `alias://rest` table paths against registered filesystems;
     * unregistered schemes (s3a://, hdfs://, file://, plain paths) pass
     * through untouched. */
@@ -290,6 +294,53 @@ class EngineContext(val spark: SparkSession) {
     val f = pending.remove(token)
     require(f != null, s"unknown token $token")
     scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+  }
+
+  // ------------------------------------------------------------------ memory
+
+  /** Per-executor free storage memory in bytes (reference get_free_memory,
+    * context.py:1959-2002 reports per-GPU free bytes; the Spark analog is
+    * block-manager remaining memory per executor). */
+  def getFreeMemory(): Map[String, Long] = {
+    val status = spark.sparkContext.getExecutorMemoryStatus.toMap
+    trackMemoryHighWater(status)
+    status.map { case (exec, (_, remaining)) => exec -> remaining }
+  }
+
+  /** High-water mark of used storage memory bytes per executor since the
+    * last reset (reference get_max_memory_used, context.py:2003-2046).
+    * Sampled on every memory API call and query-log event; a snapshot
+    * high-water, not a continuous profile — same granularity trade the
+    * reference makes by polling per query. */
+  def getMaxMemoryUsed(): Map[String, Long] = {
+    trackMemoryHighWater(spark.sparkContext.getExecutorMemoryStatus.toMap)
+    import scala.jdk.CollectionConverters._
+    memoryHighWater.asScala.toMap
+  }
+
+  /** Reference reset_max_memory_used (context.py:2047-2078). */
+  def resetMaxMemoryUsed(): Unit = memoryHighWater.clear()
+
+  private val memoryHighWater = new ConcurrentHashMap[String, Long]()
+  private def trackMemoryHighWater(status: Map[String, (Long, Long)]): Unit =
+    status.foreach { case (exec, (max, remaining)) =>
+      memoryHighWater.merge(exec, max - remaining, (a, b) => math.max(a, b))
+    }
+
+  // ------------------------------------------------------------- partitioning
+
+  /** Hash-repartition a registered table by columns and re-register it
+    * (reference bc.partition(input, by=[...]), context.py:3018-3065 —
+    * its dask shuffle-on-columns; here an Exchange hashpartitioning that
+    * downstream same-key joins/aggs reuse). n = 0 keeps the session's
+    * shuffle parallelism. */
+  def partitionTable(name: String, by: Seq[String], n: Int = 0): DataFrame = {
+    require(by.nonEmpty, "partitionTable needs at least one column")
+    val df = spark.table(name)
+    val cols = by.map(df.col)
+    val out = if (n > 0) df.repartition(n, cols: _*) else df.repartition(cols: _*)
+    out.createOrReplaceTempView(name)
+    out
   }
 
   // ----------------------------------------------------------------- config

@@ -146,6 +146,28 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.progress("no-such-token") == -1.0)
   }
 
+  test("memory API: free/max-used/reset report per-executor bytes") {
+    val c = ctx
+    val free = c.getFreeMemory()
+    assert(free.nonEmpty && free.values.forall(_ > 0))
+    c.sql("SELECT count(*) FROM lineitem").collect()
+    val used = c.getMaxMemoryUsed()
+    assert(used.keySet == free.keySet && used.values.forall(_ >= 0))
+    c.resetMaxMemoryUsed()
+    assert(c.getMaxMemoryUsed().values.forall(_ >= 0)) // repopulated snapshot
+  }
+
+  test("partitionTable repartitions a registered table by columns") {
+    val c = ctx
+    c.createTable("orders_rp", c.sql("SELECT * FROM orders"))
+    val out = c.partitionTable("orders_rp", Seq("o_custkey"), 8)
+    assert(out.rdd.getNumPartitions == 8)
+    val plan = spark.table("orders_rp").queryExecution.optimizedPlan.toString
+    assert(plan.contains("RepartitionByExpression") || plan.contains("hashpartitioning"), plan)
+    assert(c.sql("SELECT count(*) AS n FROM orders_rp").collect()(0).getLong(0) ==
+      spark.table("orders").count())
+  }
+
   test("query log records completed actions as a queryable table") {
     val c = ctx
     c.queryLog.clear()
