@@ -82,6 +82,14 @@ object Dedup {
     * concatenated string — so the self-join shuffles narrow rows. A 64-bit
     * hash collision can only ADD a candidate (never lose one), and the
     * exact-Jaccard verify stage discards it, so results are unchanged. */
+  /** NOTE the .distinct() here is load-bearing twice over: it collapses
+    * multi-band duplicates (measured dup factor 1.19 at sf0.1) AND it
+    * re-shuffles the band join's output — which is naturally skewed by
+    * bucket size — into uniform (id_a, id_b) partitions before the verify
+    * stage. An experiment that dropped it and deduped after the jaccard
+    * threshold made q44 ~25% SLOWER despite doing one less shuffle: the
+    * verify mapPartitions inherited the bucket-skewed partitioning and
+    * straggled. At 100 TB the rebalance matters even more. */
   def lshCandidates(signatures: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
