@@ -51,6 +51,22 @@ object Multimodal {
       }
   }
 
+  /** Streaming form of decodeFeatures: the SAME batched decode over a
+    * streaming Dataset[MediaRow] (file-stream of payload parquet in
+    * production: `spark.readStream.schema(...).parquet(dir)`). Stateless
+    * mapPartitions — no repartition, so the stream stays shuffle-free and
+    * each micro-batch decodes where it lands. */
+  def decodeFeaturesStream(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would go here (codec init, model load)
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.source, r.payload.length, w, h, f)
+      }
+    }
+  }
+
   /** Build a media table from the documents table: utf-8 payload bytes as
     * the opaque binary column (stands in for image/audio bytes). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -31,6 +31,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multimodal decode runs over a stream of media rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val input = MemoryStream[Multimodal.MediaRow]
+    input.addData(
+      Multimodal.MediaRow(1, "tiny".getBytes("UTF-8"), "image", "web"),
+      Multimodal.MediaRow(2, "a longer payload body".getBytes("UTF-8"), "audio", "crawl"))
+    val q = Multimodal.decodeFeaturesStream(input.toDS())
+      .writeStream.format("memory").queryName("media_feat").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("media_feat").collect()
+      assert(rows.length == 2)
+      val byId = rows.map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("byte_len")).toMap
+      assert(byId == Map(1L -> 4, 2L -> 21))
+      assert(rows.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("frames") >= 1))
+    } finally q.stop()
+  }
+
   test("dedupedStream drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
