@@ -332,6 +332,42 @@ object RelationalQueries extends QueryPack {
           round(col("economy_revenue") / col("total_revenue") * 100.0, 6).as("economy_pct"))
     }),
 
+    // ---- TPC-H Q10 shape: returned-item revenue per customer — 4-way
+    // join, small dims broadcast, revenue-ranked top-k (reference
+    // TPCHSuite.yaml TEST_10)
+    "q64_tpch_q10" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = load(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q18 shape: large-volume orders via IN-subquery with
+    // HAVING (reference TPCHSuite.yaml TEST_18; exercises the SQL path's
+    // subquery rewrite into a semi join)
+    "q65_tpch_q18" -> ((s, dir) => {
+      graft.EngineContext.forDir(s, dir).sql(
+        s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           |       ${dsumSql("l_quantity")} AS total_qty
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_orderkey IN (
+           |  SELECT l_orderkey FROM lineitem
+           |  GROUP BY l_orderkey HAVING ${dsumSql("l_quantity")} > 150)
+           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 100""".stripMargin)
+    }),
+
     // ---- Exact percentiles (linear interpolation — both engines use the
     // same (1-g)*lo + g*hi rule; rounded to absorb last-bit arithmetic)
     "q58_percentiles" -> ((s, dir) => {
@@ -532,6 +568,32 @@ object RelationalQueries extends QueryPack {
          |  FROM lineitem JOIN part ON l_partkey = p_partkey
          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')""".stripMargin,
+
+    "q64_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q65_tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |${dsumSql("l_quantity")} AS total_qty
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING ${dsumSql("l_quantity")} > 150)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
 
     "q58_percentiles" ->
       """SELECT l_returnflag,
