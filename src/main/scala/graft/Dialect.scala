@@ -19,6 +19,9 @@ package graft
  *    constrains literal width, so dropping it preserves semantics.
  *    Only stripped when followed by `TO`, so the hour()/minute()/second()
  *    FUNCTIONS never match.
+ *  - `CAST('1997/05/02' AS DATE)` — the reference's cudf parser accepts
+ *    slashed date literals (castSuite.yaml TEST_15); Spark non-ANSI casts
+ *    them to NULL. Separators normalized to dashes.
  *  - strptime-style datetime formats (`'%Y-%m-%d %H:%M:%S'`) — the
  *    reference's TO_DATE/TO_TIMESTAMP take C/cudf format strings
  *    (reference: toTimestampSuite.yaml TEST_01-04, whose SPARK comparison
@@ -35,6 +38,12 @@ object Dialect {
   private val IntervalLeadingPrecision =
     "(?i)\\b(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\\s*\\(\\d+\\)(?=\\s+TO\\b)".r
 
+  // CAST('1997/05/02' AS DATE): the reference's cudf date parser accepts
+  // slashed literals (castSuite.yaml TEST_15); Spark's non-ANSI cast
+  // yields NULL for them. Normalize the literal's separators.
+  private val SlashedDateCast =
+    "(?i)CAST\\s*\\(\\s*'(\\d{4})/(\\d{1,2})/(\\d{1,2})'\\s+AS\\s+DATE\\s*\\)".r
+
   // a format-argument literal: follows a comma, contains a % token, and is
   // built only from strptime tokens plus separator punctuation
   private val StrptimeArg = "(,\\s*)'([%YymdHMSf:|/\\-\\. ]*%[YymdHMSf][%YymdHMSf:|/\\-\\. ]*)'".r
@@ -44,7 +53,9 @@ object Dialect {
 
   /** Rewrite Calcite-dialect constructs to their Spark SQL equivalents. */
   def rewrite(sql: String): String = {
-    val s0 = StrptimeArg.replaceAllIn(sql, m =>
+    val sd = SlashedDateCast.replaceAllIn(sql, m =>
+      s"CAST('${m.group(1)}-${m.group(2)}-${m.group(3)}' AS DATE)")
+    val s0 = StrptimeArg.replaceAllIn(sd, m =>
       java.util.regex.Matcher.quoteReplacement(
         m.group(1) + "'" + StrptimeTokens.foldLeft(m.group(2)) {
           case (s, (from, to)) => s.replace(from, to)

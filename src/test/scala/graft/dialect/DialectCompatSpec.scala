@@ -56,4 +56,12 @@ class DialectCompatSpec extends AnyFunSuite {
     assert(Dialect.rewrite("select * from part where p_type like '%BRASS'")
       == "select * from part where p_type like '%BRASS'")
   }
+
+  test("dialect rewrites: slashed date literals in CAST") {
+    assert(Dialect.rewrite("select CAST('1997/05/02' as date) from region")
+      == "select CAST('1997-05-02' AS DATE) from region")
+    // only the literal CAST shape — column casts and dashed literals untouched
+    assert(Dialect.rewrite("select cast(c as date), cast('1997-05-02' as date) from t")
+      == "select cast(c as date), cast('1997-05-02' as date) from t")
+  }
 }

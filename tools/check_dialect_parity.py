@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Result-parity check for the reference E2E suite queries.
+
+Usage: python tools/check_dialect_parity.py DUMP_DIR [REPORT_MD]
+
+DUMP_DIR comes from `Test/runMain graft.dialect.DialectDump DUMP_DIR`:
+the synthetic catalog as parquet, each suite query's Spark result as
+parquet, and queries.json. This script replays every query in DuckDB over
+the same tables and compares results positionally (both engines keep the
+SELECT order; auto-generated column NAMES differ by engine, so names are
+not compared), with tolerant float equality.
+
+Outcomes per query:
+  match          - same shape, same values
+  MISMATCH       - both engines ran it, values differ (real semantic gap)
+  duckdb-dialect - DuckDB cannot parse/run this SQL (Calcite-ism DuckDB
+                   lacks); not a correctness signal for the engine
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def load(dump_dir):
+    con = duckdb.connect()
+    import glob, os
+    for d in sorted(glob.glob(f"{dump_dir}/tables/*")):
+        t = os.path.basename(d)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/*.parquet'")
+    with open(f"{dump_dir}/queries.json") as f:
+        queries = json.load(f)
+    return con, queries
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [f"c{i}" for i in range(len(df.columns))]
+    key = df.astype(str)
+    order = key.sort_values(by=list(key.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+def _is_dateish(v) -> bool:
+    import datetime
+    return isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp))
+
+
+def cells_equal(a, b) -> bool:
+    try:
+        na, nb = pd.isna(a), pd.isna(b)
+        if (na is True) and (nb is True):
+            return True
+    except (TypeError, ValueError):
+        pass
+    # pandas maps DuckDB DATE to Timestamp but Spark-parquet DATE to
+    # datetime.date — same value, different boxing
+    if _is_dateish(a) and _is_dateish(b):
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    # Spark-parquet day-time intervals surface as microsecond ints;
+    # DuckDB intervals as Timedelta — same duration, different boxing
+    if isinstance(a, pd.Timedelta) or isinstance(b, pd.Timedelta):
+        try:
+            ta = a if isinstance(a, pd.Timedelta) else pd.Timedelta(microseconds=int(a))
+            tb = b if isinstance(b, pd.Timedelta) else pd.Timedelta(microseconds=int(b))
+            return ta == tb
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+def compare(got: pd.DataFrame, exp: pd.DataFrame):
+    if got.shape[1] != exp.shape[1]:
+        return f"column count {got.shape[1]} vs {exp.shape[1]}"
+    g, x = canon(got), canon(exp)
+    if len(g) != len(x):
+        return f"row count {len(g)} vs {len(x)}"
+    for c in g.columns:
+        ga, xa = g[c].tolist(), x[c].tolist()
+        for i, (a, b) in enumerate(zip(ga, xa)):
+            if not cells_equal(a, b):
+                return f"col {c} row {i}: spark={a!r} duckdb={b!r}"
+    return None
+
+
+# Queries where DuckDB's OWN semantics differ from Calcite/cudf (what the
+# reference implements and Spark matches), or where the query itself is
+# nondeterministic. A value difference here is expected, not an engine bug.
+KNOWN_DIVERGENCES = {
+    "dayOfWeekSuite": "DuckDB dayofweek() is 0=Sunday; Calcite DAYOFWEEK "
+                      "(and Spark) is 1=Sunday — engine matches the reference",
+    "castSuite__TEST_10": "CAST(double AS INTEGER): DuckDB rounds half-even; "
+                          "Calcite/cudf/Spark truncate toward zero",
+    "castSuite__TEST_13": "CAST(double AS INTEGER): DuckDB rounds half-even; "
+                          "Calcite/cudf/Spark truncate toward zero",
+    "substringSuite__TEST_12": "LEFT/RIGHT with negative length: Calcite/Spark "
+                               "return '', DuckDB trims from the other end",
+    "windowFunctionSuite__TEST_22": "ORDER BY (l_orderkey, max_keys) LIMIT 50 "
+                                    "is not a total order; engines break the "
+                                    "boundary tie differently",
+}
+
+
+def known_reason(key):
+    for k, reason in KNOWN_DIVERGENCES.items():
+        if key == k or key.startswith(k + "__") or key.split("__")[0] == k:
+            return reason
+    return None
+
+
+def main(dump_dir, report_md=None):
+    con, queries = load(dump_dir)
+    matched, mismatched, dialect_skips, known = [], [], [], []
+    for key in sorted(queries):
+        sql = queries[key]
+        try:
+            got = pd.read_parquet(f"{dump_dir}/results/{key}")
+        except Exception as e:
+            mismatched.append((key, f"no spark dump: {e}"))
+            continue
+        try:
+            exp = con.execute(sql).df()
+        except Exception as e:
+            dialect_skips.append((key, str(e).split("\n")[0][:160]))
+            continue
+        diff = compare(got, exp)
+        if diff is None:
+            matched.append(key)
+        elif known_reason(key):
+            known.append((key, known_reason(key)))
+        else:
+            mismatched.append((key, diff))
+
+    total_run = len(matched) + len(mismatched) + len(known)
+    lines = []
+    lines.append("# DIALECT_PARITY — suite results vs DuckDB\n")
+    lines.append("Produced by graft.dialect.DialectDump + tools/check_dialect_parity.py.")
+    lines.append("Every reference E2E suite query both engines can run is compared")
+    lines.append("value-for-value (positional columns, sorted rows, 1e-9 float tol).\n")
+    lines.append(f"- queries dumped by Spark: **{len(queries)}**")
+    lines.append(f"- runnable in DuckDB: **{total_run}** -> "
+                 f"**{len(matched)} match / {len(mismatched)} unexplained mismatch"
+                 f" / {len(known)} known engine-semantics divergence**")
+    lines.append(f"- DuckDB-dialect skips (Calcite SQL DuckDB lacks): {len(dialect_skips)}\n")
+    if mismatched:
+        lines.append("## Unexplained mismatches\n")
+        for k, d in mismatched:
+            lines.append(f"- `{k}`: {d}")
+        lines.append("")
+    if known:
+        lines.append("## Known divergences (DuckDB vs Calcite/cudf semantics — the\n"
+                     "engine matches the reference side)\n")
+        for k, d in known:
+            lines.append(f"- `{k}`: {d}")
+        lines.append("")
+    if dialect_skips:
+        lines.append("## DuckDB-dialect skips\n")
+        for k, d in dialect_skips:
+            lines.append(f"- `{k}`: {d}")
+        lines.append("")
+    report = "\n".join(lines)
+    if report_md:
+        with open(report_md, "w") as f:
+            f.write(report)
+    print(report if not report_md else
+          f"match={len(matched)} mismatch={len(mismatched)} known={len(known)} "
+          f"duckdb_skip={len(dialect_skips)} -> {report_md}")
+    for k, d in mismatched[:15]:
+        print(f"MISMATCH {k}: {d}")
+    return 1 if mismatched else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None))
