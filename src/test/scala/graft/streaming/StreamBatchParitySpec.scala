@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+  * Stream-batch unification proof (ROADMAP round-4 #3): the SAME
+  * EventStreams.hourlyCounts transformation applied to the events table as
+  * a bounded file stream must produce exactly the batch result. This is
+  * the property that lets a user run one pipeline definition in either
+  * mode — and it is what makes the batch DuckDB oracles meaningful
+  * evidence for the streaming operators too.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("hourlyCounts over a bounded file stream equals the batch result") {
+    val batchRaw = graft.Tables.load(spark, TestSpark.sfDir, "events")
+    // the file-stream source wants a DIRECTORY; stage the single testdata
+    // file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // file stream with the batch schema; same ns->us conversion as
+    // Tables.load (events.ts is parquet TIMESTAMP(NANOS))
+    val rawSchema = spark.read.parquet(dir).schema
+    var stream = spark.readStream.schema(rawSchema).parquet(dir)
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream = stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_parity")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_parity").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      val batch = EventStreams.hourlyCounts(batchRaw).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
