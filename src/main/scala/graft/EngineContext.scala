@@ -202,6 +202,22 @@ class EngineContext(val spark: SparkSession) {
     df
   }
 
+  /** Write a registered table (or view) to files — the sink half of §2.1.
+    * The reference keeps results in memory and leaves persistence to the
+    * client (result GPU frames → user-side to_parquet); here the writer is
+    * part of the engine surface: format + mode + hive-style partitioning,
+    * with alias:// paths resolved against registered filesystems. */
+  def saveTable(
+      name: String,
+      path: String,
+      format: String = "parquet",
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = spark.table(name).write.format(format).mode(mode)
+    val w2 = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    w2.save(resolvePath(path))
+  }
+
   def dropTable(name: String): Unit = {
     spark.catalog.dropTempView(name)
     tables.remove(name)

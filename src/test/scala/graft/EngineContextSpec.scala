@@ -146,6 +146,27 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.progress("no-such-token") == -1.0)
   }
 
+  test("write surface: CTAS through sql() and partitioned saveTable round-trip") {
+    val c = ctx
+    val dir = Files.createTempDirectory("graft_write").toFile.getAbsolutePath
+    // CTAS lands in the session catalog at an explicit location
+    spark.sql("DROP TABLE IF EXISTS big_orders")
+    c.sql(
+      s"""CREATE TABLE big_orders USING parquet LOCATION '$dir/big_orders' AS
+         |SELECT * FROM orders WHERE o_totalprice > 100000""".stripMargin)
+    val expected = spark.table("orders").where("o_totalprice > 100000").count()
+    assert(c.sql("SELECT count(*) AS n FROM big_orders").collect()(0).getLong(0) == expected)
+    spark.sql("DROP TABLE IF EXISTS big_orders")
+    // partitioned write + re-register: partition column survives and prunes
+    c.saveTable("orders", s"$dir/orders_by_status", partitionBy = Seq("o_orderstatus"))
+    c.createTable("orders_by_status", s"$dir/orders_by_status", "parquet")
+    val plan = c.explain(
+      "SELECT count(*) FROM orders_by_status WHERE o_orderstatus = 'F'", detail = true)
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(c.sql("SELECT count(*) AS n FROM orders_by_status").collect()(0).getLong(0) ==
+      spark.table("orders").count())
+  }
+
   test("memory API: free/max-used/reset report per-executor bytes") {
     val c = ctx
     val free = c.getFreeMemory()
