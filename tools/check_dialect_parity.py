@@ -35,6 +35,40 @@ def load(dump_dir):
     return con, queries
 
 
+def translate_for_duckdb(sql: str) -> str:
+    """Calcite TIMESTAMPADD(unit, n, ts) == DuckDB ts + n * INTERVAL 1 unit —
+    interval ADDITION has identical semantics in both engines (unlike
+    TIMESTAMPDIFF, whose boundary-counting differs and stays skipped)."""
+    out = []
+    i = 0
+    up = sql.upper()
+    while True:
+        j = up.find("TIMESTAMPADD", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        k = sql.index("(", j)
+        depth, args, start = 0, [], k + 1
+        for p in range(k, len(sql)):
+            c = sql[p]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[start:p])
+                    end = p
+                    break
+            elif c == "," and depth == 1:
+                args.append(sql[start:p])
+                start = p + 1
+        unit, n, ts = args[0].strip(), args[1].strip(), args[2].strip()
+        unit = unit.replace("SQL_TSI_", "")
+        out.append(f"(CAST({ts} AS TIMESTAMP) + ({n}) * INTERVAL 1 {unit})")
+        i = end + 1
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df.columns = [f"c{i}" for i in range(len(df.columns))]
@@ -129,7 +163,7 @@ def main(dump_dir, report_md=None):
             mismatched.append((key, f"no spark dump: {e}"))
             continue
         try:
-            exp = con.execute(sql).df()
+            exp = con.execute(translate_for_duckdb(sql)).df()
         except Exception as e:
             dialect_skips.append((key, str(e).split("\n")[0][:160]))
             continue
