@@ -96,17 +96,30 @@ class EngineContext(val spark: SparkSession) {
   /** Register a table from files. Format inferred from the file extension
     * when not given (reference: context.py:983-990 sniffs extensions).
     * Supported formats mirror the reference's io::DataType
-    * (engine/src/io/DataType.h:7-19): parquet, orc, csv, json. */
+    * (engine/src/io/DataType.h:7-19): parquet, orc, csv, json. Wildcards
+    * in paths resolve natively (Spark glob support). */
   def createTable(
       name: String,
       path: String,
       format: String = "",
-      options: Map[String, String] = Map.empty): DataFrame = {
-    val rpath = resolvePath(path)
+      options: Map[String, String] = Map.empty): DataFrame =
+    createTable(name, Seq(path), format, options)
+
+  /** Multi-path registration (reference: create_table accepts a LIST of
+    * files/globs, context.py:2079+ input normalization). All paths must
+    * share a schema; CSV skiprows applies to the concatenated line stream
+    * in listing order (pandas-per-list semantics). */
+  def createTable(
+      name: String,
+      paths: Seq[String],
+      format: String,
+      options: Map[String, String]): DataFrame = {
+    require(paths.nonEmpty, "createTable needs at least one path")
+    val rpaths = paths.map(resolvePath)
     val fmt =
       if (format.nonEmpty) format
       else {
-        val p = rpath.toLowerCase
+        val p = rpaths.head.toLowerCase
         if (p.endsWith(".parquet") || p.endsWith(".pq")) "parquet"
         else if (p.endsWith(".orc")) "orc"
         else if (p.endsWith(".csv") || p.endsWith(".psv")) "csv"
@@ -159,22 +172,22 @@ class EngineContext(val spark: SparkSession) {
         val skipped = options.get("skiprows").map(_.trim.toInt).filter(_ > 0) match {
           case Some(nSkip) =>
             val lines = spark.createDataset(
-              spark.read.textFile(rpath).rdd.zipWithIndex()
+              spark.read.textFile(rpaths: _*).rdd.zipWithIndex()
                 .filter(_._2 >= nSkip).map(_._1))(org.apache.spark.sql.Encoders.STRING)
             r2.csv(lines)
-          case None => r2.load(rpath)
+          case None => r2.load(rpaths: _*)
         }
         // nrows: first-N-rows cap (pandas semantics), as a plan-level limit
         options.get("nrows").map(_.trim.toInt).fold(skipped)(skipped.limit)
       case "json" =>
         options.get("schema") match {
-          case Some(ddl) => reader.schema(ddl).load(rpath)
-          case None      => reader.load(rpath)
+          case Some(ddl) => reader.schema(ddl).load(rpaths: _*)
+          case None      => reader.load(rpaths: _*)
         }
-      case _ => reader.load(rpath)
+      case _ => reader.load(rpaths: _*)
     }
     df.createOrReplaceTempView(name)
-    tables.put(name, TableInfo(name, fmt, Seq(path), options))
+    tables.put(name, TableInfo(name, fmt, paths, options))
     df
   }
 

@@ -146,6 +146,21 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.progress("no-such-token") == -1.0)
   }
 
+  test("createTable accepts a list of paths and glob patterns") {
+    val c = ctx
+    val dir = Files.createTempDirectory("graft_multi").toFile.getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part1.csv"), "1,a\n2,b\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part2.csv"), "3,c\n4,d\n")
+    c.createTable("multi_csv", Seq(s"$dir/part1.csv", s"$dir/part2.csv"), "csv",
+      Map("names" -> "id,tag", "dtype" -> "BIGINT,STRING"))
+    assert(c.sql("SELECT count(*) AS n FROM multi_csv").collect()(0).getLong(0) == 4)
+    assert(c.sql("SELECT sum(id) AS s FROM multi_csv").collect()(0).getLong(0) == 10)
+    // glob: Spark resolves wildcards natively
+    c.createTable("glob_csv", s"$dir/part*.csv", "csv",
+      Map("names" -> "id,tag", "dtype" -> "BIGINT,STRING"))
+    assert(c.sql("SELECT count(*) AS n FROM glob_csv").collect()(0).getLong(0) == 4)
+  }
+
   test("write surface: CTAS through sql() and partitioned saveTable round-trip") {
     val c = ctx
     val dir = Files.createTempDirectory("graft_write").toFile.getAbsolutePath
