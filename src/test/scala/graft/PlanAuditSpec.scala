@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+  * Physical-plan audit for the headline queries: these assertions pin the
+  * plan SHAPE we designed for 100 TB, so a regression that silently turns
+  * a broadcast join into a shuffle, drops a pushed filter, or introduces a
+  * cross product fails CI rather than only showing up as a slow bench.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+
+  test("q01: partial+final aggregation with pushed scan filter") {
+    val p = plan("q01_tpch_q1")
+    assert(p.contains("partial_"), p.take(2000)) // map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+  }
+
+  test("q03: both dims broadcast (no shuffle join for small sides)") {
+    val p = plan("q03_join3_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q57 tpch q5: broadcast dims, no cartesian products anywhere") {
+    val p = plan("q57_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q59 tpch q6: every predicate reaches the parquet scan") {
+    val p = plan("q59_tpch_q6")
+    // the PushedFilters list is elided in toString; check the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p.take(2000))
+  }
+
+  test("q46 embedding dedup: equi join on probe buckets, no cross product") {
+    val p = plan("q46_dedup_embed_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
+
+  test("q48b IVF: probes broadcast; inverted lists never shuffle") {
+    val p = plan("q48b_ann_ivf")
+    // candidate search joins broadcast probes to the corpus-side lists
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q49 lang id: pure map-side scoring before one aggregation shuffle") {
+    val p = plan("q49_lang_id")
+    assert(!p.contains("Join"), p.take(2000)) // no join at all
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000)) // agg + sort only
+  }
+}

@@ -57,6 +57,14 @@ class DialectCompatSpec extends AnyFunSuite {
       == "select * from part where p_type like '%BRASS'")
   }
 
+  test("dialect rewrite is idempotent over the whole suite corpus") {
+    assume(E2eSuites.available, "reference E2E suites not present")
+    for (t <- E2eSuites.load()) {
+      val once = Dialect.rewrite(t.sql)
+      assert(Dialect.rewrite(once) == once, s"${t.suite}/${t.name} not a fixpoint")
+    }
+  }
+
   test("dialect rewrites: slashed date literals in CAST") {
     assert(Dialect.rewrite("select CAST('1997/05/02' as date) from region")
       == "select CAST('1997-05-02' AS DATE) from region")
