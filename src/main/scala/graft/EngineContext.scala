@@ -252,6 +252,26 @@ class EngineContext(val spark: SparkSession) {
     * proven against the reference's 48 E2E suites — DIALECT_COMPAT.md). */
   def sql(query: String): DataFrame = spark.sql(Dialect.rewrite(query))
 
+  /** Per-query config overrides (reference: bc.sql(query, config_options=
+    * {...}), context.py:3071 — applied for one query, then restored).
+    * Spark plans lazily, so the physical plan is bound HERE under the
+    * overrides and the session conf restored before returning; knobs that
+    * AQE re-reads at runtime (partition coalescing sizes) see the restored
+    * session values — use the session-level config() for those. */
+  def sql(query: String, configOptions: Map[String, String]): DataFrame = {
+    val mapped = configOptions.map { case (k, v) => mapConfigKey(k) -> v }
+    val saved = mapped.keys.map(k => k -> Try(spark.conf.get(k)).toOption).toMap
+    mapped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = sql(query)
+      df.queryExecution.executedPlan // bind planning-time confs now
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Two-level explain, mirroring bc.explain(sql, detail)
     * (context.py:1842-1924): detail=false → optimized logical algebra,
     * detail=true → physical plan. */
@@ -374,28 +394,27 @@ class EngineContext(val spark: SparkSession) {
 
   // ----------------------------------------------------------------- config
 
-  /** Map the reference's engine config keys (context.py:1242-1289 defaults,
-    * :1334-1480 docs) onto the Spark conf knobs that play the same role.
-    * Unknown keys are set verbatim on spark.conf (future-proof passthrough). */
-  def config(key: String, value: String): Unit = {
-    val mapped: Option[(String, String)] = key match {
-      case "JOIN_PARTITION_SIZE_THRESHOLD" => // bytes per join partition
-        Some("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> value)
-      case "MAX_JOIN_SCATTER_MEM_OVERHEAD" => // broadcast threshold (bytes)
-        Some("spark.sql.autoBroadcastJoinThreshold" -> value)
-      case "NUM_BYTES_PER_ORDER_BY_PARTITION" =>
-        Some("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> value)
-      case "EXECUTOR_THREADS" | "MAX_KERNEL_RUN_THREADS" =>
-        Some("spark.sql.shuffle.partitions" -> value)
-      case "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE" =>
-        Some("spark.sql.files.maxPartitionBytes" -> value)
-      case "MAX_ORDER_BY_SAMPLES_PER_NODE" =>
-        Some("spark.sql.execution.rangeExchange.sampleSizePerPartition" -> value)
-      case _ => None
-    }
-    val (k, v) = mapped.getOrElse(key -> value)
-    spark.conf.set(k, v)
+  /** Reference config key → the Spark conf knob playing the same role
+    * (context.py:1242-1289 defaults, :1334-1480 docs). Unknown keys pass
+    * through verbatim (future-proof). */
+  private def mapConfigKey(key: String): String = key match {
+    case "JOIN_PARTITION_SIZE_THRESHOLD" => // bytes per join partition
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    case "MAX_JOIN_SCATTER_MEM_OVERHEAD" => // broadcast threshold (bytes)
+      "spark.sql.autoBroadcastJoinThreshold"
+    case "NUM_BYTES_PER_ORDER_BY_PARTITION" =>
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    case "EXECUTOR_THREADS" | "MAX_KERNEL_RUN_THREADS" =>
+      "spark.sql.shuffle.partitions"
+    case "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE" =>
+      "spark.sql.files.maxPartitionBytes"
+    case "MAX_ORDER_BY_SAMPLES_PER_NODE" =>
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    case other => other
   }
+
+  def config(key: String, value: String): Unit =
+    spark.conf.set(mapConfigKey(key), value)
 
   def config(options: Map[String, String]): Unit = options.foreach { case (k, v) => config(k, v) }
 

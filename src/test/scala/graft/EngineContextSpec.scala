@@ -220,6 +220,20 @@ class EngineContextSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("status") == "success"))
   }
 
+  test("per-query config_options bind the plan and restore the session") {
+    val c = ctx
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val df = c.sql(
+      "SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey",
+      Map("MAX_JOIN_SCATTER_MEM_OVERHEAD" -> "-1"))
+    // broadcast disabled for THIS query only
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before)
+    // and a normal query still broadcasts the tiny dim
+    val normal = c.sql("SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey")
+    assert(normal.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("config maps reference keys onto spark conf") {
     val c = ctx
     c.config("MAX_JOIN_SCATTER_MEM_OVERHEAD", "500000000")
