@@ -96,6 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gram_hash_set"),
+      new ExpressionInfo(classOf[GramHashSet].getName, "graft_gram_hash_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_gram_hash_set takes exactly 1 argument")
+        GramHashSet(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
       (children: Seq[Expression]) => {

@@ -55,10 +55,14 @@ object Dedup {
 
   /** (sid, gs) with gs = SORTED DISTINCT gram-hash array per doc — the one
     * scan both the signature and verify stages derive from. gramHash is
-    * injective, so set ops on these arrays equal set ops on the grams. */
+    * injective, so set ops on these arrays equal set ops on the grams.
+    * Computed by the codegen'd one-pass graft_gram_hash_set expression;
+    * semantics (and the DuckDB oracle) are those of the composable
+    * sort_array(array_distinct(transform(shingles3(text), gramHash))) —
+    * GramHashSpec pins the equivalence. */
   def gramSets(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("sid"),
-        sort_array(array_distinct(transform(shingles3(col(text)), g => gramHash(g)))).as("gs"))
+        call_function("graft_gram_hash_set", col(text)).as("gs"))
       .filter(col("gs").isNotNull)
 
   /** 16-hash MinHash signature per document, computed as array folds over
@@ -127,17 +131,23 @@ object Dedup {
     // (a) `sets` is persisted because the band self-join, the sizing agg,
     //     and the verify stage all consume it — and the self-join reads it
     //     on BOTH sides;
-    // (b) the verify output is localCheckpoint'ed because Catalyst pushes
-    //     the jaccard threshold into the verify join's condition, where
-    //     alias substitution re-expands `inter` and runs the intersect
-    //     three times per candidate pair. (~20 s vs ~205 s fused at sf0.1.)
+    // (b) on the shuffle fallback the verify output is localCheckpoint'ed
+    //     because Catalyst pushes the jaccard threshold into the verify
+    //     join's condition, where alias substitution re-expands `inter`
+    //     and runs the intersect three times per candidate pair.
+    //     (~20 s vs ~205 s fused at sf0.1.) The broadcast fast path needs
+    //     no barrier: the jaccard threshold is applied INSIDE the
+    //     mapPartitions pass, so only passing pairs (~1e-3 of candidates)
+    //     ever leave the verify stage.
     val spark = docs.sparkSession
-    import spark.implicits._
     // ONE scan of docs: the persisted gram-hash sets feed the signature
-    // projection (no shuffle), the sizing aggregate, and the verify stage.
-    // The cands checkpoint job is also what populates the cache.
+    // projection (no shuffle), the sizing aggregate (which populates the
+    // cache), and the verify stage. `cands` stays lazy — materializing it
+    // (an eager localCheckpoint) wrote 4M pairs to the block manager and
+    // read them straight back for one consumer; fusing candidate
+    // generation into the verify job saved ~2 s at sf0.1.
     val sets = gramSets(docs, id, text).persist()
-    val cands = lshCandidates(signaturesFromSets(sets)).localCheckpoint()
+    val cands = lshCandidates(signaturesFromSets(sets))
     val integralId = docs.schema(id).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
@@ -153,13 +163,52 @@ object Dedup {
     val nDocs = sizing.getLong(0)
     val nGrams = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
     val estBytes = nGrams * 8L + nDocs * 64L
-    val useBroadcastMap = integralId && estBytes <= broadcastBudgetBytes
-    // jaccard >= t requires min(|A|,|B|) >= t * max(|A|,|B|): the size-ratio
-    // prefilter drops candidates that cannot pass BEFORE the merge walk runs
-    minHashVerify(cands, sets, useBroadcastMap, threshold).localCheckpoint()
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (integralId && estBytes <= broadcastBudgetBytes)
+      broadcastVerifyPairs(cands, sets, threshold)
+    else
+      minHashVerify(cands, sets, useBroadcastMap = false, threshold).localCheckpoint()
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+  }
+
+  /** Broadcast-map verify fused with the jaccard threshold: one
+    * mapPartitions pass over the candidate pairs that runs the size-ratio
+    * prefilter, the sorted-merge intersect, AND the threshold, emitting
+    * only passing pairs. Arithmetic is bit-identical to the SQL form
+    * (int sums, one double division), so the two physical strategies stay
+    * oracle-interchangeable. */
+  private def broadcastVerifyPairs(cands: DataFrame, sets: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    // getAs[Number]: integralId admits IntegerType ids too, so the sid
+    // cell may be an Int — a raw getLong would ClassCastException.
+    val setsMap: Map[Long, Array[Long]] = sets.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Long](1).toArray).toMap
+    val bc = spark.sparkContext.broadcast(setsMap)
+    val t = threshold
+    cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (a, b) =>
+          val ga = m(a); val gb = m(b)
+          // jaccard >= t requires min(|A|,|B|) >= t * max(|A|,|B|): skip
+          // the merge walk for pairs that cannot qualify
+          if (math.min(ga.length, gb.length) < t * math.max(ga.length, gb.length)) None
+          else {
+            var i = 0; var j = 0; var n = 0
+            while (i < ga.length && j < gb.length) {
+              if (ga(i) == gb(j)) { n += 1; i += 1; j += 1 }
+              else if (ga(i) < gb(j)) i += 1
+              else j += 1
+            }
+            val jac = n.toDouble / (ga.length + gb.length - n)
+            if (jac >= t) Some((a, b, jac)) else None
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
   }
 
   /** Verify stage of minHashLshPairs: intersect sizes for each candidate

@@ -13,8 +13,20 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("minHashLshPairs (sorted-merge verify)") {
+    Dedup.exactDuplicates(docs, "doc_id", "text").count() // warmup
+    val sets = time("gramSets persist+count") {
+      val s = Dedup.gramSets(docs, "doc_id", "text").persist()
+      println("sets rows = " + s.count()); s
+    }
+    sets.unpersist(true)
+    time("full minHashLshPairs cold") {
       println("n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7).count())
+    }
+    time("full minHashLshPairs warm") {
+      println("n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7).count())
+    }
+    time("full shuffle fallback") {
+      println("n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7, 0L).count())
     }
     spark.stop()
   }
