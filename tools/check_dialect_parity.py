@@ -35,21 +35,30 @@ def load(dump_dir):
     return con, queries
 
 
-def translate_for_duckdb(sql: str) -> str:
-    """Calcite TIMESTAMPADD(unit, n, ts) == DuckDB ts + n * INTERVAL 1 unit —
-    interval ADDITION has identical semantics in both engines (unlike
-    TIMESTAMPDIFF, whose boundary-counting differs and stays skipped)."""
+def _rewrite_calls(sql: str, fname: str, rewrite) -> str:
+    """Replace every call of `fname` (case-insensitive, word boundary) with
+    rewrite(args) where args are the top-level comma-split argument strings.
+    Nested calls are handled by recursing on the argument text first."""
     out = []
     i = 0
     up = sql.upper()
+    f = fname.upper()
     while True:
-        j = up.find("TIMESTAMPADD", i)
+        j = up.find(f, i)
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = up.find(f, j + 1)
         if j < 0:
             out.append(sql[i:])
             return "".join(out)
+        k = j + len(f)
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if k >= len(sql) or sql[k] != "(":
+            out.append(sql[i:j + len(f)])
+            i = j + len(f)
+            continue
         out.append(sql[i:j])
-        k = sql.index("(", j)
-        depth, args, start = 0, [], k + 1
+        depth, args, start, end = 0, [], k + 1, len(sql) - 1
         for p in range(k, len(sql)):
             c = sql[p]
             if c == "(":
@@ -63,10 +72,105 @@ def translate_for_duckdb(sql: str) -> str:
             elif c == "," and depth == 1:
                 args.append(sql[start:p])
                 start = p + 1
-        unit, n, ts = args[0].strip(), args[1].strip(), args[2].strip()
-        unit = unit.replace("SQL_TSI_", "")
-        out.append(f"(CAST({ts} AS TIMESTAMP) + ({n}) * INTERVAL 1 {unit})")
+        args = [_rewrite_calls(a.strip(), fname, rewrite) for a in args]
+        out.append(rewrite(args))
         i = end + 1
+
+
+def translate_for_duckdb(sql: str) -> str:
+    """Bridge the Calcite spellings the engine's dialect accepts to DuckDB
+    equivalents with the SAME semantics the engine (Spark) implements, so
+    the replay compares values instead of skipping:
+
+    - TIMESTAMPADD(unit, n, ts): interval ADDITION is identical in both
+      engines -> ts + n * INTERVAL 1 unit.
+    - TIMESTAMPDIFF(unit, a, b): Calcite/Spark count COMPLETE units
+      (ChronoUnit.between), which is DuckDB's date_sub — NOT date_diff,
+      which counts boundary crossings.
+    - CHAR_LENGTH -> length (same code-point counting).
+    - TO_DATE/TO_TIMESTAMP(s, '%fmt') -> try_strptime: same %-directives,
+      and try_ mirrors the engine's null-on-unparsable (non-ANSI) mode.
+    - INITCAP: Spark semantics (whitespace-delimited words, rest
+      lowercased) spelled as a DuckDB list_transform over split words.
+    - COUNT(a, b, ...) [DISTINCT]: Calcite counts rows where ALL args are
+      non-null; spelled with a CASE filter (and a ROW value for DISTINCT).
+    - ASIN/ACOS outside [-1,1]: Calcite/cudf/Spark yield NaN; DuckDB
+      raises — domain-guard with a CASE yielding NAN.
+    - REGEXP_REPLACE(s, re, rep): Calcite/Spark replace ALL occurrences;
+      DuckDB only the first without the 'g' flag.
+    - LN(x <= 0): Spark yields NULL (non-ANSI); DuckDB raises.
+    - SUBSTRING(s, 0, n): Calcite/Spark treat start 0 as 1 (n chars);
+      DuckDB lets position 0 consume one of the n.
+    """
+    def ts_add(args):
+        unit, n, ts = args[0], args[1], args[2]
+        unit = unit.replace("SQL_TSI_", "")
+        return f"(CAST({ts} AS TIMESTAMP) + ({n}) * INTERVAL 1 {unit})"
+
+    def ts_diff(args):
+        unit, a, b = args[0], args[1], args[2]
+        unit = unit.replace("SQL_TSI_", "").lower()
+        return f"date_sub('{unit}', CAST({a} AS TIMESTAMP), CAST({b} AS TIMESTAMP))"
+
+    def to_date(args):
+        if len(args) == 1:
+            return f"CAST({args[0]} AS DATE)"
+        return f"CAST(try_strptime({args[0]}, {args[1]}) AS DATE)"
+
+    def to_timestamp(args):
+        if len(args) == 1:
+            return f"CAST({args[0]} AS TIMESTAMP)"
+        return f"try_strptime({args[0]}, {args[1]})"
+
+    def initcap(args):
+        x = args[0]
+        return ("array_to_string(list_transform(string_split(lower(" + x +
+                "), ' '), w -> upper(w[1]) || w[2:]), ' ')")
+
+    def count_multi(args):
+        distinct = args and args[0].upper().startswith("DISTINCT ")
+        if distinct:
+            args = [args[0][len("DISTINCT "):]] + args[1:]
+        if len(args) == 1:
+            return f"count({'DISTINCT ' if distinct else ''}{args[0]})"
+        notnull = " AND ".join(f"({a}) IS NOT NULL" for a in args)
+        if distinct:
+            row = ", ".join(args)
+            return f"count(DISTINCT CASE WHEN {notnull} THEN row({row}) END)"
+        return f"count(CASE WHEN {notnull} THEN 1 END)"
+
+    def domain_guard(fn):
+        def g(args):
+            x = args[0]
+            return (f"(CASE WHEN ({x}) BETWEEN -1 AND 1 THEN {fn}({x}) "
+                    f"ELSE CAST('nan' AS DOUBLE) END)")
+        return g
+
+    sql = _rewrite_calls(sql, "TIMESTAMPADD", ts_add)
+    sql = _rewrite_calls(sql, "TIMESTAMPDIFF", ts_diff)
+    sql = _rewrite_calls(sql, "CHAR_LENGTH", lambda a: f"length({a[0]})")
+    sql = _rewrite_calls(sql, "TO_DATE", to_date)
+    sql = _rewrite_calls(sql, "TO_TIMESTAMP", to_timestamp)
+    sql = _rewrite_calls(sql, "INITCAP", initcap)
+    sql = _rewrite_calls(sql, "COUNT", count_multi)
+    def regexp_replace(args):
+        if len(args) == 3:
+            return f"regexp_replace({args[0]}, {args[1]}, {args[2]}, 'g')"
+        return f"regexp_replace({', '.join(args)})"
+
+    def substring(args):
+        if len(args) >= 2 and args[1].strip() == "0":
+            args = [args[0], "1"] + args[2:]
+        return f"substring({', '.join(args)})"
+
+    sql = _rewrite_calls(sql, "ASIN", domain_guard("asin"))
+    sql = _rewrite_calls(sql, "ACOS", domain_guard("acos"))
+    sql = _rewrite_calls(sql, "REGEXP_REPLACE", regexp_replace)
+    sql = _rewrite_calls(sql, "SUBSTRING", substring)
+    sql = _rewrite_calls(
+        sql, "LN",
+        lambda a: f"(CASE WHEN ({a[0]}) > 0 THEN ln({a[0]}) ELSE NULL END)")
+    return sql
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
