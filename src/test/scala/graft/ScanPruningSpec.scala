@@ -52,4 +52,35 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(scanned > 0 && scanned < n / 10,
       s"scan emitted $scanned of $n rows - row-group skipping did not fire")
   }
+
+  test("selective predicate on sorted ORC skips most stripes/row-groups (metrics)") {
+    // Reference builds the same min/max skip metadata for ORC stripes
+    // (engine/src/io/data_parser/metadata/orc_metadata.cpp); the Spark
+    // analog is the ORC SearchArgument pushed into the reader
+    // (spark.sql.orc.filterPushdown=true), which skips at stripe and
+    // row-index-stride granularity.
+    val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/t"
+    val n = 400000L
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    // small stripes + fine row index stride => meaningful skip granularity
+    spark.range(n).select(col("id").as("k"), (col("id") % 1000).as("v"))
+      .coalesce(2)
+      .sortWithinPartitions("k")
+      .write
+      .option("orc.stripe.size", (256 * 1024).toString)
+      .option("orc.row.index.stride", "1000")
+      .orc(dir)
+
+    val df = spark.read.orc(dir).filter(col("k") >= 1000 && col("k") < 2000)
+    assert(df.collect().length == 1000)
+
+    val physical = df.queryExecution.executedPlan
+    val explained = df.queryExecution.toString
+    assert(explained.contains("PushedFilters") &&
+      explained.contains("GreaterThanOrEqual(k,1000)"), explained.take(2000))
+    val scanned = scanOutputRows(physical)
+    // without stripe/row-group statistics skipping the scan would emit all 400k
+    assert(scanned > 0 && scanned < n / 10,
+      s"scan emitted $scanned of $n rows - ORC skip-data did not fire")
+  }
 }
