@@ -66,9 +66,17 @@ object Bench {
       }
     }
 
+    // Median of 3 runs per query: single-run numbers carry ±0.3-0.5 s of
+    // JIT/GC/plan-cache noise at these sub-10 s scales, enough to obscure
+    // real regressions round-over-round.
+    def runMedian(name: String, runs: Int = 3): Double = {
+      val times = Seq.fill(runs)(runOnce(name))
+      if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2)
+    }
+
     runOnce("q01_tpch_q1") // warmup: JIT, codegen cache, FS metadata
 
-    val results = headline.map(n => n -> runOnce(n))
+    val results = headline.map(n => n -> runMedian(n))
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -58,9 +58,21 @@ class EngineContext(val spark: SparkSession) {
   }
 
   /** Register an HDFS namenode under `alias` (reference context.py:
-  * 1703-1743: host, port, user). */
-  def hdfs(alias: String, host: String, port: Int, user: String = ""): Unit = {
+    * 1703-1743: host, port, user, kerb_ticket). `kerbTicket` is a path to a
+    * kerberos ticket cache; it flips the Hadoop client to kerberos auth and
+    * points it at the ticket — config mapping only, exactly what the
+    * reference's registration does (the live KDC handshake belongs to the
+    * Hadoop client at read time). */
+  def hdfs(
+      alias: String,
+      host: String,
+      port: Int,
+      user: String = "",
+      kerbTicket: String = ""): Unit = {
     if (user.nonEmpty) hadoopSet("hadoop.user.name" -> user)
+    if (kerbTicket.nonEmpty) hadoopSet(
+      "hadoop.security.authentication" -> "kerberos",
+      "hadoop.security.kerberos.ticket.cache.path" -> kerbTicket)
     filesystems.put(alias, s"hdfs://$host:$port")
   }
 
@@ -253,31 +265,42 @@ class EngineContext(val spark: SparkSession) {
   def sql(query: String): DataFrame = spark.sql(Dialect.rewrite(query))
 
   /** Per-query config overrides (reference: bc.sql(query, config_options=
-    * {...}), context.py:3071 — applied for one query, then restored).
-    * Spark plans lazily, so the physical plan is bound HERE under the
-    * overrides and the session conf restored before returning; knobs that
-    * AQE re-reads at runtime (partition coalescing sizes) see the restored
-    * session values — use the session-level config() for those. */
+    * {...}), context.py:3071 — applied for one query only).
+    * Spark plans AND adapts lazily — AQE re-reads knobs like partition
+    * coalescing sizes at runtime — so set-plan-restore would silently drop
+    * overrides for those keys. Instead the query runs on a CLONED session
+    * (same SparkContext, copied temp-view catalog and conf): the overrides
+    * live exactly as long as the returned DataFrame, planning-time and
+    * AQE-runtime reads both see them, and this session's conf is never
+    * touched. */
   def sql(query: String, configOptions: Map[String, String]): DataFrame = {
     val mapped = configOptions.map { case (k, v) => mapConfigKey(k) -> v }
-    val saved = mapped.keys.map(k => k -> Try(spark.conf.get(k)).toOption).toMap
-    mapped.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val df = sql(query)
-      df.queryExecution.executedPlan // bind planning-time confs now
-      df
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
+    val cloned = org.apache.spark.sql.graftshim.SessionClone.cloneSession(spark)
+    mapped.foreach { case (k, v) => cloned.conf.set(k, v) }
+    cloned.sql(Dialect.rewrite(query))
   }
 
   /** Two-level explain, mirroring bc.explain(sql, detail)
-    * (context.py:1842-1924): detail=false → optimized logical algebra,
-    * detail=true → physical plan. */
+    * (context.py:1842-1924): detail=false → the optimized logical algebra
+    * in the reference's Calcite string shape (`LogicalProject(...)` with
+    * two-space indentation — see CalciteExplain), detail=true → the
+    * physical plan (the honest Spark analog of the reference's RAL kernel
+    * listing). */
   def explain(query: String, detail: Boolean = false): String = {
     val qe = sql(query).queryExecution
-    if (detail) qe.executedPlan.toString else qe.optimizedPlan.toString
+    if (detail) qe.executedPlan.toString
+    else {
+      // canonical plan of each registered view → its name, so scans render
+      // as table=[[main, name]] (the optimizer erases view aliases)
+      val canon = {
+        import scala.jdk.CollectionConverters._
+        tables.keySet.asScala.toSeq.sorted.flatMap { n =>
+          Try(spark.table(n).queryExecution.optimizedPlan.canonicalized).toOption.map(_ -> n)
+        }.toMap
+      }
+      graft.plans.CalciteExplain.format(
+        qe.optimizedPlan, p => canon.get(p.canonicalized))
+    }
   }
 
   // -------------------------------------------------------- async token API

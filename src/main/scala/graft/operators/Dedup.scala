@@ -139,7 +139,6 @@ object Dedup {
     //     no barrier: the jaccard threshold is applied INSIDE the
     //     mapPartitions pass, so only passing pairs (~1e-3 of candidates)
     //     ever leave the verify stage.
-    val spark = docs.sparkSession
     // ONE scan of docs: the persisted gram-hash sets feed the signature
     // projection (no shuffle), the sizing aggregate (which populates the
     // cache), and the verify stage. `cands` stays lazy — materializing it
@@ -167,19 +166,33 @@ object Dedup {
       broadcastVerifyPairs(cands, sets, threshold)
     else
       minHashVerify(cands, sets, useBroadcastMap = false, threshold).localCheckpoint()
-        .select(col("id_a"), col("id_b"),
-          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .select(col("id_a"), col("id_b"), jaccardCol)
         .filter(col("jaccard") >= threshold)
   }
 
-  /** Broadcast-map verify fused with the jaccard threshold: one
-    * mapPartitions pass over the candidate pairs that runs the size-ratio
-    * prefilter, the sorted-merge intersect, AND the threshold, emitting
-    * only passing pairs. Arithmetic is bit-identical to the SQL form
-    * (int sums, one double division), so the two physical strategies stay
-    * oracle-interchangeable. */
+  /** jaccard from the verify tuple (inter, na, nb) — int sums, one double
+    * division, identical on both physical strategies. */
+  private def jaccardCol: Column =
+    (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
+
+  /** Broadcast-map verify with the threshold applied in the same stage:
+    * the size-ratio prefilter runs inside the merge-walk pass (a necessary
+    * condition for jaccard >= threshold), and the exact jaccard filter
+    * fuses as a narrow op right behind it, so only passing pairs
+    * (~1e-3 of candidates) ever leave the verify stage. */
   private def broadcastVerifyPairs(cands: DataFrame, sets: DataFrame,
-                                   threshold: Double): DataFrame = {
+                                   threshold: Double): DataFrame =
+    broadcastMergeWalk(cands, sets, minSizeRatio = threshold)
+      .select(col("id_a"), col("id_b"), jaccardCol)
+      .filter(col("jaccard") >= threshold)
+
+  /** The one broadcast merge-walk implementation both broadcast-strategy
+    * entry points share: collect the (docs-sized, byte-budgeted) gram-set
+    * map, broadcast it, and score candidate pairs in a single mapPartitions
+    * pass — size-ratio prefilter + sorted-merge intersect — emitting
+    * (id_a, id_b, inter, na, nb). */
+  private def broadcastMergeWalk(cands: DataFrame, sets: DataFrame,
+                                 minSizeRatio: Double): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
     // getAs[Number]: integralId admits IntegerType ids too, so the sid
@@ -187,15 +200,15 @@ object Dedup {
     val setsMap: Map[Long, Array[Long]] = sets.collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Long](1).toArray).toMap
     val bc = spark.sparkContext.broadcast(setsMap)
-    val t = threshold
+    val ratio = minSizeRatio
     cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
       .mapPartitions { it =>
         val m = bc.value
         it.flatMap { case (a, b) =>
           val ga = m(a); val gb = m(b)
-          // jaccard >= t requires min(|A|,|B|) >= t * max(|A|,|B|): skip
+          // jaccard >= r requires min(|A|,|B|) >= r * max(|A|,|B|): skip
           // the merge walk for pairs that cannot qualify
-          if (math.min(ga.length, gb.length) < t * math.max(ga.length, gb.length)) None
+          if (math.min(ga.length, gb.length) < ratio * math.max(ga.length, gb.length)) None
           else {
             var i = 0; var j = 0; var n = 0
             while (i < ga.length && j < gb.length) {
@@ -203,12 +216,11 @@ object Dedup {
               else if (ga(i) < gb(j)) i += 1
               else j += 1
             }
-            val jac = n.toDouble / (ga.length + gb.length - n)
-            if (jac >= t) Some((a, b, jac)) else None
+            Some((a, b, n, ga.length, gb.length))
           }
         }
       }
-      .toDF("id_a", "id_b", "jaccard")
+      .toDF("id_a", "id_b", "inter", "na", "nb")
   }
 
   /** Verify stage of minHashLshPairs: intersect sizes for each candidate
@@ -232,33 +244,8 @@ object Dedup {
     * merge walk for pairs that cannot qualify. */
   def minHashVerify(cands: DataFrame, sets: DataFrame, useBroadcastMap: Boolean,
                     minSizeRatio: Double): DataFrame = {
-    val spark = cands.sparkSession
-    import spark.implicits._
     if (useBroadcastMap) {
-      // getAs[Number]: integralId admits IntegerType ids too, so the sid
-      // cell may be an Int — a raw getLong would ClassCastException.
-      val setsMap: Map[Long, Array[Long]] = sets.collect()
-        .map(r => r.getAs[Number](0).longValue -> r.getSeq[Long](1).toArray).toMap
-      val bc = spark.sparkContext.broadcast(setsMap)
-      val ratio = minSizeRatio
-      cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
-        .mapPartitions { it =>
-          val m = bc.value
-          it.flatMap { case (a, b) =>
-            val ga = m(a); val gb = m(b)
-            if (math.min(ga.length, gb.length) < ratio * math.max(ga.length, gb.length)) None
-            else {
-              var i = 0; var j = 0; var n = 0
-              while (i < ga.length && j < gb.length) {
-                if (ga(i) == gb(j)) { n += 1; i += 1; j += 1 }
-                else if (ga(i) < gb(j)) i += 1
-                else j += 1
-              }
-              Some((a, b, n, ga.length, gb.length))
-            }
-          }
-        }
-        .toDF("id_a", "id_b", "inter", "na", "nb")
+      broadcastMergeWalk(cands, sets, minSizeRatio)
     } else {
       cands
         .join(sets.as("sa").hint("SHUFFLE_HASH"), col("id_a") === col("sa.sid"))

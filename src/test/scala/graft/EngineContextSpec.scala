@@ -42,10 +42,36 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.sql("SELECT count(*) AS n FROM r_orc").collect()(0).getLong(0) == 5)
   }
 
-  test("explain returns logical plan, detail=true returns physical plan") {
+  test("explain emits Calcite-shaped algebra; detail=true returns physical plan") {
     val c = ctx
-    val logical = c.explain("SELECT r_name FROM region WHERE r_regionkey > 1")
-    assert(logical.contains("Filter") || logical.contains("Relation"))
+    // pushed filter+projection folds into BindableTableScan, as the
+    // reference's ProjectTableScanRule/FilterTableScanRule produce
+    val scan = c.explain("SELECT r_name FROM region WHERE r_regionkey > 1")
+    assert(scan == "BindableTableScan(table=[[main, region]], " +
+      "filters=[[>($0, 1)]], projects=[[1]], aliases=[[r_name]])")
+    // the reference docs' UNION example shape (context.py:1842-1924):
+    // LogicalUnion over one clean scan and one filtered BindableTableScan
+    val union = c.explain(
+      "SELECT r_regionkey, r_name FROM region UNION ALL " +
+      "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3")
+    val uLines = union.split("\n")
+    assert(uLines(0) == "LogicalUnion(all=[true])")
+    assert(uLines(1) == "  LogicalTableScan(table=[[main, region]])")
+    assert(uLines(2).startsWith("  BindableTableScan(table=[[main, region]], filters=[[<($0, 3)]]"))
+    // agg + sort nest with two-space indentation per level
+    val agg = c.explain(
+      "SELECT o_orderstatus, count(*) AS n FROM orders " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    val aLines = agg.split("\n")
+    // engine ORDER BY default is nulls-first; Calcite spells the
+    // deviation from its own default explicitly, as the reference does
+    assert(aLines(0).startsWith("LogicalSort(sort0=[$0], dir0=[ASC-nulls-first]"))
+    assert(aLines(1).startsWith("  LogicalAggregate(group=[{0}], n=[COUNT()]"))
+    assert(aLines(2).startsWith("    "))
+    // join renders condition + joinType
+    val join = c.explain(
+      "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")
+    assert(join.contains("LogicalJoin(condition=[=(") && join.contains("joinType=[inner]"))
     val physical = c.explain("SELECT r_name FROM region WHERE r_regionkey > 1", detail = true)
     assert(physical.contains("FileScan") || physical.contains("Scan"))
   }
@@ -232,6 +258,37 @@ class EngineContextSpec extends AnyFunSuite {
     // and a normal query still broadcasts the tiny dim
     val normal = c.sql("SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey")
     assert(normal.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("per-query config_options reach AQE-runtime knobs on the cloned session") {
+    val c = ctx
+    val q = "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey"
+    // default session: AQE coalesces this small shuffle to few partitions
+    val coalesced = c.sql(q)
+    coalesced.collect()
+    val defaultParts = coalesced.rdd.getNumPartitions
+    assert(defaultParts < 32)
+    // coalescing is read by AQE at RUNTIME, after planning — the round-4
+    // set/plan/restore implementation silently dropped this override
+    val df = c.sql(q, Map("spark.sql.adaptive.coalescePartitions.enabled" -> "false"))
+    df.collect()
+    assert(df.rdd.getNumPartitions == 32) // session shuffle.partitions
+    // parent session conf untouched (no restore step needed at all)
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    val again = c.sql(q)
+    again.collect()
+    assert(again.rdd.getNumPartitions == defaultParts)
+  }
+
+  test("hdfs registration maps kerberos ticket onto hadoop security confs") {
+    val c = ctx
+    c.hdfs("kerbfs", "namenode.example", 8020, user = "etl",
+      kerbTicket = "/tmp/krb5cc_1000")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("hadoop.security.authentication") == "kerberos")
+    assert(hc.get("hadoop.security.kerberos.ticket.cache.path") == "/tmp/krb5cc_1000")
+    assert(hc.get("hadoop.user.name") == "etl")
+    assert(c.listFilesystems()("kerbfs") == "hdfs://namenode.example:8020")
   }
 
   test("config maps reference keys onto spark conf") {

@@ -35,17 +35,55 @@ def load(dump_dir):
     return con, queries
 
 
+def _skip_literal(sql: str, p: int) -> int:
+    """Given p at an opening single quote, return the index just past the
+    literal's closing quote, treating '' as an escaped quote."""
+    q = p + 1
+    n = len(sql)
+    while q < n:
+        if sql[q] == "'":
+            if q + 1 < n and sql[q + 1] == "'":
+                q += 2
+                continue
+            break
+        q += 1
+    return q + 1
+
+
+def _literal_spans(sql: str):
+    """[start, end) spans of single-quoted literals in sql."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            e = _skip_literal(sql, i)
+            spans.append((i, e))
+            i = e
+        else:
+            i += 1
+    return spans
+
+
 def _rewrite_calls(sql: str, fname: str, rewrite) -> str:
     """Replace every call of `fname` (case-insensitive, word boundary) with
     rewrite(args) where args are the top-level comma-split argument strings.
-    Nested calls are handled by recursing on the argument text first."""
+    Nested calls are handled by recursing on the argument text first.
+    Quote-aware: function-name hits inside string literals are ignored, and
+    parens/commas inside literals (regex quantifiers like 'a{1,3}', a
+    literal '(' in a pattern, commas in a strptime format) never affect
+    depth tracking or argument splitting."""
     out = []
     i = 0
     up = sql.upper()
     f = fname.upper()
+    spans = _literal_spans(sql)
+
+    def in_literal(pos):
+        return any(s <= pos < e for s, e in spans)
+
     while True:
         j = up.find(f, i)
-        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+        while j >= 0 and ((j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"))
+                          or in_literal(j)):
             j = up.find(f, j + 1)
         if j < 0:
             out.append(sql[i:])
@@ -59,8 +97,12 @@ def _rewrite_calls(sql: str, fname: str, rewrite) -> str:
             continue
         out.append(sql[i:j])
         depth, args, start, end = 0, [], k + 1, len(sql) - 1
-        for p in range(k, len(sql)):
+        p = k
+        while p < len(sql):
             c = sql[p]
+            if c == "'":
+                p = _skip_literal(sql, p)
+                continue
             if c == "(":
                 depth += 1
             elif c == ")":
@@ -72,6 +114,7 @@ def _rewrite_calls(sql: str, fname: str, rewrite) -> str:
             elif c == "," and depth == 1:
                 args.append(sql[start:p])
                 start = p + 1
+            p += 1
         args = [_rewrite_calls(a.strip(), fname, rewrite) for a in args]
         out.append(rewrite(args))
         i = end + 1
@@ -140,9 +183,12 @@ def translate_for_duckdb(sql: str) -> str:
         return f"count(CASE WHEN {notnull} THEN 1 END)"
 
     def domain_guard(fn):
+        # NULL arm first: NULL BETWEEN -1 AND 1 is NULL, which would fall
+        # to the NaN branch, while Calcite/Spark return NULL for fn(NULL)
         def g(args):
             x = args[0]
-            return (f"(CASE WHEN ({x}) BETWEEN -1 AND 1 THEN {fn}({x}) "
+            return (f"(CASE WHEN ({x}) IS NULL THEN NULL "
+                    f"WHEN ({x}) BETWEEN -1 AND 1 THEN {fn}({x}) "
                     f"ELSE CAST('nan' AS DOUBLE) END)")
         return g
 
