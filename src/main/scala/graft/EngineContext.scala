@@ -227,6 +227,21 @@ class EngineContext(val spark: SparkSession) {
     df
   }
 
+  /** Register a Hive-metastore table under an engine-catalog name
+    * (reference: bc.create_table(name, hive_cursor) — hive.py:177
+    * get_hive_table pulls location/schema/partitions through a HiveServer2
+    * cursor, context.py:2212-2247 folds them into the table registration).
+    * On Spark the metastore IS the session catalog (enableHiveSupport), so
+    * the schema/location/partition metadata the reference reconstructs by
+    * hand arrives through `spark.table`; partition pruning flows through
+    * the catalog's partition filters (HiveMetastoreSpec pins it). */
+  def createTableHive(name: String, hiveTable: String): DataFrame = {
+    val df = spark.table(hiveTable)
+    df.createOrReplaceTempView(name)
+    tables.put(name, TableInfo(name, "hive", Seq(hiveTable), Map.empty))
+    df
+  }
+
   /** Write a registered table (or view) to files — the sink half of §2.1.
     * The reference keeps results in memory and leaves persistence to the
     * client (result GPU frames → user-side to_parquet); here the writer is
@@ -460,8 +475,14 @@ class EngineContext(val spark: SparkSession) {
 object EngineContext {
 
   /** Tuned session for this engine. shuffle.partitions sized for the local
-    * harness (32 cores); on a real cluster this is cores×2-3 or AQE-coalesced. */
+    * harness (32 cores); on a real cluster this is cores×2-3 or AQE-coalesced.
+    * Hive support is on (the reference's create_table(name, hive_cursor)
+    * path needs a metastore — context.py:2212-2247); the embedded Derby
+    * metastore + warehouse live under target/ so repeated runs reuse them
+    * and the repo root stays clean. Metastore startup is lazy — sessions
+    * that never touch a metastore table pay nothing. */
   def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val target = new java.io.File("target").getAbsolutePath
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
@@ -474,6 +495,10 @@ object EngineContext {
       // reference dialect is non-ANSI: x % 0 and bad casts yield NULL
       // (cudf semantics), not errors (Spark 4 flipped the default)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$target/spark-warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$target/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
