@@ -220,6 +220,7 @@ class EngineContext(val spark: SparkSession) {
       url: String,
       dbtable: String,
       options: Map[String, String] = Map.empty): DataFrame = {
+    graft.sources.HiveJdbcDialect.register()
     val df = spark.read.format("jdbc")
       .option("url", url).option("dbtable", dbtable).options(options).load()
     df.createOrReplaceTempView(name)
