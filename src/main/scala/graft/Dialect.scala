@@ -28,6 +28,11 @@ package graft
  *    blocks spell out the equivalence to Java patterns). Translated only
  *    when the literal is a comma-following argument made purely of % tokens
  *    and separators, so LIKE '%BRASS' wildcards are never touched.
+ *  - `REGEXP_REPLACE(s, re, '\2--\1' [, pos])` — Calcite/cudf spell
+ *    replacement backreferences `\N` (simpleStringSuite.yaml TEST_17,
+ *    whose SPARK block shows the `$N` equivalent); Spark's java.util.regex
+ *    replacement syntax is `$N`. Only the THIRD argument literal is
+ *    rewritten — regex patterns (2nd arg) keep their backslashes.
  */
 object Dialect {
 
@@ -53,7 +58,8 @@ object Dialect {
 
   /** Rewrite Calcite-dialect constructs to their Spark SQL equivalents. */
   def rewrite(sql: String): String = {
-    val sd = SlashedDateCast.replaceAllIn(sql, m =>
+    val br = rewriteRegexpReplaceBackrefs(sql)
+    val sd = SlashedDateCast.replaceAllIn(br, m =>
       s"CAST('${m.group(1)}-${m.group(2)}-${m.group(3)}' AS DATE)")
     val s0 = StrptimeArg.replaceAllIn(sd, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -63,6 +69,79 @@ object Dialect {
     mapOutsideLiterals(s0) { seg =>
       val s1 = BareVarchar.replaceAllIn(seg, "STRING")
       IntervalLeadingPrecision.replaceAllIn(s1, m => m.group(1))
+    }
+  }
+
+  /** Rewrite `\N` → `$N` inside the replacement literal (3rd argument) of
+    * every REGEXP_REPLACE call; pre-escapes literal `$` so it survives
+    * Spark's replacement parsing. Quote-aware argument scan: commas and
+    * parens inside string literals never shift argument boundaries, and a
+    * REGEXP_REPLACE spelled inside a literal is ignored. */
+  private def rewriteRegexpReplaceBackrefs(sql: String): String = {
+    val litSpans = Literal.findAllMatchIn(sql).map(m => (m.start, m.end)).toVector
+    def litEnd(p: Int): Int =
+      litSpans.collectFirst { case (s, e) if s <= p && p < e => e }.getOrElse(-1)
+
+    val Name = "REGEXP_REPLACE"
+    val up = sql.toUpperCase(java.util.Locale.ROOT)
+    val edits = Vector.newBuilder[(Int, Int, String)] // [start, end) -> text
+    var i = 0
+    while (i >= 0 && i < sql.length) {
+      val j = up.indexOf(Name, i)
+      if (j < 0) i = -1
+      else {
+        i = j + Name.length
+        val wordStart = j == 0 || { val c = sql(j - 1); !c.isLetterOrDigit && c != '_' }
+        if (wordStart && litEnd(j) < 0) {
+          var k = i
+          while (k < sql.length && sql(k).isWhitespace) k += 1
+          if (k < sql.length && sql(k) == '(') {
+            // argument spans at paren depth 1, skipping literals wholesale
+            var depth = 0; var p = k; var argStart = k + 1
+            val args = Vector.newBuilder[(Int, Int)]
+            var closed = false
+            while (p < sql.length && !closed) {
+              val le = litEnd(p)
+              if (le >= 0) p = le
+              else {
+                sql(p) match {
+                  case '(' => depth += 1
+                  case ')' =>
+                    depth -= 1
+                    if (depth == 0) { args += ((argStart, p)); closed = true }
+                  case ',' if depth == 1 =>
+                    args += ((argStart, p)); argStart = p + 1
+                  case _ => ()
+                }
+                p += 1
+              }
+            }
+            val as = args.result()
+            if (closed && as.length >= 3) {
+              val (s3, e3) = as(2)
+              val t = sql.substring(s3, e3).trim
+              // fire only on \N-containing, $-free literals: the output
+              // then contains $ and no \N, making the rewrite idempotent
+              if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
+                  t.matches("(?s).*\\\\\\d.*") && !t.contains("$")) {
+                val fixed = t.substring(1, t.length - 1)
+                  .replaceAll("\\\\(\\d)", "\\$$1")
+                val lead = sql.substring(s3, e3).takeWhile(_.isWhitespace)
+                edits += ((s3, e3, s"$lead'$fixed'"))
+              }
+            }
+          }
+        }
+      }
+    }
+    val es = edits.result().sortBy(_._1)
+    if (es.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      es.foreach { case (s, e, t) => sb ++= sql.substring(last, s) ++= t; last = e }
+      sb ++= sql.substring(last)
+      sb.result()
     }
   }
 

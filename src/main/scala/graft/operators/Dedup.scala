@@ -264,6 +264,72 @@ object Dedup {
     * for the driver hop: the map is collected once before re-broadcast. */
   val BroadcastVerifyMaxBytes: Long = 300L * 1024 * 1024
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * pairwise similarity output (minHashLshPairs / simHashPairs /
+    * cosineDupPairs) into dedup CLUSTERS with a canonical representative
+    * (the component's min id): real pipelines keep one doc per cluster,
+    * not one per pair.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two groupBy/join passes over the edge set keyed on vertex id, and
+    * the edge set converges to per-component stars in O(log n) rounds.
+    * No driver-side graph state, no vertex table that must fit anywhere:
+    * at 100 TB this is a handful of hash shuffles. Each round ends in
+    * localCheckpoint to truncate the iterative lineage (without it the
+    * plan tree doubles per round), and convergence is detected by an
+    * order-independent edge-set checksum.
+    *
+    * Returns (doc_id, rep_id) for EVERY vertex in `pairs`, roots included
+    * (rep_id = min id of the component). */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    def canon(e: DataFrame) = e.filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame) = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(N(u) ∪ {u}) over the symmetrized neighborhood
+    def withMin(s: DataFrame) =
+      s.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+
+    // large-star: larger neighbors v > u re-attach to m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      canon(s.join(withMin(s), "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: smaller-or-equal neighbors AND u itself attach to m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = withMin(s)
+      canon(
+        s.join(m, "u").filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v"))))
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = canon(
+      pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v")))
+      .localCheckpoint()
+    var last = checksum(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == last
+      last = cur
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint: every edge is (child, root); roots map to themselves
+    edges.select(col("u").as("doc_id"), col("v").as("rep_id"))
+      .union(edges.select(col("v"), col("v")).distinct())
+  }
+
   /** 32-bit SimHash fingerprint per document over whitespace tokens.
     * One groupBy(sid) with 32 bit-counter aggregates — each token row is
     * consumed once and partial aggregation runs map-side, instead of the

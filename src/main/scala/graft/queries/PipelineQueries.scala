@@ -36,6 +36,24 @@ object PipelineQueries extends QueryPack {
     s"SELECT doc_id, $b AS band, concat_ws('-', $cols) AS sig FROM mh"
   }.mkString(" UNION ALL ")
 
+  // Full MinHash-LSH pair pipeline as a CTE chain ending in
+  // pr(id_a, id_b, jaccard) — shared by the q44/q44b/q66 oracles.
+  private val minhashPairsCtes =
+    s"""$shingleCte,
+       |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
+       |bands AS ($bandSql),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+       |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
+       |          JOIN gr a ON a.doc_id = id_a
+       |          JOIN gr b ON b.doc_id = id_b AND a.g = b.g
+       |          GROUP BY id_a, id_b),
+       |pr AS (
+       |  SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Exact dedup. The corpus has no byte-identical texts, so the
     // query plants copies (doc_id+100000) and the operator must find
@@ -71,6 +89,16 @@ object PipelineQueries extends QueryPack {
       Dedup.minHashLshPairs(load(s, dir, "documents"), "doc_id", "text", 0.7,
           broadcastBudgetBytes = 0L)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Cluster formation over the near-dup pair graph: connected
+    // components (large-star/small-star) map every doc in the q44 pair
+    // graph to its cluster representative — the keep-one-per-cluster step
+    // a real dedup pipeline runs after pairing. Oracle: DuckDB recursive
+    // CTE computing min reachable id over the same pair set.
+    "q66_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshPairs(load(s, dir, "documents"), "doc_id", "text", 0.7)
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
     // ---- SimHash fingerprints + Hamming≤1 pairs
@@ -202,36 +230,25 @@ object PipelineQueries extends QueryPack {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q44_dedup_minhash_lsh" ->
-      s"""WITH $shingleCte,
-         |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
-         |bands AS ($bandSql),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
-         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
-         |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
-         |          JOIN gr a ON a.doc_id = id_a
-         |          JOIN gr b ON b.doc_id = id_b AND a.g = b.g
-         |          GROUP BY id_a, id_b)
-         |SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
 
     "q44b_dedup_minhash_shuffle" ->
-      s"""WITH $shingleCte,
-         |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
-         |bands AS ($bandSql),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
-         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
-         |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
-         |          JOIN gr a ON a.doc_id = id_a
-         |          JOIN gr b ON b.doc_id = id_b AND a.g = b.g
-         |          GROUP BY id_a, id_b)
-         |SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components as min-reachable-id: u's representative is the
+    // smallest id reachable through the symmetrized pair graph.
+    "q66_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v)
+         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "q45_dedup_simhash" ->
       s"""WITH toks AS (

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/**
+  * Dedup cluster formation: connectedComponents (alternating
+  * large-star/small-star) must agree with a trivially-correct in-memory
+  * union-find on random graphs, and converge on the worst-diameter shape
+  * (a chain) where naive label propagation needs O(n) rounds.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v.toInt).toLong).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches union-find on a random graph (fixed seed)") {
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val expected = unionFind(n, edges)
+    val got = run(edges)
+    assert(got == expected)
+    // representative is the component minimum
+    assert(got.forall { case (v, r) => r <= v })
+  }
+
+  test("converges on a 200-node chain (worst diameter)") {
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("duplicate and reversed pairs do not change components") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (7L, 8L))
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("empty pair set yields empty clusters") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+}

@@ -65,6 +65,27 @@ class DialectCompatSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect rewrites: REGEXP_REPLACE replacement backreferences \\N -> $N") {
+    assert(Dialect.rewrite(
+      "SELECT REGEXP_REPLACE(c, '[a-z]{2}([a-z]{2})([a-z]{2})', '\\2--\\1') FROM t")
+      == "SELECT REGEXP_REPLACE(c, '[a-z]{2}([a-z]{2})([a-z]{2})', '$2--$1') FROM t")
+    // 4-arg position form: same third-arg rewrite, position untouched
+    assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '\\1!', 4) FROM t")
+      == "SELECT REGEXP_REPLACE(c, '(x)', '$1!', 4) FROM t")
+    // the regex PATTERN keeps its backslashes (only arg 3 is a replacement)
+    assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '\\d+', 'N') FROM t")
+      == "SELECT REGEXP_REPLACE(c, '\\d+', 'N') FROM t")
+    // commas inside literal args don't shift the argument boundaries
+    assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, 'a{1,3}', '\\1,ok') FROM t")
+      == "SELECT REGEXP_REPLACE(c, 'a{1,3}', '$1,ok') FROM t")
+    // inside a string literal the call name is ignored
+    assert(Dialect.rewrite("SELECT 'REGEXP_REPLACE(a, b, ''\\1'')' FROM t")
+      == "SELECT 'REGEXP_REPLACE(a, b, ''\\1'')' FROM t")
+    // idempotent: a rewritten (or already-$N) replacement is untouched
+    assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
+      == "SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
+  }
+
   test("dialect rewrites: slashed date literals in CAST") {
     assert(Dialect.rewrite("select CAST('1997/05/02' as date) from region")
       == "select CAST('1997-05-02' AS DATE) from region")

@@ -120,6 +120,57 @@ def _rewrite_calls(sql: str, fname: str, rewrite) -> str:
         i = end + 1
 
 
+_INTERVAL_RE = __import__("re").compile(
+    r"INTERVAL\s+'(?P<val>[^']*)'\s+"
+    r"(?P<start>YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+    r"(?P<prec>\s*\(\d+\))?"
+    r"(?:\s+TO\s+(?P<end>YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))?",
+    __import__("re").IGNORECASE)
+
+
+def _interval_to_duckdb(m):
+    """Rewrite a Calcite field-qualified interval literal into DuckDB's
+    unit-name form. Only fires for the syntax DuckDB cannot parse (a TO
+    range or a leading-field precision); plain `INTERVAL '5' DAY` passes
+    through untouched, so already-working queries keep their exact SQL."""
+    if not m.group("prec") and not m.group("end"):
+        return m.group(0)
+    val = m.group("val").strip()
+    start = m.group("start").upper()
+    end = (m.group("end") or start).upper()
+    neg = val.startswith("-")
+    if neg:
+        val = val[1:].strip()
+    parts = {}
+    try:
+        if start == "YEAR" and end == "MONTH":
+            y, mo = val.split("-")
+            parts = {"years": y, "months": mo}
+        elif start == end:
+            parts = {start.lower() + "s": val}
+        else:
+            # SQL-standard packed day-time value: 'D H:M:S' prefixes
+            if start == "DAY":
+                d, _, rest = val.partition(" ")
+                parts["days"] = d
+                hms = rest.strip().split(":") if rest.strip() else []
+                sub_start = "HOUR"
+            else:
+                hms = val.split(":")
+                sub_start = start
+            seq = ["HOUR", "MINUTE", "SECOND"]
+            fields = seq[seq.index(sub_start):seq.index(end) + 1]
+            if len(fields) != len(hms):
+                return m.group(0)
+            for f, v in zip(fields, hms):
+                parts[f.lower() + "s"] = v
+    except ValueError:
+        return m.group(0)
+    sign = "-" if neg else ""
+    words = " ".join(f"{sign}{v} {f}" for f, v in parts.items() if v != "")
+    return f"INTERVAL '{words}'"
+
+
 def translate_for_duckdb(sql: str) -> str:
     """Bridge the Calcite spellings the engine's dialect accepts to DuckDB
     equivalents with the SAME semantics the engine (Spark) implements, so
@@ -144,6 +195,14 @@ def translate_for_duckdb(sql: str) -> str:
     - LN(x <= 0): Spark yields NULL (non-ANSI); DuckDB raises.
     - SUBSTRING(s, 0, n): Calcite/Spark treat start 0 as 1 (n chars);
       DuckDB lets position 0 consume one of the n.
+    - Multi-field interval literals (INTERVAL '2 01:03:10' DAY TO
+      SECOND, INTERVAL '23:15' HOUR(2) TO MINUTE): DuckDB's parser has
+      no field-qualifier syntax; the value means the same duration, so
+      spell it as DuckDB's unit-name form ('2 days 1 hours 3 minutes
+      10 seconds'). Same for single fields with leading precision.
+    - REGEXP_REPLACE(s, re, rep, pos): the position form replaces only
+      from pos on, keeping the prefix verbatim (Calcite/cudf and Spark's
+      4-arg regexp_replace agree) -> prefix || regexp_replace(substr).
     """
     def ts_add(args):
         unit, n, ts = args[0], args[1], args[2]
@@ -192,6 +251,7 @@ def translate_for_duckdb(sql: str) -> str:
                     f"ELSE CAST('nan' AS DOUBLE) END)")
         return g
 
+    sql = _INTERVAL_RE.sub(_interval_to_duckdb, sql)
     sql = _rewrite_calls(sql, "TIMESTAMPADD", ts_add)
     sql = _rewrite_calls(sql, "TIMESTAMPDIFF", ts_diff)
     sql = _rewrite_calls(sql, "CHAR_LENGTH", lambda a: f"length({a[0]})")
@@ -202,6 +262,10 @@ def translate_for_duckdb(sql: str) -> str:
     def regexp_replace(args):
         if len(args) == 3:
             return f"regexp_replace({args[0]}, {args[1]}, {args[2]}, 'g')"
+        if len(args) == 4 and args[3].strip().isdigit():
+            s, re_, rep, pos = args[0], args[1], args[2], int(args[3])
+            return (f"(substring({s}, 1, {pos - 1}) || "
+                    f"regexp_replace(substring({s}, {pos}), {re_}, {rep}, 'g'))")
         return f"regexp_replace({', '.join(args)})"
 
     def substring(args):
