@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
- * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+ * prints ONE JSON line {"metric","value","unit","queries","sf",...}.
  *
  * Each query is forced through the noop DataSourceV2 sink — unlike
  * count(), noop computes every output column (count() lets Catalyst prune
@@ -12,6 +12,17 @@ import org.apache.spark.sql.SparkSession
  * queries). One warmup query amortizes JIT/codegen/FS-cache startup so
  * per-query numbers reflect steady-state throughput, which is what a
  * long-running cluster job sees.
+ *
+ * Contamination evidence: a capture on a loaded machine is not a code
+ * regression, but medians alone can't tell the two apart (BENCH_r05
+ * recorded 43 s for a binary that measures 19 s idle). Three guards:
+ *  - "runs": every per-run time is printed, not just the median;
+ *  - "calibration": a fixed single-threaded CPU microloop is timed before
+ *    and after the query sweep — pure arithmetic, no allocation, so its
+ *    time moves only with CPU contention/frequency, never with code
+ *    under test;
+ *  - "contaminated": true when calibration drifts >1.5× start-to-end or
+ *    any query's run-to-run spread exceeds 2× — the artifact flags itself.
  */
 object Bench {
 
@@ -34,7 +45,24 @@ object Bench {
     "q47_ann_topk",       // brute-force cosine top-k
     "q48_ann_lsh",        // sign-LSH bucketed ANN
     "q49_lang_id",        // text analysis
-    "q53_multimodal_decode") // binary columns + batched decode
+    "q53_multimodal_decode", // binary columns + batched decode
+    "q66_dedup_clusters") // iterative connected-components clustering
+
+  /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
+    * thread, no allocation, deterministic instruction count. Returns
+    * (elapsed seconds, checksum) — the checksum defeats DCE. */
+  def calibrate(): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var acc = 0L
+    var i = 0
+    while (i < 100000000) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545f4914f6cdd1dL
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,18 +97,41 @@ object Bench {
     // Median of 3 runs per query: single-run numbers carry ±0.3-0.5 s of
     // JIT/GC/plan-cache noise at these sub-10 s scales, enough to obscure
     // real regressions round-over-round.
-    def runMedian(name: String, runs: Int = 3): Double = {
-      val times = Seq.fill(runs)(runOnce(name))
-      if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2)
-    }
+    def runTimes(name: String, runs: Int = 3): Seq[Double] =
+      Seq.fill(runs)(runOnce(name))
+    def median(times: Seq[Double]): Double =
+      if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2)
 
+    val (calStart, _) = calibrate()
     runOnce("q01_tpch_q1") // warmup: JIT, codegen cache, FS metadata
 
-    val results = headline.map(n => n -> runMedian(n))
+    val allRuns = headline.map(n => n -> runTimes(n))
+    val (calEnd, _) = calibrate()
+
+    val results = allRuns.map { case (k, ts) => k -> median(ts) }
+    // spread = slowest/fastest STEADY-STATE run of one query (run 1 is
+    // dropped: codegen/JIT warmup routinely triples it); intermittent
+    // contention shows up here, sustained contention in calibration drift.
+    // The 1 s absolute-range floor keeps sub-second jitter from
+    // false-flagging — machine-load distortion of the r5 kind moved
+    // individual queries by 5-14 s.
+    val spreadMax = allRuns.map { case (_, ts) =>
+      val ok = ts.drop(1).filter(_ > 0)
+      if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0 else ok.max / ok.min
+    }.max
+    val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
+    val contaminated = calDrift > 1.5 || spreadMax > 2.0
+
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
+    val runsJson = allRuns.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f}""" +
+      f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated}""")
     spark.stop()
   }
 }

@@ -73,10 +73,13 @@ object Dialect {
   }
 
   /** Rewrite `\N` → `$N` inside the replacement literal (3rd argument) of
-    * every REGEXP_REPLACE call; pre-escapes literal `$` so it survives
-    * Spark's replacement parsing. Quote-aware argument scan: commas and
-    * parens inside string literals never shift argument boundaries, and a
-    * REGEXP_REPLACE spelled inside a literal is ignored. */
+    * every REGEXP_REPLACE call, pre-escaping any literal `$` in the same
+    * literal to `\$` so it survives Spark's replacement parsing (Calcite/
+    * cudf treat `$` as plain text). Literals without `\N` backrefs pass
+    * through untouched — including $-only ones, where no rewrite marker
+    * exists to keep escaping idempotent. Quote-aware argument scan: commas
+    * and parens inside string literals never shift argument boundaries,
+    * and a REGEXP_REPLACE spelled inside a literal is ignored. */
   private def rewriteRegexpReplaceBackrefs(sql: String): String = {
     val litSpans = Literal.findAllMatchIn(sql).map(m => (m.start, m.end)).toVector
     def litEnd(p: Int): Int =
@@ -120,14 +123,31 @@ object Dialect {
             if (closed && as.length >= 3) {
               val (s3, e3) = as(2)
               val t = sql.substring(s3, e3).trim
-              // fire only on \N-containing, $-free literals: the output
-              // then contains $ and no \N, making the rewrite idempotent
+              // fire only on \N-containing literals: the output contains
+              // $N group refs and no \N, so a second pass never re-fires
+              // (idempotent). In the same pass, literal `$` is escaped to
+              // `\$` so Spark's replacement parser keeps it literal —
+              // Calcite/cudf treat $ as plain text. A $-bearing literal
+              // withOUT backrefs is left untouched (no rewrite marker to
+              // make escaping idempotent; the reference suites never mix
+              // bare $ into replacement text).
               if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
-                  t.matches("(?s).*\\\\\\d.*") && !t.contains("$")) {
-                val fixed = t.substring(1, t.length - 1)
-                  .replaceAll("\\\\(\\d)", "\\$$1")
+                  t.matches("(?s).*\\\\\\d.*")) {
+                val body = t.substring(1, t.length - 1)
+                val sb = new StringBuilder
+                var bi = 0
+                while (bi < body.length) {
+                  val ch = body(bi)
+                  if (ch == '\\' && bi + 1 < body.length && body(bi + 1).isDigit) {
+                    sb += '$'; sb += body(bi + 1); bi += 2 // \N -> $N
+                  } else if (ch == '\\' && bi + 1 < body.length) {
+                    sb += ch; sb += body(bi + 1); bi += 2 // other escapes as-is
+                  } else if (ch == '$') {
+                    sb ++= "\\$"; bi += 1 // literal $ -> \$
+                  } else { sb += ch; bi += 1 }
+                }
                 val lead = sql.substring(s3, e3).takeWhile(_.isWhitespace)
-                edits += ((s3, e3, s"$lead'$fixed'"))
+                edits += ((s3, e3, s"$lead'${sb.result()}'"))
               }
             }
           }

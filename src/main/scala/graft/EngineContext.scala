@@ -150,7 +150,7 @@ class EngineContext(val spark: SparkSession) {
       case "csv" =>
         val kwargs = Set("names", "dtype", "schema", "delimiter", "skiprows",
           "nrows", "quotechar", "comment", "na_values", "lineterminator",
-          "skipinitialspace")
+          "skipinitialspace", "max_bytes_chunk_read")
         val passthrough = options.view.filterKeys(k => !kwargs.contains(k)).toMap
         // pandas-style kwarg -> Spark CSV reader option
         val mapped = Seq(
@@ -181,13 +181,37 @@ class EngineContext(val spark: SparkSession) {
         // has no such reader option, so feed the parser a Dataset[String]
         // with the prefix removed — zipWithIndex preserves file order, and
         // the line dataset stays distributed (no driver materialization).
-        val skipped = options.get("skiprows").map(_.trim.toInt).filter(_ > 0) match {
-          case Some(nSkip) =>
-            val lines = spark.createDataset(
-              spark.read.textFile(rpaths: _*).rdd.zipWithIndex()
-                .filter(_._2 >= nSkip).map(_._1))(org.apache.spark.sql.Encoders.STRING)
-            r2.csv(lines)
-          case None => r2.load(rpaths: _*)
+        // max_bytes_chunk_read (reference CSV chunked reads, CHANGELOG
+        // 21.08 #1572, default 256 MB): bound the bytes each task parses.
+        // Session-level split tuning (files.maxPartitionBytes) is a GLOBAL
+        // knob; the per-TABLE form goes through Hadoop's TextInputFormat,
+        // whose minPartitions goal-size yields genuine byte-range splits
+        // of ~chunk bytes each — no shuffle, no session mutation, and the
+        // same mechanics on a 1000-executor cluster.
+        val chunkParts = options.get("max_bytes_chunk_read").map(_.trim.toLong).map { bytes =>
+          require(bytes > 0, s"max_bytes_chunk_read must be positive, got $bytes")
+          val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          val total = rpaths.flatMap { p =>
+            Option(fs.globStatus(new org.apache.hadoop.fs.Path(p))).toSeq.flatten
+          }.map(_.getLen).sum
+          math.max(1L, (total + bytes - 1) / bytes).toInt
+        }
+        val nSkip = options.get("skiprows").map(_.trim.toInt).filter(_ > 0)
+        val skipped = (nSkip, chunkParts) match {
+          case (None, None) => r2.load(rpaths: _*)
+          case _ =>
+            // line-stream path: chunked and/or prefix-skipped reads parse a
+            // Dataset[String] whose partitioning we control; zipWithIndex
+            // preserves file listing order and the stream stays distributed
+            val raw = chunkParts match {
+              case Some(n) => spark.sparkContext.textFile(rpaths.mkString(","), n)
+              case None    => spark.read.textFile(rpaths: _*).rdd
+            }
+            val lines = nSkip match {
+              case Some(k) => raw.zipWithIndex().filter(_._2 >= k).map(_._1)
+              case None    => raw
+            }
+            r2.csv(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
         }
         // nrows: first-N-rows cap (pandas semantics), as a plan-level limit
         options.get("nrows").map(_.trim.toInt).fold(skipped)(skipped.limit)
@@ -236,10 +260,28 @@ class EngineContext(val spark: SparkSession) {
     * the schema/location/partition metadata the reference reconstructs by
     * hand arrives through `spark.table`; partition pruning flows through
     * the catalog's partition filters (HiveMetastoreSpec pins it). */
-  def createTableHive(name: String, hiveTable: String): DataFrame = {
-    val df = spark.table(hiveTable)
+  def createTableHive(name: String, hiveTable: String): DataFrame =
+    createTableHive(name, hiveTable, Map.empty[String, Seq[String]])
+
+  /** Hive registration restricted to named partitions (reference:
+    * create_table(name, hive_cursor, partitions={...}) —
+    * pyblazing/apiv2/hive.py:113-175 filterHivePartitionsWithUserPartitions
+    * drops every partition not named in the user dict; context.py:2212-2247
+    * registers only the surviving files). Here the restriction is a static
+    * partition-column predicate folded into the registered view, so the
+    * catalog's partition pruning — not a post-scan filter — enforces it:
+    * HiveMetastoreSpec pins by scan metrics that unnamed partitions' files
+    * are never read. */
+  def createTableHive(name: String, hiveTable: String,
+                      partitions: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.table(hiveTable)
+    val df = partitions.foldLeft(base) { case (d, (c, vs)) =>
+      d.filter(col(c).isin(vs: _*))
+    }
     df.createOrReplaceTempView(name)
-    tables.put(name, TableInfo(name, "hive", Seq(hiveTable), Map.empty))
+    tables.put(name, TableInfo(name, "hive", Seq(hiveTable),
+      partitions.map { case (k, v) => s"partition:$k" -> v.mkString(",") }))
     df
   }
 
@@ -324,25 +366,52 @@ class EngineContext(val spark: SparkSession) {
   /** Reference async surface: bc.sql(q, return_token=True) → token,
     * bc.status(token), bc.fetch(token) (context.py:3071-3345). The
     * reference executes eagerly; Spark is lazy, so the token API forces an
-    * async job and caches the materialized result. */
-  private val pending = new ConcurrentHashMap[String, Future[DataFrame]]()
+    * async job and caches the materialized result.
+    *
+    * Result lifecycle (reference: result frames are freed with the token's
+    * Python object, context.py:3066-3069): the cached result lives until
+    * `release(token)` — callable before OR after fetch — which unpersists
+    * it; `cancel` is release for in-flight queries (jobs interrupted, any
+    * partial cache dropped); a query that failed is evicted, cache
+    * included, when its fetch throws. Without release, repeated async
+    * queries would pin every result in storage until eviction — the
+    * round-5 defect this closes. */
+  private final class AsyncQuery {
+    @volatile var df: DataFrame = _ // set as soon as materialization starts
+    @volatile var fut: Future[DataFrame] = _
+  }
+  private val pending = new ConcurrentHashMap[String, AsyncQuery]()
+  private val fetched = new ConcurrentHashMap[String, AsyncQuery]()
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
   def sqlAsync(query: String): String = {
     val token = UUID.randomUUID().toString
-    val fut = Future {
+    val aq = new AsyncQuery
+    aq.fut = Future {
       // job group = token, so progress()/cancel() can find this query's
       // jobs through the status tracker
       spark.sparkContext.setJobGroup(token, s"graft async $token", interruptOnCancel = true)
       try {
         val df = sql(query)
+        aq.df = df // visible to release/cancel even mid-materialization
         df.cache()
         df.count() // force materialization
         df
       } finally spark.sparkContext.clearJobGroup()
     }
-    pending.put(token, fut)
+    pending.put(token, aq)
     token
+  }
+
+  /** Drop a token and its cached result (running, done, or already
+    * fetched). Running jobs are interrupted first. Idempotent; unknown
+    * tokens are a no-op. */
+  def release(token: String): Unit = {
+    val aq = Option(pending.remove(token)).orElse(Option(fetched.remove(token)))
+    aq.foreach { q =>
+      spark.sparkContext.cancelJobGroup(token)
+      Option(q.df).foreach(d => Try(d.unpersist(blocking = true)))
+    }
   }
 
   /** Fraction of the async query's tasks that have completed, in [0, 1]
@@ -350,7 +419,7 @@ class EngineContext(val spark: SparkSession) {
     * completion; the Spark analog is StatusTracker over the token's job
     * group). -1.0 for unknown/consumed tokens; 0.0 before any job starts. */
   def progress(token: String): Double = {
-    val f = pending.get(token)
+    val f = Option(pending.get(token)).map(_.fut).orNull
     if (f == null) -1.0
     else if (f.isCompleted) 1.0
     else {
@@ -364,24 +433,34 @@ class EngineContext(val spark: SparkSession) {
     }
   }
 
-  /** Cancel a running async query (all jobs in the token's group). */
-  def cancel(token: String): Unit = {
-    spark.sparkContext.cancelJobGroup(token)
-    pending.remove(token)
-  }
+  /** Cancel a running async query (all jobs in the token's group) and
+    * evict the token, dropping any partially-cached result. */
+  def cancel(token: String): Unit = release(token)
 
   def status(token: String): String = {
-    val f = pending.get(token)
+    val f = Option(pending.get(token)).map(_.fut).orNull
     if (f == null) "unknown"
     else if (!f.isCompleted) "running"
     else if (f.value.exists(_.isSuccess)) "done"
     else "failed"
   }
 
+  /** Consume the token: blocks until done, returns the cached result. The
+    * cache stays live for the returned DataFrame until `release(token)`.
+    * A failed query rethrows its error and is evicted (cache dropped). */
   def fetch(token: String): DataFrame = {
-    val f = pending.remove(token)
-    require(f != null, s"unknown token $token")
-    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+    val aq = pending.remove(token)
+    require(aq != null, s"unknown token $token")
+    try {
+      val df = scala.concurrent.Await.result(
+        aq.fut, scala.concurrent.duration.Duration.Inf)
+      fetched.put(token, aq)
+      df
+    } catch {
+      case e: Throwable =>
+        Option(aq.df).foreach(d => Try(d.unpersist(blocking = false)))
+        throw e
+    }
   }
 
   // ------------------------------------------------------------------ memory
@@ -478,12 +557,29 @@ object EngineContext {
   /** Tuned session for this engine. shuffle.partitions sized for the local
     * harness (32 cores); on a real cluster this is cores×2-3 or AQE-coalesced.
     * Hive support is on (the reference's create_table(name, hive_cursor)
-    * path needs a metastore — context.py:2212-2247); the embedded Derby
-    * metastore + warehouse live under target/ so repeated runs reuse them
-    * and the repo root stays clean. Metastore startup is lazy — sessions
-    * that never touch a metastore table pay nothing. */
+    * path needs a metastore — context.py:2212-2247), which makes spark-hive
+    * a runtime classpath requirement for sessions built here. Metastore
+    * startup is lazy — sessions that never touch a metastore table pay
+    * nothing. Note getOrCreate semantics: if a session already exists in
+    * the JVM, it is returned as-is (possibly without Hive support).
+    *
+    * The embedded Derby metastore + warehouse are anchored to the engine
+    * home — `graft.engine.home` system property, else GRAFT_ENGINE_HOME
+    * env, else `<java.io.tmpdir>/graft-engine` — NOT the process CWD, so
+    * library consumers launching from arbitrary directories don't scatter
+    * metastore_db/ dirs around; repeated runs from any CWD reuse one
+    * metastore. */
+  def engineHome: String =
+    sys.props.get("graft.engine.home")
+      .orElse(sys.env.get("GRAFT_ENGINE_HOME"))
+      .getOrElse(new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-engine").getAbsolutePath)
+
   def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
-    val target = new java.io.File("target").getAbsolutePath
+    val target = new java.io.File(engineHome).getAbsolutePath
+    // derby.log otherwise lands in the process CWD
+    if (sys.props.get("derby.system.home").isEmpty)
+      System.setProperty("derby.system.home", target)
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)

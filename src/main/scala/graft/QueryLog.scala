@@ -5,16 +5,18 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /**
  * Engine telemetry as a queryable table — the analog of `bc.log(sql)`
  * (reference context.py:3346-3608, which exposes the engine's own logs as
- * a queryable relation). Implemented with Spark's QueryExecutionListener:
- * every completed action on the session records (time, duration, rows-ish
- * metadata, status, error) into a bounded in-memory buffer; `table()`
- * returns it as a DataFrame so it can be joined/filtered like any table.
+ * a queryable relation, per-query row counts included). Implemented with
+ * Spark's QueryExecutionListener: every completed action on the session
+ * records (time, duration, output rows, status, error) into a bounded
+ * in-memory buffer; `table()` returns it as a DataFrame so it can be
+ * joined/filtered like any table.
  */
 class QueryLog(spark: SparkSession, maxEntries: Int = 10000) {
   import QueryLog.Entry
@@ -27,9 +29,10 @@ class QueryLog(spark: SparkSession, maxEntries: Int = 10000) {
       s.linesIterator.take(1).mkString.take(200)
     }
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      add(Entry(System.currentTimeMillis(), funcName, durationNs / 1e6, "success", "", head(qe)))
+      add(Entry(System.currentTimeMillis(), funcName, durationNs / 1e6,
+        QueryLog.outputRows(qe.executedPlan).getOrElse(-1L), "success", "", head(qe)))
     override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
-      add(Entry(System.currentTimeMillis(), funcName, 0.0, "failed",
+      add(Entry(System.currentTimeMillis(), funcName, 0.0, -1L, "failed",
         String.valueOf(error.getMessage).take(500), head(qe)))
   }
 
@@ -54,6 +57,27 @@ class QueryLog(spark: SparkSession, maxEntries: Int = 10000) {
 object QueryLog {
   // top-level (object-nested) so Spark can derive an Encoder for it
   final case class Entry(
-      ts_ms: Long, func: String, duration_ms: Double,
+      ts_ms: Long, func: String, duration_ms: Double, rows: Long,
       status: String, error: String, plan_head: String)
+
+  /** Output row count of an EXECUTED plan, read from its metrics: the
+    * numOutputRows of the root-most node that carries one. AQE roots
+    * unwrap to their final physical plan, and query-stage wrappers —
+    * LEAF nodes whose real subtree hangs off `plan` — are descended
+    * through. None when no node on the root path carries the metric (pure
+    * commands); best-effort by nature — the value is the executed metric,
+    * not a recount. */
+  def outputRows(plan: SparkPlan): Option[Long] = {
+    def find(p: SparkPlan): Option[Long] = {
+      val q = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s.plan
+        case other => other
+      }
+      if (!(q eq p)) find(q)
+      else q.metrics.get("numOutputRows").map(_.value)
+        .orElse(q.children.view.flatMap(find).headOption)
+    }
+    find(plan)
+  }
 }

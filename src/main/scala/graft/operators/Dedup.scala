@@ -19,6 +19,21 @@ import TextHashing._
  * pairs (collision probability tuned by bands×rows), not the O(n²) cross
  * product that exact Jaccard would need.
  */
+/** Deterministic-release handle for a dedup pipeline result: `df` is the
+  * final pair set backed by already-materialized localCheckpoint blocks
+  * (every corpus-sized intermediate was freed before construction);
+  * `close()` drops the result blocks too, leaving the pipeline with zero
+  * storage footprint in the session. Without close(), the blocks are
+  * reclaimed by the ContextCleaner once the DataFrame becomes unreachable
+  * — close() just makes the release deterministic for long-lived
+  * sessions. The DataFrame must not be used after close(). */
+final class ManagedPairs private[operators] (val df: DataFrame) extends AutoCloseable {
+  override def close(): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = true))
+}
+
 object Dedup {
 
   /** Exact dedup: group identical texts (by md5 + length to keep the
@@ -119,12 +134,31 @@ object Dedup {
     * shared-vocab sf0.1 corpus that was 208 s vs ~4 s for this shape. The
     * gram-set side is docs-sized (not pairs-sized), so under the byte
     * budget it ships as one broadcast map and the candidate pairs never
-    * shuffle at all. */
+    * shuffle at all.
+    *
+    * Resource lifecycle: the pipeline's intermediates (the persisted
+    * gram-set scan and the verify broadcast) are released as soon as the
+    * result materializes — the analog of the reference freeing its
+    * CacheMachines when the execution graph finishes
+    * (engine/src/cache_machine/CacheMachine.cpp). This return-and-forget
+    * form keeps only the materialized RESULT blocks, which the
+    * ContextCleaner reclaims once the DataFrame is unreachable; a
+    * long-lived session that wants deterministic release should use
+    * [[minHashLshPairsManaged]] and `close()` the handle. */
   def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double): DataFrame =
     minHashLshPairs(docs, id, text, threshold, BroadcastVerifyMaxBytes)
 
   def minHashLshPairs(docs: DataFrame, id: String, text: String, threshold: Double,
-                      broadcastBudgetBytes: Long): DataFrame = {
+                      broadcastBudgetBytes: Long): DataFrame =
+    minHashLshPairsManaged(docs, id, text, threshold, broadcastBudgetBytes).df
+
+  /** Near-dup pairs with a deterministic release handle: `df` is the final
+    * pair set backed by already-materialized blocks (every corpus-sized
+    * intermediate is freed before this returns); `close()` drops the
+    * result blocks too, leaving zero pipeline storage in the session —
+    * DedupLifecycleSpec pins both properties. */
+  def minHashLshPairsManaged(docs: DataFrame, id: String, text: String, threshold: Double,
+                             broadcastBudgetBytes: Long = BroadcastVerifyMaxBytes): ManagedPairs = {
     // Materialization barriers between stages, mirroring the role the
     // reference's CacheMachines play between kernels
     // (docsrc/source/engine/caches.rst):
@@ -162,44 +196,66 @@ object Dedup {
     val nDocs = sizing.getLong(0)
     val nGrams = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
     val estBytes = nGrams * 8L + nDocs * 64L
-    if (integralId && estBytes <= broadcastBudgetBytes)
-      broadcastVerifyPairs(cands, sets, threshold)
-    else
-      minHashVerify(cands, sets, useBroadcastMap = false, threshold).localCheckpoint()
+    if (integralId && estBytes <= broadcastBudgetBytes) {
+      val bc = collectAndBroadcast(sets)
+      liveBc.incrementAndGet()
+      // Materializing the (tiny) passing-pair set HERE is what lets every
+      // corpus-sized intermediate be freed before the caller sees the
+      // result: after the checkpoint, neither the persisted gram-set scan
+      // nor the broadcast map is reachable from the returned plan.
+      val result = mergeWalkScore(cands, bc, minSizeRatio = threshold)
         .select(col("id_a"), col("id_b"), jaccardCol)
         .filter(col("jaccard") >= threshold)
+        .localCheckpoint()
+      sets.unpersist(blocking = false)
+      bc.destroy()
+      liveBc.decrementAndGet()
+      new ManagedPairs(result)
+    } else {
+      // localCheckpoint doubles as the materialization barrier documented
+      // above AND the point where the gram-set scan can be released
+      val verified =
+        minHashVerify(cands, sets, useBroadcastMap = false, threshold).localCheckpoint()
+      sets.unpersist(blocking = false)
+      new ManagedPairs(verified
+        .select(col("id_a"), col("id_b"), jaccardCol)
+        .filter(col("jaccard") >= threshold))
+    }
   }
+
+  /** Live verify-stage broadcasts created by the managed pipeline — 0
+    * whenever no minHashLshPairsManaged call is in flight (the broadcast
+    * is destroyed before the handle is returned); DedupLifecycleSpec pins
+    * it. */
+  def liveVerifyBroadcasts: Int = liveBc.get()
+  private val liveBc = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** jaccard from the verify tuple (inter, na, nb) — int sums, one double
     * division, identical on both physical strategies. */
   private def jaccardCol: Column =
     (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
 
-  /** Broadcast-map verify with the threshold applied in the same stage:
-    * the size-ratio prefilter runs inside the merge-walk pass (a necessary
-    * condition for jaccard >= threshold), and the exact jaccard filter
-    * fuses as a narrow op right behind it, so only passing pairs
-    * (~1e-3 of candidates) ever leave the verify stage. */
-  private def broadcastVerifyPairs(cands: DataFrame, sets: DataFrame,
-                                   threshold: Double): DataFrame =
-    broadcastMergeWalk(cands, sets, minSizeRatio = threshold)
-      .select(col("id_a"), col("id_b"), jaccardCol)
-      .filter(col("jaccard") >= threshold)
-
-  /** The one broadcast merge-walk implementation both broadcast-strategy
-    * entry points share: collect the (docs-sized, byte-budgeted) gram-set
-    * map, broadcast it, and score candidate pairs in a single mapPartitions
-    * pass — size-ratio prefilter + sorted-merge intersect — emitting
-    * (id_a, id_b, inter, na, nb). */
-  private def broadcastMergeWalk(cands: DataFrame, sets: DataFrame,
-                                 minSizeRatio: Double): DataFrame = {
-    val spark = cands.sparkSession
-    import spark.implicits._
+  /** Collect the (docs-sized, byte-budgeted) gram-set map and ship it to
+    * executors as one Spark broadcast. Callers own the broadcast's
+    * lifecycle (the managed pipeline destroys it as soon as its result
+    * materializes). */
+  private def collectAndBroadcast(sets: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]] = {
     // getAs[Number]: integralId admits IntegerType ids too, so the sid
     // cell may be an Int — a raw getLong would ClassCastException.
     val setsMap: Map[Long, Array[Long]] = sets.collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Long](1).toArray).toMap
-    val bc = spark.sparkContext.broadcast(setsMap)
+    sets.sparkSession.sparkContext.broadcast(setsMap)
+  }
+
+  /** Score candidate pairs against a broadcast gram-set map in a single
+    * mapPartitions pass — size-ratio prefilter + sorted-merge intersect —
+    * emitting (id_a, id_b, inter, na, nb). */
+  private def mergeWalkScore(cands: DataFrame,
+                             bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]],
+                             minSizeRatio: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
     val ratio = minSizeRatio
     cands.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
       .mapPartitions { it =>
@@ -245,7 +301,7 @@ object Dedup {
   def minHashVerify(cands: DataFrame, sets: DataFrame, useBroadcastMap: Boolean,
                     minSizeRatio: Double): DataFrame = {
     if (useBroadcastMap) {
-      broadcastMergeWalk(cands, sets, minSizeRatio)
+      mergeWalkScore(cands, collectAndBroadcast(sets), minSizeRatio)
     } else {
       cands
         .join(sets.as("sa").hint("SHUFFLE_HASH"), col("id_a") === col("sa.sid"))
@@ -318,9 +374,19 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val prev = edges
       edges = smallStar(largeStar(edges)).localCheckpoint()
       val cur = checksum(edges)
-      converged = cur == last
+      // The (count, hash-sum) checksum is a cheap screen; the DETERMINISTIC
+      // stop is set equality, checked only at the (usually single) round
+      // where checksums match. Counts are equal from the checksum and both
+      // sides are distinct, so one-sided difference emptiness implies
+      // equality — one extra join at convergence, none in the loop body.
+      // A fixpoint of the composition is a fixpoint of both operators
+      // (Kiveris et al. SoCC'14: each star step strictly decreases the
+      // potential unless already at ITS fixpoint, so a round-trip back to
+      // the same edge set means neither step moved).
+      converged = cur == last && edges.except(prev).isEmpty
       last = cur
       i += 1
     }

@@ -58,4 +58,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  test("skew stress: one giant star (1e5 edges into a single hub) converges in few rounds") {
+    // Worst-case key skew for the groupBy(u)/join(u) passes: EVERY edge
+    // shares the hub vertex. large-star's re-attach-to-min handles the
+    // shape in O(1) rounds (the hub IS the min), and AQE skew-split covers
+    // the one hot partition — this pins that no straggler blows the
+    // wall clock and the maxIter guard is nowhere near.
+    val n = 100000
+    val hub = spark.range(1, n + 1)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val t0 = System.nanoTime()
+    val got = Dedup.connectedComponents(hub, maxIter = 10)
+    assert(got.count() == n + 1L)
+    assert(got.filter(col("rep_id") =!= 0L).count() == 0L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120.0, f"giant-star CC took $sec%.1f s — straggler suspected")
+  }
 }

@@ -82,6 +82,25 @@ class EngineContextSpec extends AnyFunSuite {
     val df = c.fetch(token) // blocks until done
     assert(df.count() == 3)
     assert(c.status(token) == "unknown") // consumed
+    c.release(token)
+  }
+
+  test("async result lifecycle: release(token) drops the cached result") {
+    val c = ctx
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val token = c.sqlAsync("SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey")
+    val df = c.fetch(token)
+    // fetched result is served from cache until released
+    assert(df.storageLevel.useMemory)
+    c.release(token)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "async result blocks must not outlive release(token)")
+    c.release(token) // idempotent
+    // cancel() of a pending token evicts it the same way
+    val t2 = c.sqlAsync("SELECT count(*) FROM lineitem")
+    c.cancel(t2)
+    assert(c.status(t2) == "unknown")
   }
 
   test("csv reference kwargs: names/dtype/delimiter") {
@@ -118,6 +137,31 @@ class EngineContextSpec extends AnyFunSuite {
     assert(rows(0).getString(1) == "alpha, quoted") // quotechar honored
     assert(rows(0).isNullAt(2)) // na_values -> null
     assert(rows(1).getDouble(2) == 9.5)
+  }
+
+  test("csv max_bytes_chunk_read bounds the per-task split size") {
+    val c = ctx
+    val dir = Files.createTempDirectory("graft_chunk").toFile
+    // ~64 KB of CSV lines in one file
+    val sb = new StringBuilder
+    (1 to 4000).foreach(i => sb.append(i).append(",payload_payload_")
+      .append(i % 7).append("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/big.csv"), sb.toString)
+    // default read: one small file -> one split
+    c.createTable("chunk_off", s"$dir/big.csv", "csv",
+      Map("names" -> "id,tag", "dtype" -> "BIGINT,STRING"))
+    assert(spark.table("chunk_off").rdd.getNumPartitions == 1)
+    // 8 KB chunks -> ~8 splits, per-TABLE (session conf untouched)
+    val sessionDefault = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    c.createTable("chunk_on", s"$dir/big.csv", "csv",
+      Map("names" -> "id,tag", "dtype" -> "BIGINT,STRING",
+        "max_bytes_chunk_read" -> "8192"))
+    val parts = spark.table("chunk_on").rdd.getNumPartitions
+    assert(parts >= 4, s"chunked read produced only $parts partitions")
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") == sessionDefault)
+    // values unaffected by the split boundaries
+    assert(c.sql("SELECT sum(id) AS s FROM chunk_on").collect()(0).getLong(0) ==
+      4000L * 4001 / 2)
   }
 
   test("hive-partitioned directory: partition column discovered and pruned") {
@@ -244,6 +288,26 @@ class EngineContextSpec extends AnyFunSuite {
     assert(spark.table("graft_log").columns.contains("duration_ms"))
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[String]("status") == "success"))
+  }
+
+  test("query log records output row counts from executed-plan metrics") {
+    val c = ctx
+    c.queryLog // install listener before the query runs
+    c.queryLog.clear()
+    // 3 order statuses -> the logged collect must carry rows = 3. The
+    // polling collects below get logged too, so match our entry by its
+    // aggregate plan head.
+    c.sql("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus").collect()
+    var logged = Seq.empty[Long]
+    val deadline = System.currentTimeMillis() + 10000
+    while (!logged.contains(3L) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      logged = c.log().collect()
+        .filter(_.getAs[String]("plan_head").contains("Aggregate"))
+        .map(_.getAs[Long]("rows")).toSeq
+    }
+    assert(logged.contains(3L),
+      s"expected an entry with rows=3 (reference log tables carry per-query row counts), got $logged")
   }
 
   test("per-query config_options bind the plan and restore the session") {

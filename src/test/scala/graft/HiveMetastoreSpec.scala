@@ -64,4 +64,37 @@ class HiveMetastoreSpec extends AnyFunSuite {
     assert(ctx.describeTable("hpart").map(_._1) == Seq("id", "p"))
     spark.sql("DROP TABLE graft_hmeta")
   }
+
+  test("user partitions kwarg restricts registration to the named partitions") {
+    val dir = Files.createTempDirectory("graft_hive_up").toFile.getAbsolutePath + "/t"
+    spark.range(100)
+      .select(col("id"), (col("id") % 4).cast("string").as("p"))
+      .write.partitionBy("p").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_hmeta_up")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE graft_hmeta_up (id BIGINT)
+         |PARTITIONED BY (p STRING) STORED AS PARQUET LOCATION '$dir'""".stripMargin)
+    spark.sql("MSCK REPAIR TABLE graft_hmeta_up")
+
+    // reference: create_table(name, hive_cursor, partitions={'p': [...]})
+    // registers ONLY those partitions' files
+    // (pyblazing/apiv2/hive.py:113-175 filterHivePartitionsWithUserPartitions)
+    val ctx = new EngineContext(spark)
+    ctx.createTableHive("hpart_sub", "default.graft_hmeta_up",
+      Map("p" -> Seq("0", "2")))
+
+    // an UNFILTERED query over the registered name sees only 2 of the 4
+    // partitions — the restriction is part of the table, not the query
+    val all = ctx.sql("SELECT id FROM hpart_sub")
+    assert(all.collect().length == 50)
+    // and it prunes at the scan, not post-scan: only 50 rows leave the scan
+    val scanned = fileScans(all.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanned == 50L,
+      s"scan emitted $scanned of 100 rows — user-partition restriction did not prune")
+    // distinct partition values confirm which partitions survived
+    val ps = ctx.sql("SELECT DISTINCT p FROM hpart_sub").collect().map(_.getString(0)).sorted
+    assert(ps.sameElements(Array("0", "2")))
+    spark.sql("DROP TABLE graft_hmeta_up")
+  }
 }

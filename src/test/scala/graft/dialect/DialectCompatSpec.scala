@@ -84,6 +84,14 @@ class DialectCompatSpec extends AnyFunSuite {
     // idempotent: a rewritten (or already-$N) replacement is untouched
     assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
       == "SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
+    // literal $ mixed with backrefs: $ escaped so Spark keeps it literal,
+    // \N still becomes $N — and the result is a fixpoint
+    val mixed = Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(\\d+)', '$\\1.00') FROM t")
+    assert(mixed == "SELECT REGEXP_REPLACE(c, '(\\d+)', '\\$$1.00') FROM t")
+    assert(Dialect.rewrite(mixed) == mixed)
+    // pre-escaped \$ alongside a backref is not double-escaped
+    assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '\\$\\1') FROM t")
+      == "SELECT REGEXP_REPLACE(c, '(x)', '\\$$1') FROM t")
   }
 
   test("dialect rewrites: slashed date literals in CAST") {

@@ -166,8 +166,13 @@ def _interval_to_duckdb(m):
                 parts[f.lower() + "s"] = v
     except ValueError:
         return m.group(0)
+    # a malformed packed value with an empty component (e.g. '2 :30') must
+    # fall through untouched, like the len-mismatch case above — dropping
+    # just the empty field would silently translate half the literal
+    if any(v == "" for v in parts.values()):
+        return m.group(0)
     sign = "-" if neg else ""
-    words = " ".join(f"{sign}{v} {f}" for f, v in parts.items() if v != "")
+    words = " ".join(f"{sign}{v} {f}" for f, v in parts.items())
     return f"INTERVAL '{words}'"
 
 
