@@ -110,14 +110,19 @@ object Bench {
 
     val results = allRuns.map { case (k, ts) => k -> median(ts) }
     // spread = slowest/fastest STEADY-STATE run of one query (run 1 is
-    // dropped: codegen/JIT warmup routinely triples it); intermittent
-    // contention shows up here, sustained contention in calibration drift.
-    // The 1 s absolute-range floor keeps sub-second jitter from
-    // false-flagging — machine-load distortion of the r5 kind moved
-    // individual queries by 5-14 s.
+    // dropped: codegen/JIT warmup routinely triples it), counted only
+    // when the SLOW run comes after the fast one — JIT tiering keeps
+    // improving runs monotonically (measured 5.8→3.9→1.7 s on q45), and
+    // an improvement is never contention, while a later-run slowdown is.
+    // Intermittent contention shows up here, sustained contention in
+    // calibration drift; a >2× single-run excursion still leaves the
+    // median intact either way. The 1 s absolute-range floor keeps
+    // sub-second jitter from false-flagging — machine-load distortion of
+    // the r5 kind moved individual queries by 5-14 s.
     val spreadMax = allRuns.map { case (_, ts) =>
       val ok = ts.drop(1).filter(_ > 0)
-      if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0 else ok.max / ok.min
+      val slowdown = ok.size >= 2 && ok.indexOf(ok.max) > ok.indexOf(ok.min)
+      if (!slowdown || ok.max - ok.min <= 1.0) 1.0 else ok.max / ok.min
     }.max
     val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
     val contaminated = calDrift > 1.5 || spreadMax > 2.0
