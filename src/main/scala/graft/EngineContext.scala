@@ -384,8 +384,82 @@ class EngineContext(val spark: SparkSession) {
   private val fetched = new ConcurrentHashMap[String, AsyncQuery]()
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
+  /** Per-stage progress for one async query (reference progress bar shows
+    * per-kernel batch/row counts, context.py:3609-3768 + the engine's
+    * kernel counters; the Spark analog of a kernel is a stage). Rows/bytes
+    * come from the stage's accumulated task metrics once it completes;
+    * running stages report task fractions from the status tracker with
+    * zeroed byte counters. */
+  final case class StageProgress(
+      stageId: Int,
+      numTasks: Int,
+      completedTasks: Int,
+      inputRows: Long,
+      inputBytes: Long,
+      shuffleReadBytes: Long,
+      shuffleWriteBytes: Long,
+      completed: Boolean)
+
+  // token → its stage ids (populated by onJobStart for jobs whose group is
+  // a live token); stage id → final metrics (populated on stage
+  // completion, only for tracked stages). Both evicted with the token.
+  private val tokenStages = new ConcurrentHashMap[String, java.util.Set[Integer]]()
+  private val stageDone = new ConcurrentHashMap[Integer, StageProgress]()
+
+  // jobId → (token, its announced stage ids): lets onJobEnd retire stages
+  // the scheduler announced but never ran (AQE reused-exchange stages are
+  // "skipped" — they would otherwise read as 0%-forever in the detail).
+  private val jobStages = new ConcurrentHashMap[Integer, (String, Seq[Int])]()
+
+  private lazy val stageListenerInstalled: Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val submitted = ConcurrentHashMap.newKeySet[Integer]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        for {
+          props <- Option(js.properties)
+          group <- Option(props.getProperty("spark.jobGroup.id"))
+          set <- Option(tokenStages.get(group))
+        } {
+          js.stageIds.foreach(id => set.add(id))
+          jobStages.put(js.jobId, (group, js.stageIds.map(_.toInt)))
+        }
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        // bus order guarantees the owning job's onJobStart already ran, so
+        // the tracked-check keeps untracked jobs' stages out of the set
+        val id = ss.stageInfo.stageId
+        val tracked = {
+          import scala.jdk.CollectionConverters._
+          tokenStages.values.asScala.exists(_.contains(id))
+        }
+        if (tracked) submitted.add(id)
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val tracked = {
+          import scala.jdk.CollectionConverters._
+          tokenStages.values.asScala.exists(_.contains(si.stageId))
+        }
+        if (tracked) {
+          val m = si.taskMetrics
+          stageDone.put(si.stageId, StageProgress(si.stageId, si.numTasks, si.numTasks,
+            m.inputMetrics.recordsRead, m.inputMetrics.bytesRead,
+            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+            completed = true))
+        }
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobStages.remove(je.jobId)).foreach { case (group, ids) =>
+          for (set <- Option(tokenStages.get(group)); id <- ids)
+            if (!submitted.remove(id) && !stageDone.containsKey(id)) set.remove(id)
+        }
+    })
+
   def sqlAsync(query: String): String = {
+    stageListenerInstalled
     val token = UUID.randomUUID().toString
+    tokenStages.put(token, ConcurrentHashMap.newKeySet[Integer]())
     val aq = new AsyncQuery
     aq.fut = Future {
       // job group = token, so progress()/cancel() can find this query's
@@ -411,6 +485,28 @@ class EngineContext(val spark: SparkSession) {
     aq.foreach { q =>
       spark.sparkContext.cancelJobGroup(token)
       Option(q.df).foreach(d => Try(d.unpersist(blocking = true)))
+    }
+    // progress detail is part of the token's footprint
+    Option(tokenStages.remove(token)).foreach { set =>
+      set.forEach(id => stageDone.remove(id))
+    }
+  }
+
+  /** Per-stage detail for a token (empty for unknown/released tokens).
+    * Completed stages carry rows/bytes; running stages carry live task
+    * fractions. Remains queryable after fetch, until release(token). */
+  def progressDetail(token: String): Seq[StageProgress] = {
+    val set = Option(tokenStages.get(token)).getOrElse(return Nil)
+    val st = spark.sparkContext.statusTracker
+    import scala.jdk.CollectionConverters._
+    set.asScala.toSeq.map(_.intValue).sorted.map { sid =>
+      Option(stageDone.get(sid)).getOrElse {
+        st.getStageInfo(sid) match {
+          case Some(si) => StageProgress(sid, si.numTasks, si.numCompletedTasks,
+            0L, 0L, 0L, 0L, completed = false)
+          case None => StageProgress(sid, 0, 0, 0L, 0L, 0L, 0L, completed = false)
+        }
+      }
     }
   }
 

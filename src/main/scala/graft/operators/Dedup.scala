@@ -36,6 +36,23 @@ final class ManagedPairs private[operators] (val df: DataFrame) extends AutoClos
 
 object Dedup {
 
+  /** Materialization barrier + lineage truncation for pipeline
+    * intermediates. Default is localCheckpoint (executor-local blocks: fast,
+    * but an executor loss mid-pipeline aborts the job — acceptable for
+    * re-runnable batch work). Clusters where the dedup pipeline must
+    * survive executor loss set `graft.dedup.reliableCheckpoint=true` AND a
+    * `sparkContext.setCheckpointDir` (HDFS/S3): intermediates then go
+    * through reliable checkpoints — same plans, same results, re-read from
+    * the checkpoint store on recovery. Checkpoint files are managed by
+    * Spark's normal cleanup (`spark.cleaner.referenceTracking.cleanCheckpoints`),
+    * not by ManagedPairs.close(). */
+  private[operators] def truncateLineage(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val reliable = sess.conf.getOption("graft.dedup.reliableCheckpoint").contains("true") &&
+      sess.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** Exact dedup: group identical texts (by md5 + length to keep the
     * group key narrow), keep min doc id — the Spark-native analog of a
     * hash-based DISTINCT at corpus scale. */
@@ -206,7 +223,7 @@ object Dedup {
       val result = mergeWalkScore(cands, bc, minSizeRatio = threshold)
         .select(col("id_a"), col("id_b"), jaccardCol)
         .filter(col("jaccard") >= threshold)
-        .localCheckpoint()
+        .transform(truncateLineage)
       sets.unpersist(blocking = false)
       bc.destroy()
       liveBc.decrementAndGet()
@@ -215,7 +232,7 @@ object Dedup {
       // localCheckpoint doubles as the materialization barrier documented
       // above AND the point where the gram-set scan can be released
       val verified =
-        minHashVerify(cands, sets, useBroadcastMap = false, threshold).localCheckpoint()
+        truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
       sets.unpersist(blocking = false)
       new ManagedPairs(verified
         .select(col("id_a"), col("id_b"), jaccardCol)
@@ -369,13 +386,13 @@ object Dedup {
 
     var edges = canon(
       pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v")))
-      .localCheckpoint()
+      .transform(truncateLineage)
     var last = checksum(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prev = edges
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = truncateLineage(smallStar(largeStar(edges)))
       val cur = checksum(edges)
       // The (count, hash-sum) checksum is a cheap screen; the DETERMINISTIC
       // stop is set equality, checked only at the (usually single) round

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic content-keyed sampling and split assignment for training
+ * corpora. Random sampling (rand(), TABLESAMPLE) is non-reproducible across
+ * runs and engines; hash-based bucketing on a content key is the standard
+ * replacement — the same document always lands in the same bucket, on any
+ * cluster size, in any engine. Keying on the content fingerprint (rather
+ * than a surrogate id) keeps byte-identical duplicates in the SAME split, so
+ * train/test contamination can't sneak in through re-crawled copies.
+ *
+ * Scale: splitBucket is a pure codegen'd projection (md5 + string slice +
+ * conv) — no shuffle, no state; sampling composes with scan pushdown and
+ * the bucket filter is evaluated row-local on every executor.
+ *
+ * Portability: md5 hex is identical everywhere; the bucket is the first 8
+ * hex digits parsed base-16 (Spark `conv(h,16,10)`, DuckDB `('0x'||h)::BIGINT`)
+ * mod `buckets` — so the DuckDB oracle reproduces the assignment exactly.
+ */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from an arbitrary string key: first 8
+    * md5 hex digits as an integer, mod buckets. 8 hex digits = 32 bits of
+    * the digest — far below collision concern for BUCKETING (uniformity is
+    * what matters, not injectivity). */
+  def splitBucket(key: Column, buckets: Int = 10000): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Named split from a bucket: train/val/test by cumulative per-10000
+    * weights (trainPer10k=8000, valPer10k=1000 → 80/10/10). */
+  def assignSplit(bucket: Column, trainPer10k: Int = 8000, valPer10k: Int = 1000): Column =
+    when(bucket < trainPer10k, "train")
+      .when(bucket < trainPer10k + valPer10k, "val")
+      .otherwise("test")
+
+  /** Deterministic ratePer10k/10000 sample: keep rows whose key-bucket
+    * falls below the rate. Stable under re-runs and corpus growth (a doc's
+    * membership never depends on other rows — unlike reservoir or sorted
+    * top-N sampling, which reshuffle membership every run at 100 TB). */
+  def hashSample(df: org.apache.spark.sql.DataFrame, key: Column, ratePer10k: Int)
+    : org.apache.spark.sql.DataFrame =
+    df.filter(splitBucket(key) < ratePer10k)
+}

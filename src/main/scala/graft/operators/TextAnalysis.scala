@@ -98,4 +98,45 @@ object TextAnalysis {
     * feeds MinHash; this one is the content-equality key. */
   def contentFingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  // --- Repetition metrics (Gopher-style quality rules, Rae et al. 2021
+  // §A1.1: "fraction of duplicate n-grams" family, re-expressed over
+  // whitespace tokens since the corpus is single-line text) ---
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * (n - n_distinct) / n. Pure array arithmetic — no shuffle. */
+  def dupTokenFraction(toks: Column): Column =
+    round((size(toks) - size(array_distinct(toks))).cast("double") /
+      greatest(size(toks), lit(1)), 6)
+
+  /** Adjacent word-bigram strings of a token array (empty below 2 tokens).
+    * Kept as an array column so callers choose explode-site and grouping —
+    * the count of the MOST frequent bigram needs a per-doc aggregation,
+    * which the caller runs after explode (see PipelineQueries q68). */
+  def wordBigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+
+  /** Fraction of tokens covered by the most frequent bigram (2 tokens per
+    * occurrence, capped at 1.0); null top-count (under-2-token docs) → 0. */
+  def topBigramFraction(topCnt: Column, nTokens: Column): Column =
+    round(least(lit(1.0),
+      coalesce(topCnt * 2.0 / nTokens, lit(0.0))), 6)
+
+  // --- PII patterns (portable regex subset: identical semantics in Java
+  // regex and RE2, so the DuckDB oracle replays the scrub exactly) ---
+
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[a-zA-Z0-9./_-]+"
+
+  /** Non-overlapping match count of a regex pattern. */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails then URLs with typed placeholder tags — email first so
+    * an address is never half-eaten by a URL match. Order is part of the
+    * contract (the oracle mirrors it). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 }

@@ -203,6 +203,67 @@ object PipelineQueries extends QueryPack {
         .select(col("media_id"), col("kind"), col("source"),
           col("byte_len"), col("width"), col("height"), col("frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- Deterministic content-keyed split assignment + hash sampling:
+    // bucket on the content fingerprint (duplicates land in the SAME
+    // split — no train/test contamination via re-crawled copies), 80/10/10
+    // split, 1% sample membership. sum_bucket pins the hash values
+    // themselves, not just the counts.
+    "q67_split_assign" -> ((s, dir) => {
+      val bucket = Sampling.splitBucket(TextAnalysis.contentFingerprint(col("text")))
+      load(s, dir, "documents")
+        .select(col("source"), bucket.as("bucket"))
+        .withColumn("split", Sampling.assignSplit(col("bucket")))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bucket")).as("sum_bucket"),
+          count(when(col("bucket") < 100, 1)).as("n_sample1pct"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // ---- Gopher-style repetition filters over whitespace tokens:
+    // duplicate-token fraction (array arithmetic, no shuffle) + fraction
+    // of tokens in the most frequent bigram (explode → two-level agg —
+    // the only shuffle, keyed on (doc, bigram) then doc).
+    "q68_repetition" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val met = base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        TextAnalysis.dupTokenFraction(col("toks")).as("dup_token_frac"))
+      val topc = base
+        .select(col("doc_id"), explode(TextAnalysis.wordBigrams(col("toks"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+      met.join(topc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+          TextAnalysis.topBigramFraction(col("top_cnt"), col("n_tokens")).as("top_bigram_frac"))
+        .withColumn("repetitive",
+          col("dup_token_frac") > 0.5 || col("top_bigram_frac") > 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PII scrub: the corpus contains no PII, so the query PLANTS
+    // emails/URLs deterministically (same device as q42's planted dups),
+    // then counts matches and fingerprints the redacted text — proving
+    // detection AND redaction against the oracle's independent regex
+    // engine (RE2 vs Java regex: the pattern subset is chosen to agree).
+    "q69_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      load(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("text2",
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), id, lit("@mail.example.com now")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" see https://data.example.org/doc/"), id, lit(" today")))
+              .otherwise(lit(""))))
+        .select(col("doc_id"),
+          TextAnalysis.patternCount(col("text2"), TextAnalysis.EmailRe).as("n_emails"),
+          TextAnalysis.patternCount(col("text2"), TextAnalysis.UrlRe).as("n_urls"),
+          md5(TextAnalysis.redactPii(col("text2"))).as("redacted_fp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -437,7 +498,57 @@ object PipelineQueries extends QueryPack {
         |CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
         |CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
         |CAST(1 + octet_length(encode(text)) % 8 AS INT) AS frames
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q67_split_assign" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         ('0x' || substr(md5(md5(lower(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8))::BIGINT
+        |           % 10000 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(bucket) AS BIGINT) AS sum_bucket,
+        |  count(CASE WHEN bucket < 100 THEN 1 END) AS n_sample1pct
+        |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q68_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
+        |met AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |         round((len(toks) - len(list_distinct(toks)))*1.0 / greatest(len(toks), 1), 6) AS dup_token_frac
+        |  FROM base),
+        |bi AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM base, unnest(generate_series(1, len(toks)-1)) AS t(i)
+        |  WHERE len(toks) >= 2),
+        |cnts AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+        |topc AS (SELECT doc_id, max(c) AS top_cnt FROM cnts GROUP BY doc_id)
+        |SELECT m.doc_id, m.n_tokens, m.dup_token_frac,
+        |  round(least(1.0, coalesce(t.top_cnt*2.0/m.n_tokens, 0)), 6) AS top_bigram_frac,
+        |  (m.dup_token_frac > 0.5
+        |   OR round(least(1.0, coalesce(t.top_cnt*2.0/m.n_tokens, 0)), 6) > 0.2) AS repetitive
+        |FROM met m LEFT JOIN topc t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q69_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' contact user' || doc_id || '@mail.example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' see https://data.example.org/doc/' || doc_id || ' today' ELSE '' END AS text2
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, 'https?://[a-zA-Z0-9./_-]+')) AS INT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g')) AS redacted_fp
+        |FROM planted ORDER BY doc_id""".stripMargin
   )
 
   /** Language-ID oracle: same padded-replace counting and same

@@ -103,6 +103,30 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.status(t2) == "unknown")
   }
 
+  test("async progress detail: per-stage rows/bytes, evicted on release") {
+    val c = ctx
+    // distinct SQL text: an identical string to another test's query would
+    // share the cache-manager entry and perturb that test's logged plan
+    val token = c.sqlAsync(
+      "SELECT o_orderpriority, count(*) AS n_det FROM orders GROUP BY o_orderpriority")
+    try {
+      c.fetch(token)
+      // stage-completed (and skipped-stage retirement at job end) arrive on
+      // the async listener bus — poll until the detail settles
+      val deadline = System.currentTimeMillis + 15000
+      def detail = c.progressDetail(token)
+      while (System.currentTimeMillis < deadline &&
+        !(detail.nonEmpty && detail.forall(_.completed))) Thread.sleep(100)
+      val d = detail
+      assert(d.nonEmpty && d.forall(_.completed),
+        s"AQE-skipped stages must be retired, live ones completed: $d")
+      assert(d.map(_.inputRows).sum > 0, "the scan stage must report rows read")
+      assert(d.map(_.inputBytes).sum > 0)
+      assert(d.map(_.shuffleWriteBytes).sum > 0, "a groupBy job must have a map-side shuffle write")
+    } finally c.release(token)
+    assert(c.progressDetail(token).isEmpty, "progress detail must not outlive the token")
+  }
+
   test("csv reference kwargs: names/dtype/delimiter") {
     val c = ctx
     val dir = Files.createTempDirectory("graft_csv").toFile

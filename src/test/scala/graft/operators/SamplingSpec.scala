@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+  * Deterministic sampling/splits and the round-6 text-curation columns
+  * (repetition metrics, PII scrub). The cross-engine value parity is pinned
+  * by the q67-q69 DuckDB oracles; these specs pin the operator PROPERTIES:
+  * determinism, membership stability under corpus growth, split totality,
+  * and redaction correctness on adversarial strings.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (0L until 500L).map(i => (i, s"document number $i body")).toDF("id", "text")
+
+  test("splitBucket is deterministic and in range") {
+    val b1 = docs.select(Sampling.splitBucket(col("text")).as("b")).collect().map(_.getLong(0))
+    val b2 = docs.select(Sampling.splitBucket(col("text")).as("b")).collect().map(_.getLong(0))
+    assert(b1.sameElements(b2))
+    assert(b1.forall(b => b >= 0 && b < 10000))
+    // uniform-ish: 500 keys should hit well over 100 distinct buckets
+    assert(b1.distinct.length > 100)
+  }
+
+  test("assignSplit is total and respects the 80/10/10 weights") {
+    val splits = docs
+      .select(Sampling.assignSplit(Sampling.splitBucket(col("text"))).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits.values.sum == 500)
+    // binomial(500, 0.8) is within [330, 470] except with vanishing probability
+    assert(splits("train") > 330 && splits("train") < 470, s"train=${splits("train")}")
+  }
+
+  test("hashSample membership is stable when the corpus grows") {
+    val small = Sampling.hashSample(docs, col("text"), 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val grown = docs.union((500L until 1000L).map(i => (i, s"document number $i body"))
+      .toDF("id", "text"))
+    val big = Sampling.hashSample(grown, col("text"), 1000)
+      .select("id").filter(col("id") < 500).collect().map(_.getLong(0)).toSet
+    assert(small == big, "a doc's sample membership must not depend on other rows")
+  }
+
+  test("duplicate-token fraction and bigram metrics") {
+    val m = Seq((1L, "a a a"), (2L, "w x y z"), (3L, "solo"))
+      .toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("toks"))
+      .select(col("id"),
+        TextAnalysis.dupTokenFraction(col("toks")).as("dup"),
+        TextAnalysis.wordBigrams(col("toks")).as("bg"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[String](2))).toMap
+    assert(m(1L)._1 == 0.666667) // 3 tokens, 1 distinct
+    assert(m(1L)._2 == Seq("a a", "a a"))
+    assert(m(2L)._1 == 0.0)
+    assert(m(2L)._2 == Seq("w x", "x y", "y z"))
+    assert(m(3L)._2.isEmpty) // under 2 tokens → no bigrams, not a null row
+  }
+
+  test("topBigramFraction caps at 1.0 and nulls → 0") {
+    val out = Seq((Some(2L), 3), (None, 1), (Some(9L), 4))
+      .toDF("top_cnt", "n_tokens")
+      .select(TextAnalysis.topBigramFraction(col("top_cnt"), col("n_tokens")).as("f"))
+      .collect().map(_.getDouble(0))
+    assert(out(0) == 1.0) // 2*2/3 > 1 → capped
+    assert(out(1) == 0.0) // no bigrams
+    assert(out(2) == 1.0)
+  }
+
+  test("PII redaction: emails and URLs replaced, host names otherwise intact") {
+    val out = Seq(
+      "mail bob.smith+tag@corp.example.com and see https://a.example.org/x_1/y today",
+      "no pii here",
+      "tricky: x@y.io. end") // trailing dot after TLD must not be eaten
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.patternCount(col("text"), TextAnalysis.EmailRe).as("ne"),
+        TextAnalysis.patternCount(col("text"), TextAnalysis.UrlRe).as("nu"))
+      .collect()
+    assert(out(0).getString(0) == "mail <EMAIL> and see <URL> today")
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1)
+    assert(out(1).getString(0) == "no pii here")
+    assert(out(2).getString(0) == "tricky: <EMAIL>. end")
+  }
+}
