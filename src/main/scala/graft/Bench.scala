@@ -46,7 +46,10 @@ object Bench {
     "q48_ann_lsh",        // sign-LSH bucketed ANN
     "q49_lang_id",        // text analysis
     "q53_multimodal_decode", // binary columns + batched decode
-    "q66_dedup_clusters") // iterative connected-components clustering
+    "q66_dedup_clusters", // iterative connected-components clustering
+    "q67_split_assign",   // deterministic split/sampling buckets
+    "q68_repetition",     // repetition quality filters
+    "q69_pii_scrub")      // PII detection + redaction
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns
@@ -110,19 +113,27 @@ object Bench {
 
     val results = allRuns.map { case (k, ts) => k -> median(ts) }
     // spread = slowest/fastest STEADY-STATE run of one query (run 1 is
-    // dropped: codegen/JIT warmup routinely triples it), counted only
-    // when the SLOW run comes after the fast one — JIT tiering keeps
-    // improving runs monotonically (measured 5.8→3.9→1.7 s on q45), and
-    // an improvement is never contention, while a later-run slowdown is.
+    // dropped: codegen/JIT warmup routinely triples it). A later-run
+    // SLOWDOWN >2× is contention (JIT tiering keeps improving runs
+    // monotonically — measured 5.8→3.9→1.7 s on q45). A later-run
+    // IMPROVEMENT is usually that JIT tail (≤2.3× measured), but beyond
+    // 3× it means the EARLIER run was contended — a mid-sweep load spike
+    // reads as a big "improvement" and would otherwise slip through
+    // (observed: q44 runs [8.3, 29.0, 4.2] under a concurrent build).
     // Intermittent contention shows up here, sustained contention in
-    // calibration drift; a >2× single-run excursion still leaves the
-    // median intact either way. The 1 s absolute-range floor keeps
-    // sub-second jitter from false-flagging — machine-load distortion of
-    // the r5 kind moved individual queries by 5-14 s.
+    // calibration drift; a flagged excursion still leaves the median
+    // intact either way. The 1 s absolute-range floor keeps sub-second
+    // jitter from false-flagging — machine-load distortion of the r5
+    // kind moved individual queries by 5-14 s.
     val spreadMax = allRuns.map { case (_, ts) =>
       val ok = ts.drop(1).filter(_ > 0)
-      val slowdown = ok.size >= 2 && ok.indexOf(ok.max) > ok.indexOf(ok.min)
-      if (!slowdown || ok.max - ok.min <= 1.0) 1.0 else ok.max / ok.min
+      if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0
+      else {
+        val ratio = ok.max / ok.min
+        val slowdown = ok.indexOf(ok.max) > ok.indexOf(ok.min)
+        // normalize both signals onto the >2.0 trigger scale
+        if (slowdown) ratio else if (ratio > 3.0) ratio * 2.0 / 3.0 else 1.0
+      }
     }.max
     val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
     val contaminated = calDrift > 1.5 || spreadMax > 2.0

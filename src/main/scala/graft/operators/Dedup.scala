@@ -109,7 +109,8 @@ object Dedup {
   def signaturesFromSets(sets: DataFrame): DataFrame = {
     val sigs = MinHashParams.indices.map(j =>
       array_min(transform(col("gs"), h => minHashJ(h, j))).as(s"m$j"))
-    sets.select(col("sid") +: sigs: _*)
+    // gn = |gram set| rides along for the candidate-stage size prefilter
+    sets.select(col("sid") +: size(col("gs")).as("gn") +: sigs: _*)
   }
 
   /** Candidate pairs from LSH banding over the signature (NumBands bands of
@@ -126,16 +127,47 @@ object Dedup {
     * threshold made q44 ~25% SLOWER despite doing one less shuffle: the
     * verify mapPartitions inherited the bucket-skewed partitioning and
     * straggled. At 100 TB the rebalance matters even more. */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
+  def lshCandidates(signatures: DataFrame): DataFrame =
+    lshCandidates(signatures, 0.0)
+
+  /** minSizeRatio > 0 pushes the verify stage's size-ratio prefilter INTO
+    * the band join condition: jaccard ≥ r requires min(|A|,|B|) ≥
+    * r·max(|A|,|B|), so dropping failing pairs here is result-preserving —
+    * and they vanish at the join probe, before the distinct's shuffle ever
+    * moves them (measured 41.5% of the shared-vocab corpus's band-collision
+    * pairs at r=0.7, sf0.1). Needs the `gn` size column from
+    * signaturesFromSets; without it only the bare banding applies. */
+  def lshCandidates(signatures: DataFrame, minSizeRatio: Double): DataFrame = {
+    val sizeAware = minSizeRatio > 0.0 && signatures.columns.contains("gn")
+    pairsFromBands(bandRelation(signatures, sizeAware), minSizeRatio, sizeAware)
+  }
+
+  /** (sid[, gn], sig) band relation: one row per (doc, band), sig =
+    * xxhash64 over the band's hashes. Tiny (4 narrow rows per doc) but
+    * EXPENSIVE to produce — it carries the whole 16-hash signature
+    * computation — so the managed pipeline persists it: the self-join
+    * below consumes it on both sides, and an unmaterialized plan would run
+    * the signature projection twice. */
+  private def bandRelation(signatures: DataFrame, sizeAware: Boolean): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       xxhash64(lit(b) +: cols: _*)
     }
-    val exploded = signatures
-      .select(col("sid"), explode(array(bands: _*)).as("sig"))
+    val keep = if (sizeAware) Seq(col("sid"), col("gn")) else Seq(col("sid"))
+    signatures.select(keep :+ explode(array(bands: _*)).as("sig"): _*)
+  }
+
+  private def pairsFromBands(exploded: DataFrame, minSizeRatio: Double,
+                             sizeAware: Boolean): DataFrame = {
+    val joinCond = {
+      val base = col("x.sig") === col("y.sig") && col("x.sid") < col("y.sid")
+      if (sizeAware)
+        base && least(col("x.gn"), col("y.gn")).cast("double") >=
+          lit(minSizeRatio) * greatest(col("x.gn"), col("y.gn"))
+      else base
+    }
     exploded.as("x")
-      .join(exploded.as("y"),
-        col("x.sig") === col("y.sig") && col("x.sid") < col("y.sid"))
+      .join(exploded.as("y"), joinCond)
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .distinct()
   }
@@ -197,7 +229,11 @@ object Dedup {
     // read them straight back for one consumer; fusing candidate
     // generation into the verify job saved ~2 s at sf0.1.
     val sets = gramSets(docs, id, text).persist()
-    val cands = lshCandidates(signaturesFromSets(sets))
+    // The band relation is 4 narrow rows per doc but carries the 16-hash
+    // signature computation; persisting it means the self-join's two sides
+    // share ONE signature pass instead of recomputing it per side.
+    val bandRel = bandRelation(signaturesFromSets(sets), sizeAware = true).persist()
+    val cands = pairsFromBands(bandRel, threshold, sizeAware = true)
     val integralId = docs.schema(id).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
@@ -225,6 +261,7 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .transform(truncateLineage)
       sets.unpersist(blocking = false)
+      bandRel.unpersist(blocking = false)
       bc.destroy()
       liveBc.decrementAndGet()
       new ManagedPairs(result)
@@ -234,6 +271,7 @@ object Dedup {
       val verified =
         truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
       sets.unpersist(blocking = false)
+      bandRel.unpersist(blocking = false)
       new ManagedPairs(verified
         .select(col("id_a"), col("id_b"), jaccardCol)
         .filter(col("jaccard") >= threshold))
@@ -354,9 +392,20 @@ object Dedup {
     * order-independent edge-set checksum.
     *
     * Returns (doc_id, rep_id) for EVERY vertex in `pairs`, roots included
-    * (rep_id = min id of the component). */
+    * (rep_id = min id of the component).
+    *
+    * Small-graph fast path: near-dup PAIR graphs are tiny relative to the
+    * corpus (at 100 TB the dup-pair set is the ~1e-3 tail the verify stage
+    * lets through), so when the deduped edge count is under
+    * `smallGraphMaxEdges` the edges are pulled to the driver and solved
+    * with union-find — identical output, none of the per-round
+    * shuffle/checkpoint overhead. Same budget-gated pattern as the
+    * verify stage's broadcast map (and the reference's scatter-vs-shuffle
+    * join rule); pass smallGraphMaxEdges = 0 to force the distributed
+    * path (q66b keeps it oracle-proven). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     def canon(e: DataFrame) = e.filter(col("u") =!= col("v")).distinct()
     def sym(e: DataFrame) = e.union(e.select(col("v").as("u"), col("u").as("v")))
     // m(u) = min(N(u) ∪ {u}) over the symmetrized neighborhood
@@ -384,10 +433,31 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var edges = canon(
+    val edges0 = canon(
       pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v")))
-      .transform(truncateLineage)
+    // the initial checksum's count doubles as the fast-path gate — no
+    // extra job beyond what convergence detection already pays
+    var edges = edges0.transform(truncateLineage)
     var last = checksum(edges)
+    if (last._1 <= smallGraphMaxEdges && smallGraphMaxEdges > 0) {
+      val spark = edges.sparkSession
+      val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val verts = local.flatMap(e => Seq(e._1, e._2)).distinct
+      import spark.implicits._
+      return verts.map(v => (v, find(v))).toSeq.toDF("doc_id", "rep_id")
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

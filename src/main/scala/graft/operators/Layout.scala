@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Write-path data layout for scan pruning at scale: Z-ORDER clustering.
+ *
+ * Parquet/ORC skip-data (row-group min/max pruning — see ScanPruningSpec)
+ * only fires when rows with similar key values are physically adjacent. A
+ * linear sort gives that for ONE column; multi-dimensional predicates need
+ * a space-filling curve. zOrderWrite interleaves the bits of each cluster
+ * column's normalized rank (Morton/Z-value), range-partitions on the
+ * Z-value, sorts within partitions, and writes — after which selective
+ * predicates on ANY clustered column prune most row groups
+ * (ZOrderLayoutSpec pins it by scan metrics).
+ *
+ * Scale shape: one min/max aggregate over the cluster columns (a 1-row
+ * driver fetch, same budget class as Dedup's sizing aggregate), then a
+ * pure projection + one range shuffle + local sort — the standard
+ * write-amplification cost of clustering, linear in data size, no
+ * driver-side data. The reference engine has no write-path clustering
+ * (results stay in GPU frames; persistence is client-side): this operator
+ * serves the engine's own skip-data machinery, reference
+ * engine/src/skip_data/SkipDataProcessor.cpp being the read half.
+ */
+object Layout {
+
+  /** Morton Z-value: interleave the low `bits` bits of each (already
+    * normalized, non-negative) long column. Bit b of column i lands at
+    * position b*n + i, so all columns share significance equally.
+    * n_cols * bits must stay ≤ 63. */
+  def interleaveBits(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"need 1..${63 / math.max(bits, 1)} columns at $bits bits")
+    val n = cols.size
+    val terms =
+      for { b <- 0 until bits; (c, i) <- cols.zipWithIndex }
+        yield shiftright(c, b).bitwiseAND(lit(1L)) * lit(1L << (b * n + i))
+    terms.reduce(_ + _)
+  }
+
+  /** df + `zCol` = Z-value over `colNames`, each column min-max normalized
+    * onto [0, 2^bits) — rank-preserving, null → 0 (nulls cluster at the
+    * curve origin, matching NULLS FIRST scan stats). The min/max pass is
+    * one 1-row aggregate. */
+  def withZValue(df: DataFrame, colNames: Seq[String], bits: Int = 12,
+                 zCol: String = "_zv"): DataFrame = {
+    val aggs = colNames.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val maxVal = (1L << bits) - 1
+    val normed = colNames.zipWithIndex.map { case (c, i) =>
+      // all-null / empty input: min() is null — degenerate to constant 0
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      val span = math.max(mx - mn, Double.MinPositiveValue)
+      when(col(c).isNull, lit(0L))
+        .otherwise(((col(c).cast("double") - mn) / span * maxVal).cast("long"))
+    }
+    df.withColumn(zCol, interleaveBits(normed, bits))
+  }
+
+  /** Cluster `df` on the Z-curve over `colNames` and write parquet:
+    * range-partition by Z-value (contiguous curve segments per file),
+    * sort within partitions (contiguous curve runs per row group), drop
+    * the helper column, write. `options` pass through to the writer
+    * (e.g. small parquet.block.size to sharpen row-group granularity). */
+  def zOrderWrite(df: DataFrame, colNames: Seq[String], path: String,
+                  bits: Int = 12, numFiles: Int = 0,
+                  options: Map[String, String] = Map.empty): Unit = {
+    val z = withZValue(df, colNames, bits)
+    val parted =
+      if (numFiles > 0) z.repartitionByRange(numFiles, col("_zv"))
+      else z.repartitionByRange(col("_zv"))
+    parted.sortWithinPartitions("_zv")
+      .drop("_zv")
+      .write.options(options).parquet(path)
+  }
+}

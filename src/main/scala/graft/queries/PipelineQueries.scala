@@ -54,6 +54,17 @@ object PipelineQueries extends QueryPack {
        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
 
+  private val clustersOracle =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(v, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v)
+       |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+       |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Exact dedup. The corpus has no byte-identical texts, so the
     // query plants copies (doc_id+100000) and the operator must find
@@ -99,6 +110,15 @@ object PipelineQueries extends QueryPack {
     "q66_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minHashLshPairs(load(s, dir, "documents"), "doc_id", "text", 0.7)
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
+    // ---- Same clustering forced down the distributed large-star/small-star
+    // path (smallGraphMaxEdges = 0): the plan that runs when the pair graph
+    // exceeds the driver budget. Oracle identical to q66 — the budget gate
+    // cannot change answers (q44/q44b relationship, for clustering).
+    "q66b_dedup_clusters_dist" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshPairs(load(s, dir, "documents"), "doc_id", "text", 0.7)
+      Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0L).orderBy(col("doc_id"))
     }),
 
     // ---- SimHash fingerprints + Hamming≤1 pairs
@@ -299,17 +319,12 @@ object PipelineQueries extends QueryPack {
          |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
-    // smallest id reachable through the symmetrized pair graph.
-    "q66_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
-         |          UNION SELECT id_b, id_a FROM pr),
-         |reach(v, r) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v)
-         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
-         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // smallest id reachable through the symmetrized pair graph. Shared by
+    // q66 (budget-gated driver union-find at these SFs) and q66b (forced
+    // distributed large-star/small-star) — the physical strategy cannot
+    // change answers.
+    "q66_dedup_clusters" -> clustersOracle,
+    "q66b_dedup_clusters_dist" -> clustersOracle,
 
     "q45_dedup_simhash" ->
       s"""WITH toks AS (

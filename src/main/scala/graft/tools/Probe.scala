@@ -13,20 +13,24 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     Dedup.exactDuplicates(docs, "doc_id", "text").count() // warmup
-    val sets = time("gramSets persist+count") {
-      val s = Dedup.gramSets(docs, "doc_id", "text").persist()
-      println("sets rows = " + s.count()); s
-    }
+    // stage-by-stage cost decomposition of the q44 pipeline
+    val sets = Dedup.gramSets(docs, "doc_id", "text").persist()
+    time("1 gram-set scan (persist+count)")(sets.count())
+    time("2 signatures only (off cached sets)")(noop(Dedup.signaturesFromSets(sets)))
+    time("3 band join + distinct (candidates)")(
+      println("  cands = " + Dedup.lshCandidates(Dedup.signaturesFromSets(sets)).count()))
+    time("3b band join + size prefilter + distinct")(
+      println("  cands = " + Dedup.lshCandidates(Dedup.signaturesFromSets(sets), 0.7).count()))
     sets.unpersist(true)
-    time("full minHashLshPairs cold") {
-      println("n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7).count())
+    time("4 full minHashLshPairs cold") {
+      println("  n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7).count())
     }
-    time("full minHashLshPairs warm") {
-      println("n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7).count())
-    }
-    time("full shuffle fallback") {
-      println("n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7, 0L).count())
+    time("5 full minHashLshPairs warm") {
+      println("  n = " + Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7).count())
     }
     spark.stop()
   }

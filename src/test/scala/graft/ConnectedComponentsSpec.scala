@@ -27,7 +27,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    // smallGraphMaxEdges = 0: these tests pin the DISTRIBUTED path (the
+    // driver fast path is covered by the parity test below)
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"), smallGraphMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("matches union-find on a random graph (fixed seed)") {
@@ -57,6 +59,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("empty pair set yields empty clusters") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
+    assert(Dedup.connectedComponents(empty, smallGraphMaxEdges = 0L).count() == 0)
+  }
+
+  test("driver fast path (budget-gated) agrees with the distributed path") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(df) // default budget → union-find
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(df, smallGraphMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
   }
 
   test("skew stress: one giant star (1e5 edges into a single hub) converges in few rounds") {
@@ -69,7 +84,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val hub = spark.range(1, n + 1)
       .select(lit(0L).as("id_a"), col("id").as("id_b"))
     val t0 = System.nanoTime()
-    val got = Dedup.connectedComponents(hub, maxIter = 10)
+    val got = Dedup.connectedComponents(hub, maxIter = 10, smallGraphMaxEdges = 0L)
     assert(got.count() == n + 1L)
     assert(got.filter(col("rep_id") =!= 0L).count() == 0L)
     val sec = (System.nanoTime() - t0) / 1e9
