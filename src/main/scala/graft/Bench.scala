@@ -46,7 +46,11 @@ object Bench {
     "q48_ann_lsh",        // sign-LSH bucketed ANN
     "q49_lang_id",        // text analysis
     "q53_multimodal_decode", // binary columns + batched decode
-    "q66_dedup_clusters", // iterative connected-components clustering
+    // q66b, not q66: the default clustering entry takes the budget-gated
+    // driver union-find on this corpus's tiny pair graph (= q44 + ε);
+    // the FORCED distributed variant is the iterative O(log n)-round
+    // operator whose wall clock needs the guard
+    "q66b_dedup_clusters_dist",
     "q67_split_assign",   // deterministic split/sampling buckets
     "q68_repetition",     // repetition quality filters
     "q69_pii_scrub")      // PII detection + redaction

@@ -57,4 +57,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000)) // no join at all
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000)) // agg + sort only
   }
+
+  test("q67 splits: map-side bucketing, single aggregation, no join") {
+    val p = plan("q67_split_assign")
+    assert(!p.contains("Join"), p.take(2000)) // bucket+split are projections
+    assert(p.contains("partial_"), p.take(2000)) // map-side combine before the shuffle
+  }
+
+  test("q69 pii scrub: one scan, projections only, no exchange before the sort") {
+    val p = plan("q69_pii_scrub")
+    assert(!p.contains("Join"), p.take(2000))
+    // detection + redaction are row-local; the only exchange is the output sort
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+  }
 }
