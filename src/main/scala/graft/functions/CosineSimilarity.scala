@@ -109,5 +109,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_sorted_intersect_count takes exactly 2 arguments")
         SortedIntersectCount(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_minhash_sig takes exactly 1 argument")
+        MinHashSignature(children.head)
+      }))
   }
 }

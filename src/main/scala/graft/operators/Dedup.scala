@@ -107,9 +107,25 @@ object Dedup {
     signaturesFromSets(gramSets(docs, id, text))
 
   def signaturesFromSets(sets: DataFrame): DataFrame = {
+    // One-pass codegen'd kernel for all 16 mins (graft_minhash_sig); the
+    // composable per-hash form below is the spec oracle. Two projections:
+    // _s is non-cheap and referenced 16×, so CollapseProject keeps the
+    // barrier instead of inlining the kernel once per element_at
+    // (MinHashSigSpec pins single evaluation by plan text).
+    // gn = |gram set| rides along for the candidate-stage size prefilter.
+    sets.select(col("sid"), size(col("gs")).as("gn"),
+        call_function("graft_minhash_sig", col("gs")).as("_s"))
+      .select(col("sid") +: col("gn") +:
+        MinHashParams.indices.map(j => element_at(col("_s"), j + 1).as(s"m$j")): _*)
+  }
+
+  /** Composable reference form of the signature — one array fold per hash
+    * (16 walks of gs, 16 intermediate arrays). Semantically identical to
+    * signaturesFromSets; kept as the equivalence oracle for the one-pass
+    * kernel (MinHashSigSpec) and as documentation of the semantics. */
+  def signaturesFromSetsComposable(sets: DataFrame): DataFrame = {
     val sigs = MinHashParams.indices.map(j =>
       array_min(transform(col("gs"), h => minHashJ(h, j))).as(s"m$j"))
-    // gn = |gram set| rides along for the candidate-stage size prefilter
     sets.select(col("sid") +: size(col("gs")).as("gn") +: sigs: _*)
   }
 
