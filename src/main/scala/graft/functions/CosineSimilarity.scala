@@ -116,5 +116,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_minhash_sig takes exactly 1 argument")
         MinHashSignature(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash32 takes exactly 1 argument")
+        SimHash32(children.head)
+      }))
   }
 }

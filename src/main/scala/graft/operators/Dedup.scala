@@ -499,13 +499,26 @@ object Dedup {
       .union(edges.select(col("v"), col("v")).distinct())
   }
 
-  /** 32-bit SimHash fingerprint per document over whitespace tokens.
-    * One groupBy(sid) with 32 bit-counter aggregates — each token row is
-    * consumed once and partial aggregation runs map-side, instead of the
-    * explode-per-bit formulation (tokens × 32 rows through two shuffles)
-    * that a naive translation produces. Same integer arithmetic, same
-    * fingerprints. */
-  def simHashFingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
+  /** 32-bit SimHash fingerprint per document over whitespace tokens —
+    * a row-local codegen'd kernel (graft_simhash32): a doc's fingerprint
+    * depends only on its OWN tokens, so the stage is a pure projection
+    * fused into the scan, with NO shuffle at any corpus size. The
+    * aggregate formulation below is the equivalence oracle. Docs with no
+    * non-empty token have no fingerprint (same visible set as the
+    * aggregate form, where their token rows are filtered before the
+    * groupBy). */
+  def simHashFingerprints(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("sid"),
+        call_function("graft_simhash32", col(text)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+
+  /** Aggregate reference form: explode tokens, one groupBy(sid) with 32
+    * bit-counter aggregates (map-side partial, one shuffle) — itself the
+    * non-naive distributed shape (the explode-per-bit translation pushes
+    * tokens × 32 rows through TWO shuffles). Kept as the equivalence
+    * oracle for the row-local kernel (SimHashSigSpec) and as
+    * documentation of the semantics. */
+  def simHashFingerprintsAggregate(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = docs.select(col(id).as("sid"), explode(split(col(text), " ")).as("t"))
       .filter(length(col("t")) > 0)
       .withColumn("h", tokenHash(col("t")))
