@@ -123,5 +123,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_simhash32 takes exactly 1 argument")
         SimHash32(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_bigram_count"),
+      new ExpressionInfo(classOf[TopBigramCount].getName, "graft_top_bigram_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_top_bigram_count takes exactly 1 argument")
+        TopBigramCount(children.head)
+      }))
   }
 }

@@ -242,20 +242,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("source"), col("split"))
     }),
 
-    // ---- Gopher-style repetition filters over whitespace tokens:
-    // duplicate-token fraction (array arithmetic, no shuffle) + fraction
-    // of tokens in the most frequent bigram (explode → two-level agg —
-    // the only shuffle, keyed on (doc, bigram) then doc).
+    // ---- Gopher-style repetition filters over whitespace tokens. Both
+    // metrics are per-doc, so the WHOLE stage is row-local: dup-token
+    // fraction from array arithmetic, top-bigram count from the
+    // graft_top_bigram_count kernel — no explode, no groupBy, no join;
+    // the only exchange is the output sort (plan-audited). The aggregate
+    // formulation lives in TopBigramSpec as the kernel's oracle.
     "q68_repetition" -> ((s, dir) => {
-      val base = load(s, dir, "documents").filter(col("doc_id") < 200)
+      load(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val met = base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        TextAnalysis.dupTokenFraction(col("toks")).as("dup_token_frac"))
-      val topc = base
-        .select(col("doc_id"), explode(TextAnalysis.wordBigrams(col("toks"))).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
-      met.join(topc, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          TextAnalysis.dupTokenFraction(col("toks")).as("dup_token_frac"),
+          call_function("graft_top_bigram_count", col("toks")).as("top_cnt"))
         .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
           TextAnalysis.topBigramFraction(col("top_cnt"), col("n_tokens")).as("top_bigram_frac"))
         .withColumn("repetitive",

@@ -64,6 +64,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(2000)) // map-side combine before the shuffle
   }
 
+  test("q68 repetition: fully row-local metrics, no join/explode/aggregation") {
+    val p = plan("q68_repetition")
+    assert(!p.contains("Join") && !p.contains("Generate") && !p.contains("HashAggregate"),
+      p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000)) // output sort only
+  }
+
   test("q69 pii scrub: one scan, projections only, no exchange before the sort") {
     val p = plan("q69_pii_scrub")
     assert(!p.contains("Join"), p.take(2000))
