@@ -139,4 +139,34 @@ object TextAnalysis {
     * contract (the oracle mirrors it). */
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
+  /** Corpus-statistics quality scoring: mean token RARITY per document,
+    * rarity(t) = round(N / count(t), 6) with N = total corpus tokens — the
+    * deterministic stand-in for unigram surprisal (-log p would hang the
+    * oracle on last-ulp `ln` library differences; the monotone N/cnt
+    * carries the same filtering signal). Docs of common words score low,
+    * rare-token soup scores high.
+    *
+    * Two-pass shape no other text op has: (1) one groupBy builds the
+    * vocabulary — at 100 TB a hash shuffle on the token key; (2) the
+    * scores join back to the exploded tokens. The vocabulary is
+    * zipf-bounded (≪ corpus), so Spark broadcasts it (plan-audited) and
+    * pass 2 stays shuffle-free on the corpus side. Per-doc mean uses an
+    * exact DECIMAL sum: IEEE double summation is partition-order
+    * dependent and would break the oracle hash-compare. */
+  def tokenRarity(docs: org.apache.spark.sql.DataFrame, id: String, text: String)
+    : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(id).as("rid"), explode(split(col(text), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    // 1-row sizing collect, same budget class as Dedup's broadcast gate
+    val total = vocab.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    toks.join(broadcast(vocab), "t")
+      .withColumn("rarity", round(lit(total.toDouble) / col("cnt"), 6))
+      .groupBy(col("rid"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rarity").cast("decimal(28,6)")).as("s"))
+      .select(col("rid").as(id), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens"), 6).as("mean_rarity"))
+  }
 }

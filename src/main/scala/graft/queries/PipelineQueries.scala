@@ -282,6 +282,17 @@ object PipelineQueries extends QueryPack {
           TextAnalysis.patternCount(col("text2"), TextAnalysis.UrlRe).as("n_urls"),
           md5(TextAnalysis.redactPii(col("text2"))).as("redacted_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Corpus-statistics quality scoring: mean token rarity (N/cnt,
+    // the deterministic unigram-surprisal stand-in). Two-pass shape:
+    // vocabulary aggregation (one token-keyed shuffle), then the
+    // zipf-bounded vocab broadcast back over the corpus — pass 2 is
+    // shuffle-free on the corpus side (plan-audited).
+    "q70_token_rarity" -> ((s, dir) => {
+      TextAnalysis.tokenRarity(load(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -561,7 +572,22 @@ object PipelineQueries extends QueryPack {
         |  md5(regexp_replace(regexp_replace(text2,
         |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |        'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g')) AS redacted_fp
-        |FROM planted ORDER BY doc_id""".stripMargin
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q70_token_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+        |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, round((SELECT n FROM total) / cnt, 6) AS rarity
+        |  FROM toks JOIN vocab USING (t))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(rarity AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_rarity
+        |FROM scored WHERE doc_id < 200
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Language-ID oracle: same padded-replace counting and same

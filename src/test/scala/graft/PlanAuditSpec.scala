@@ -77,4 +77,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // detection + redaction are row-local; the only exchange is the output sort
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
+
+  test("q70 token rarity: zipf-bounded vocab broadcast, corpus side never shuffle-joins") {
+    val p = plan("q70_token_rarity")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
+  }
 }
