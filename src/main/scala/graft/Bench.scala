@@ -53,7 +53,9 @@ object Bench {
     "q66b_dedup_clusters_dist",
     "q67_split_assign",   // deterministic split/sampling buckets
     "q68_repetition",     // repetition quality filters
-    "q69_pii_scrub")      // PII detection + redaction
+    "q69_pii_scrub",      // PII detection + redaction
+    "q70_token_rarity",   // corpus-stats vocab + broadcast scoring
+    "q71_multimodal_headers") // real BMP/WAV construct + header parse
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

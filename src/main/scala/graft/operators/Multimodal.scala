@@ -79,4 +79,46 @@ object Multimodal {
       col("source"))
       .as[MediaRow]
   }
+
+  /** Media table with REAL container payloads, built in executors from
+    * per-row deterministic parameters: valid BMPs for images, valid PCM
+    * WAVs for audio, opaque text bytes for "video" (the codec-bound case
+    * the stub stands in for). The parameter formulas are the q71 oracle's
+    * arithmetic — the decode stage must re-derive them by genuinely
+    * parsing the headers it is handed. */
+  def mediaWithHeaders(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).map { r =>
+      val id = r.media_id
+      r.kind match {
+        case "image" =>
+          r.copy(payload = MediaCodec.bmp(
+            width = (16 + (id * 13) % 48).toInt, height = (16 + (id * 29) % 32).toInt))
+        case "audio" =>
+          r.copy(payload = MediaCodec.wav(
+            channels = (1 + id % 2).toInt,
+            sampleRate = (8000 + (id % 5) * 2000).toInt,
+            nSamples = (100 + id % 400).toInt))
+        case _ => r
+      }
+    }
+  }
+
+  /** Batched decode that REALLY parses headerable containers (BMP/WAV via
+    * MediaCodec) and falls back to the documented stub for codec-bound
+    * payloads. Output packing per modality: image → (width, height, 1);
+    * audio → (channels, sampleRate, nSamples); other → stub triple. Same
+    * partition-batched mapPartitions shape as decodeFeatures. */
+  def decodeHeaderFeatures(media: Dataset[MediaRow], numPartitions: Int)
+    : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(numPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, f) = MediaCodec.parseHeader(r.payload).getOrElse(decodeStub(r.payload))
+          MediaFeatures(r.media_id, r.kind, r.source, r.payload.length, w, h, f)
+        }
+      }
+  }
 }

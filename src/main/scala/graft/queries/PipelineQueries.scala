@@ -293,6 +293,20 @@ object PipelineQueries extends QueryPack {
       TextAnalysis.tokenRarity(load(s, dir, "documents"), "doc_id", "text")
         .filter(col("doc_id") < 200)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Multimodal with REAL header decode: executors build valid
+    // BMP/WAV containers from per-row parameters, and the decode stage
+    // re-derives those parameters by actually parsing the bytes — the
+    // oracle predicts them arithmetically, so a parsing bug (endianness,
+    // offset, padding) breaks the hash match. "video" rows stay on the
+    // documented codec stub.
+    "q71_multimodal_headers" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(s, load(s, dir, "documents"))
+      Multimodal.decodeHeaderFeatures(media, 32).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("frames"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -587,7 +601,31 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(CAST(sum(CAST(rarity AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_rarity
         |FROM scored WHERE doc_id < 200
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Predicts the container-construction parameters arithmetically; the
+    // Spark side must recover them by parsing the bytes it built.
+    "q71_multimodal_headers" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    16 + (doc_id*13) % 48 AS w, 16 + (doc_id*29) % 32 AS h,
+        |    1 + doc_id % 2 AS ch, 8000 + (doc_id % 5) * 2000 AS rate,
+        |    100 + doc_id % 400 AS ns,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |sized AS (SELECT *, (w*3+3) - (w*3+3) % 4 AS row_size FROM base)
+        |SELECT doc_id AS media_id, kind,
+        |  CAST(CASE kind WHEN 'image' THEN 54 + row_size*h
+        |                 WHEN 'audio' THEN 44 + ns*ch*2 ELSE n END AS INT) AS byte_len,
+        |  CAST(CASE kind WHEN 'image' THEN w
+        |                 WHEN 'audio' THEN ch ELSE 64 + n % 640 END AS INT) AS width,
+        |  CAST(CASE kind WHEN 'image' THEN h
+        |                 WHEN 'audio' THEN rate ELSE 64 + (n*7) % 480 END AS INT) AS height,
+        |  CAST(CASE kind WHEN 'image' THEN 1
+        |                 WHEN 'audio' THEN ns ELSE 1 + n % 8 END AS INT) AS frames
+        |FROM sized ORDER BY media_id""".stripMargin
   )
 
   /** Language-ID oracle: same padded-replace counting and same

@@ -56,6 +56,37 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f.kind == "audio") // 7 % 3 == 1
   }
 
+  test("media codec: BMP and WAV headers round-trip through a real parse") {
+    // construct → parse must recover the exact parameters
+    assert(MediaCodec.parseHeader(MediaCodec.bmp(33, 21)).contains((33, 21, 1)))
+    assert(MediaCodec.parseHeader(MediaCodec.wav(2, 16000, 347)).contains((2, 16000, 347)))
+    // BMP byte length: 54-byte headers + 4-padded 24bpp rows
+    assert(MediaCodec.bmp(33, 21).length == 54 + ((33 * 3 + 3) / 4) * 4 * 21)
+    assert(MediaCodec.wav(2, 16000, 347).length == 44 + 347 * 2 * 2)
+    // non-container bytes fall through to the stub path
+    assert(MediaCodec.parseHeader("just some text".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.parseHeader(Array[Byte]()).isEmpty)
+  }
+
+  test("decodeHeaderFeatures: parses real containers, stubs the rest") {
+    val docs = Seq(
+      (3L, "im", "en", "s", 2L),   // 3 % 3 == 0 → image/BMP
+      (7L, "au", "en", "s", 2L),   // 7 % 3 == 1 → audio/WAV
+      (8L, "video bytes", "en", "s", 11L)) // → opaque, stub
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.decodeHeaderFeatures(
+      Multimodal.mediaWithHeaders(spark, docs), 2)
+      .collect().map(f => f.media_id -> f).toMap
+    val im = feats(3L)
+    assert(im.width == (16 + (3 * 13) % 48) && im.height == (16 + (3 * 29) % 32)
+      && im.frames == 1)
+    val au = feats(7L)
+    assert(au.width == 1 + 7 % 2 && au.height == 8000 + (7 % 5) * 2000
+      && au.frames == 100 + 7 % 400)
+    val vid = feats(8L)
+    assert(vid.byte_len == 11 && vid.width == 64 + 11 % 640)
+  }
+
   test("contentFingerprint is whitespace/case insensitive") {
     val df = Seq(("A  Quick\tFox", "a quick fox")).toDF("a", "b")
       .select((TextAnalysis.contentFingerprint(col("a")) ===
