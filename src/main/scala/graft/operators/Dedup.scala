@@ -429,11 +429,15 @@ object Dedup {
       s.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
 
-    // large-star: larger neighbors v > u re-attach to m(u)
+    // large-star: larger neighbors v > u re-attach to m(u). No canon():
+    // self-loops are impossible (m ≤ u < v) and duplicates are harmless —
+    // smallStar's min-aggregates are duplicate-insensitive and its canon()
+    // dedupes the round's output — so skipping the distinct here removes
+    // one full shuffle per round without changing any round's edge set.
     def largeStar(e: DataFrame): DataFrame = {
       val s = sym(e)
-      canon(s.join(withMin(s), "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+      s.join(withMin(s), "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
     }
     // small-star: smaller-or-equal neighbors AND u itself attach to m(u)
     def smallStar(e: DataFrame): DataFrame = {
