@@ -190,9 +190,12 @@ class EngineContext(val spark: SparkSession) {
         // same mechanics on a 1000-executor cluster.
         val chunkParts = options.get("max_bytes_chunk_read").map(_.trim.toLong).map { bytes =>
           require(bytes > 0, s"max_bytes_chunk_read must be positive, got $bytes")
-          val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
           val total = rpaths.flatMap { p =>
-            Option(fs.globStatus(new org.apache.hadoop.fs.Path(p))).toSeq.flatten
+            // resolve the filesystem PER PATH — a table on s3a:// must not
+            // be sized through the default (local/HDFS) filesystem
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            Option(fs.globStatus(hp)).toSeq.flatten
           }.map(_.getLen).sum
           math.max(1L, (total + bytes - 1) / bytes).toInt
         }
@@ -379,6 +382,7 @@ class EngineContext(val spark: SparkSession) {
   private final class AsyncQuery {
     @volatile var df: DataFrame = _ // set as soon as materialization starts
     @volatile var fut: Future[DataFrame] = _
+    @volatile var released: Boolean = false // release() raced the analysis phase
   }
   private val pending = new ConcurrentHashMap[String, AsyncQuery]()
   private val fetched = new ConcurrentHashMap[String, AsyncQuery]()
@@ -470,6 +474,11 @@ class EngineContext(val spark: SparkSession) {
         aq.df = df // visible to release/cancel even mid-materialization
         df.cache()
         df.count() // force materialization
+        // release()/cancel() may have raced the analysis phase above (df
+        // not yet assigned when they looked): their unpersist saw nothing
+        // and cancelJobGroup found no jobs, so the cache we just built
+        // would be orphaned — honor the release here instead
+        if (aq.released) Try(df.unpersist(blocking = false))
         df
       } finally spark.sparkContext.clearJobGroup()
     }
@@ -483,6 +492,7 @@ class EngineContext(val spark: SparkSession) {
   def release(token: String): Unit = {
     val aq = Option(pending.remove(token)).orElse(Option(fetched.remove(token)))
     aq.foreach { q =>
+      q.released = true // a racing materialization will self-unpersist
       spark.sparkContext.cancelJobGroup(token)
       Option(q.df).foreach(d => Try(d.unpersist(blocking = true)))
     }
@@ -555,6 +565,10 @@ class EngineContext(val spark: SparkSession) {
     } catch {
       case e: Throwable =>
         Option(aq.df).foreach(d => Try(d.unpersist(blocking = false)))
+        // failed tokens are evicted wholesale: progress detail included
+        Option(tokenStages.remove(token)).foreach { set =>
+          set.forEach(id => stageDone.remove(id))
+        }
         throw e
     }
   }

@@ -249,48 +249,56 @@ object Dedup {
     // signature computation; persisting it means the self-join's two sides
     // share ONE signature pass instead of recomputing it per side.
     val bandRel = bandRelation(signaturesFromSets(sets), sizeAware = true).persist()
-    val cands = pairsFromBands(bandRel, threshold, sizeAware = true)
-    val integralId = docs.schema(id).dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
-      case _ => false
-    }
-    // Broadcast eligibility is decided on ESTIMATED BYTES, not doc count —
-    // 8 B per distinct gram hash + fixed per-entry map overhead. A doc-count
-    // gate would mis-fire in both directions (many tiny docs: needless
-    // fallback; few huge docs: broadcast OOM). Same decision rule as the
-    // reference's scatter-vs-shuffle join budget
-    // (engine/src/execution_kernels/BatchJoinProcessing.cpp:672-830, which
-    // compares estimated bytes against MAX_JOIN_SCATTER_MEM_OVERHEAD).
-    val sizing = sets.agg(count(lit(1)), sum(size(col("gs")))).collect()(0)
-    val nDocs = sizing.getLong(0)
-    val nGrams = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
-    val estBytes = nGrams * 8L + nDocs * 64L
-    if (integralId && estBytes <= broadcastBudgetBytes) {
-      val bc = collectAndBroadcast(sets)
-      liveBc.incrementAndGet()
-      // Materializing the (tiny) passing-pair set HERE is what lets every
-      // corpus-sized intermediate be freed before the caller sees the
-      // result: after the checkpoint, neither the persisted gram-set scan
-      // nor the broadcast map is reachable from the returned plan.
-      val result = mergeWalkScore(cands, bc, minSizeRatio = threshold)
-        .select(col("id_a"), col("id_b"), jaccardCol)
-        .filter(col("jaccard") >= threshold)
-        .transform(truncateLineage)
+    // try/finally, not success-path cleanup: a failed materialization
+    // (executor loss mid-localCheckpoint is the documented default-mode
+    // risk) must not leave corpus-sized intermediates persisted or a live
+    // verify broadcast behind in a long-lived session
+    try {
+      val cands = pairsFromBands(bandRel, threshold, sizeAware = true)
+      val integralId = docs.schema(id).dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      }
+      // Broadcast eligibility is decided on ESTIMATED BYTES, not doc count —
+      // 8 B per distinct gram hash + fixed per-entry map overhead. A doc-count
+      // gate would mis-fire in both directions (many tiny docs: needless
+      // fallback; few huge docs: broadcast OOM). Same decision rule as the
+      // reference's scatter-vs-shuffle join budget
+      // (engine/src/execution_kernels/BatchJoinProcessing.cpp:672-830, which
+      // compares estimated bytes against MAX_JOIN_SCATTER_MEM_OVERHEAD).
+      val sizing = sets.agg(count(lit(1)), sum(size(col("gs")))).collect()(0)
+      val nDocs = sizing.getLong(0)
+      val nGrams = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
+      val estBytes = nGrams * 8L + nDocs * 64L
+      if (integralId && estBytes <= broadcastBudgetBytes) {
+        val bc = collectAndBroadcast(sets)
+        liveBc.incrementAndGet()
+        try {
+          // Materializing the (tiny) passing-pair set HERE is what lets
+          // every corpus-sized intermediate be freed before the caller
+          // sees the result: after the checkpoint, neither the persisted
+          // gram-set scan nor the broadcast map is reachable from the
+          // returned plan.
+          new ManagedPairs(mergeWalkScore(cands, bc, minSizeRatio = threshold)
+            .select(col("id_a"), col("id_b"), jaccardCol)
+            .filter(col("jaccard") >= threshold)
+            .transform(truncateLineage))
+        } finally {
+          bc.destroy()
+          liveBc.decrementAndGet()
+        }
+      } else {
+        // localCheckpoint doubles as the materialization barrier documented
+        // above AND the point where the gram-set scan can be released
+        val verified =
+          truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
+        new ManagedPairs(verified
+          .select(col("id_a"), col("id_b"), jaccardCol)
+          .filter(col("jaccard") >= threshold))
+      }
+    } finally {
       sets.unpersist(blocking = false)
       bandRel.unpersist(blocking = false)
-      bc.destroy()
-      liveBc.decrementAndGet()
-      new ManagedPairs(result)
-    } else {
-      // localCheckpoint doubles as the materialization barrier documented
-      // above AND the point where the gram-set scan can be released
-      val verified =
-        truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
-      sets.unpersist(blocking = false)
-      bandRel.unpersist(blocking = false)
-      new ManagedPairs(verified
-        .select(col("id_a"), col("id_b"), jaccardCol)
-        .filter(col("jaccard") >= threshold))
     }
   }
 

@@ -69,6 +69,10 @@ object Layout {
   def zOrderWrite(df: DataFrame, colNames: Seq[String], path: String,
                   bits: Int = 12, numFiles: Int = 0,
                   options: Map[String, String] = Map.empty): Unit = {
+    // the helper column is dropped before the write — a real user column
+    // of the same name would be silently destroyed
+    require(!df.columns.contains("_zv"),
+      "zOrderWrite reserves the column name _zv; rename the input column")
     val z = withZValue(df, colNames, bits)
     val parted =
       if (numFiles > 0) z.repartitionByRange(numFiles, col("_zv"))

@@ -25,9 +25,12 @@ object Sampling {
   /** Stable bucket in [0, buckets) from an arbitrary string key: first 8
     * md5 hex digits as an integer, mod buckets. 8 hex digits = 32 bits of
     * the digest — far below collision concern for BUCKETING (uniformity is
-    * what matters, not injectivity). */
+    * what matters, not injectivity). A NULL key buckets as the empty
+    * string, so null-keyed rows get ONE deterministic bucket — they land
+    * in a split and sample consistently instead of assignSplit defaulting
+    * them while hashSample silently drops them. */
   def splitBucket(key: Column, buckets: Int = 10000): Column =
-    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % buckets
+    conv(substring(md5(coalesce(key, lit(""))), 1, 8), 16, 10).cast("long") % buckets
 
   /** Named split from a bucket: train/val/test by cumulative per-10000
     * weights (trainPer10k=8000, valPer10k=1000 → 80/10/10). */

@@ -159,8 +159,12 @@ object TextAnalysis {
     val toks = docs.select(col(id).as("rid"), explode(split(col(text), " ")).as("t"))
       .filter(length(col("t")) > 0)
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    // 1-row sizing collect, same budget class as Dedup's broadcast gate
-    val total = vocab.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    // N from a count over the token scan, NOT sum over vocab: an agg on
+    // vocab would execute the corpus-wide vocabulary shuffle a second
+    // time just for sizing (the broadcast join below runs it again). The
+    // scan-only count is the same 1-row driver hop as Dedup's broadcast
+    // gate, and 0 on an empty corpus (join is empty then — no NPE path).
+    val total = toks.count()
     toks.join(broadcast(vocab), "t")
       .withColumn("rarity", round(lit(total.toDouble) / col("cnt"), 6))
       .groupBy(col("rid"))

@@ -541,7 +541,7 @@ object PipelineQueries extends QueryPack {
     "q67_split_assign" ->
       """WITH b AS (
         |  SELECT source,
-        |         ('0x' || substr(md5(md5(lower(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8))::BIGINT
+        |         ('0x' || substr(md5(coalesce(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), '')), 1, 8))::BIGINT
         |           % 10000 AS bucket
         |  FROM documents)
         |SELECT source,

@@ -84,14 +84,26 @@ class DialectCompatSpec extends AnyFunSuite {
     // idempotent: a rewritten (or already-$N) replacement is untouched
     assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
       == "SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
-    // literal $ mixed with backrefs: $ escaped so Spark keeps it literal,
-    // \N still becomes $N — and the result is a fixpoint
+    // literal $ mixed with backrefs: \N becomes $N, and $ is emitted as
+    // \\$ because it must survive TWO parsers — Spark's literal unescape
+    // (eats one backslash) and java.util.regex's replacement syntax
+    // (needs \$ for a literal dollar). The result is a fixpoint.
     val mixed = Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(\\d+)', '$\\1.00') FROM t")
-    assert(mixed == "SELECT REGEXP_REPLACE(c, '(\\d+)', '\\$$1.00') FROM t")
+    assert(mixed == "SELECT REGEXP_REPLACE(c, '(\\d+)', '\\\\$$1.00') FROM t")
     assert(Dialect.rewrite(mixed) == mixed)
-    // pre-escaped \$ alongside a backref is not double-escaped
+    // pre-escaped \$ alongside a backref is doubled for the parser, once
     assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '\\$\\1') FROM t")
-      == "SELECT REGEXP_REPLACE(c, '(x)', '\\$$1') FROM t")
+      == "SELECT REGEXP_REPLACE(c, '(x)', '\\\\$$1') FROM t")
+  }
+
+  test("mixed $/backref replacement EXECUTES correctly through spark.sql") {
+    val spark = graft.TestSpark.spark
+    // pattern avoids \d (Spark's literal unescape would eat that backslash
+    // too — reference suite patterns use bracket classes, which survive)
+    val out = spark.sql(Dialect.rewrite(
+      "SELECT REGEXP_REPLACE('price 42 units', '([0-9]+)', '$\\1.00') AS r"))
+      .collect()(0).getString(0)
+    assert(out == "price $42.00 units", out)
   }
 
   test("dialect rewrites: slashed date literals in CAST") {

@@ -37,6 +37,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(splits("train") > 330 && splits("train") < 470, s"train=${splits("train")}")
   }
 
+  test("null keys bucket deterministically as the empty string") {
+    val withNull = Seq((1L, Option("doc one")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val buckets = withNull.select(col("id"), Sampling.splitBucket(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emptyBucket = Seq("").toDF("t")
+      .select(Sampling.splitBucket(col("t"))).collect()(0).getLong(0)
+    // null-keyed rows are assigned, not dropped — one stable bucket
+    assert(buckets(2L) == emptyBucket)
+    val splits = withNull.select(Sampling.assignSplit(Sampling.splitBucket(col("text"))))
+      .collect().map(_.getString(0))
+    assert(splits.forall(Set("train", "val", "test")))
+  }
+
   test("hashSample membership is stable when the corpus grows") {
     val small = Sampling.hashSample(docs, col("text"), 1000)
       .select("id").collect().map(_.getLong(0)).toSet
