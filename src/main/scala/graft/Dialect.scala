@@ -140,16 +140,15 @@ object Dialect {
                   val ch = body(bi)
                   if (ch == '\\' && bi + 1 < body.length && body(bi + 1).isDigit) {
                     sb += '$'; sb += body(bi + 1); bi += 2 // \N -> $N
-                  } else if (ch == '\\' && bi + 1 < body.length && body(bi + 1) == '$') {
-                    sb ++= "\\\\$"; bi += 2 // pre-escaped \$: double for the parser
                   } else if (ch == '\\' && bi + 1 < body.length) {
                     sb += ch; sb += body(bi + 1); bi += 2 // other escapes as-is
                   } else if (ch == '$') {
-                    // literal $ must reach Java's replacement parser as \$ —
-                    // and Spark's literal unescape EATS one backslash
-                    // ('\$' parses to '$'), so the SQL text needs \\$
-                    // (DialectCompatSpec executes this end-to-end)
-                    sb ++= "\\\\$"; bi += 1
+                    // literal $ must reach Java's replacement parser as \$.
+                    // Engine sessions run with escapedStringLiterals=true
+                    // (EngineContext — Calcite literal semantics), so the
+                    // SQL text '\$' arrives at the function untouched;
+                    // DialectCompatSpec executes this end-to-end.
+                    sb ++= "\\$"; bi += 1
                   } else { sb += ch; bi += 1 }
                 }
                 val lead = sql.substring(s3, e3).takeWhile(_.isWhitespace)

@@ -22,6 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 class EngineContext(val spark: SparkSession) {
 
+  // The engine's SQL surface is the reference's Calcite dialect, where
+  // string literals are STANDARD SQL: a backslash is an ordinary
+  // character ('\d+' is the 3-char regex \d+). Spark's default parser
+  // instead processes backslash escapes ('\d' parses to 'd' — silently
+  // corrupting every regex pattern and windows path a reference query
+  // carries). escapedStringLiterals is Spark's own switch for exactly
+  // this semantics; DialectCompatSpec executes pattern/replacement
+  // fidelity end-to-end under it.
+  spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+
   // ---------------------------------------------------------------- catalog
 
   /** Source metadata kept per registered table (≈ reference Schema objects,

@@ -84,26 +84,28 @@ class DialectCompatSpec extends AnyFunSuite {
     // idempotent: a rewritten (or already-$N) replacement is untouched
     assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
       == "SELECT REGEXP_REPLACE(c, '(x)', '$1!') FROM t")
-    // literal $ mixed with backrefs: \N becomes $N, and $ is emitted as
-    // \\$ because it must survive TWO parsers — Spark's literal unescape
-    // (eats one backslash) and java.util.regex's replacement syntax
-    // (needs \$ for a literal dollar). The result is a fixpoint.
+    // literal $ mixed with backrefs: \N becomes $N, $ becomes \$ (the
+    // java.util.regex replacement escape). Engine sessions run with
+    // escapedStringLiterals=true, so the literal reaches the function
+    // verbatim. The result is a fixpoint.
     val mixed = Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(\\d+)', '$\\1.00') FROM t")
-    assert(mixed == "SELECT REGEXP_REPLACE(c, '(\\d+)', '\\\\$$1.00') FROM t")
+    assert(mixed == "SELECT REGEXP_REPLACE(c, '(\\d+)', '\\$$1.00') FROM t")
     assert(Dialect.rewrite(mixed) == mixed)
-    // pre-escaped \$ alongside a backref is doubled for the parser, once
+    // pre-escaped \$ alongside a backref is not double-escaped
     assert(Dialect.rewrite("SELECT REGEXP_REPLACE(c, '(x)', '\\$\\1') FROM t")
-      == "SELECT REGEXP_REPLACE(c, '(x)', '\\\\$$1') FROM t")
+      == "SELECT REGEXP_REPLACE(c, '(x)', '\\$$1') FROM t")
   }
 
-  test("mixed $/backref replacement EXECUTES correctly through spark.sql") {
-    val spark = graft.TestSpark.spark
-    // pattern avoids \d (Spark's literal unescape would eat that backslash
-    // too — reference suite patterns use bracket classes, which survive)
-    val out = spark.sql(Dialect.rewrite(
-      "SELECT REGEXP_REPLACE('price 42 units', '([0-9]+)', '$\\1.00') AS r"))
-      .collect()(0).getString(0)
-    assert(out == "price $42.00 units", out)
+  test("literal fidelity EXECUTES: backslash patterns and $/backref replacements") {
+    val ctx = new graft.EngineContext(graft.TestSpark.spark)
+    // Calcite literal semantics: '\d+' IS the regex \d+ (Spark's default
+    // parser would silently strip the backslash and match the letter d)
+    assert(ctx.sql("SELECT REGEXP_REPLACE('a12b', '\\d+', 'N') AS r")
+      .collect()(0).getString(0) == "aNb")
+    // mixed literal $ and \N backref in the replacement
+    assert(ctx.sql(
+      "SELECT REGEXP_REPLACE('price 42 units', '(\\d+)', '$\\1.00') AS r")
+      .collect()(0).getString(0) == "price $42.00 units")
   }
 
   test("dialect rewrites: slashed date literals in CAST") {
