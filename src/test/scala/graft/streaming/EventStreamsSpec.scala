@@ -31,6 +31,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("row-local curation kernels run unchanged in a streaming query") {
+    // simhash / top-bigram / PII scrub are stateless projections, so the
+    // SAME Column expressions drive a micro-batch stream — the streaming
+    // ingestion form of the curation pipeline. Values must equal the
+    // batch run on the same rows (stream-batch parity).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown fox"),
+      (2L, "contact me me me at bob@mail.example.com now"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        call_function("graft_simhash32", col("text")).as("fp"),
+        call_function("graft_top_bigram_count", split(col("text"), " ")).as("top_bg"),
+        graft.operators.TextAnalysis.redactPii(col("text")).as("redacted"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curated").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+      val batch = curate(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+      assert(streamed == batch)
+      assert(streamed(2L)._3.contains("<EMAIL>"))
+      assert(streamed(1L)._2 == 2) // "the quick" and "quick brown" tie at 2
+    } finally q.stop()
+  }
+
   test("multimodal decode runs over a stream of media rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
