@@ -425,6 +425,9 @@ class EngineContext(val spark: SparkSession) {
   // "skipped" — they would otherwise read as 0%-forever in the detail).
   private val jobStages = new ConcurrentHashMap[Integer, (String, Seq[Int])]()
 
+  // Installed once per CONTEXT on first sqlAsync (contexts are long-lived,
+  // one per app — the reference's BlazingContext cardinality); contexts
+  // that never use the async API register nothing.
   private lazy val stageListenerInstalled: Unit =
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       private val submitted = ConcurrentHashMap.newKeySet[Integer]()
