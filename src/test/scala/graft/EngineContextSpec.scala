@@ -103,6 +103,27 @@ class EngineContextSpec extends AnyFunSuite {
     assert(c.status(t2) == "unknown")
   }
 
+  test("parallel async queries with mixed fetch/cancel leave no storage residue") {
+    val c = ctx
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tokens = (0 until 6).map { i =>
+      // distinct SQL per token: identical text would share one cache entry
+      c.sqlAsync(s"SELECT o_custkey + $i AS k, count(*) AS n FROM orders GROUP BY o_custkey + $i")
+    }
+    // cancel half immediately (racing the analysis phase on purpose —
+    // the released-flag handoff must prevent orphaned caches), fetch the rest
+    tokens.zipWithIndex.foreach { case (t, i) =>
+      if (i % 2 == 0) c.cancel(t) else c.fetch(t)
+    }
+    tokens.foreach(c.release)
+    // racing cancels self-unpersist when their Future completes — poll
+    val deadline = System.currentTimeMillis + 20000
+    def residue = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (System.currentTimeMillis < deadline && residue.nonEmpty) Thread.sleep(100)
+    assert(residue.isEmpty, s"async storage residue: $residue")
+    assert(tokens.forall(c.progressDetail(_).isEmpty))
+  }
+
   test("async progress detail: per-stage rows/bytes, evicted on release") {
     val c = ctx
     // distinct SQL text: an identical string to another test's query would

@@ -37,6 +37,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(splits("train") > 330 && splits("train") < 470, s"train=${splits("train")}")
   }
 
+  test("assignSplit boundaries are exact") {
+    val buckets = Seq(0L, 7999L, 8000L, 8999L, 9000L, 9999L).toDF("b")
+    val splits = buckets.select(col("b"), Sampling.assignSplit(col("b")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits == Map(0L -> "train", 7999L -> "train", 8000L -> "val",
+      8999L -> "val", 9000L -> "test", 9999L -> "test"))
+  }
+
   test("null keys bucket deterministically as the empty string") {
     val withNull = Seq((1L, Option("doc one")), (2L, Option.empty[String]))
       .toDF("id", "text")
