@@ -23,8 +23,27 @@ import org.apache.spark.sql.SparkSession
  *    under test;
  *  - "contaminated": true when calibration drifts >1.5× start-to-end or
  *    any query's run-to-run spread exceeds 2× — the artifact flags itself.
+ *
+ * A flagged capture is a FAILED capture, not a record: main() re-runs the
+ * whole sweep (up to MaxAttempts) until one comes back clean, prints only
+ * that attempt's line, and exits non-zero if every attempt was
+ * contaminated — so a contaminated number can never be a round's
+ * committed artifact (the r6 capture self-flagged but was still
+ * committed; this closes that loop).
  */
 object Bench {
+
+  /** Sweep attempts before giving up and exiting non-zero. A transient
+    * load excursion clears within one 20-40 s sweep; sustained load will
+    * fail all three, which is the honest outcome. */
+  val MaxAttempts = 3
+
+  /** Measured JIT tiering tail: a query's steady-state runs improve by at
+    * most ~2.3× as C2 finishes (5.8→3.9→1.7 s observed on q45). A
+    * later-run improvement beyond this (+ margin) means the EARLIER run
+    * was contended, not that the code warmed up. */
+  val JitImprovementCeiling = 2.3
+  val ImprovementFlagRatio = 2.5 // ceiling + margin; was 3.0, which left (2.3, 3.0] unmonitored
 
   /** Headline set: one per operator family, excluding the deliberately
     * quadratic exact-Jaccard demo (q43 — its scale path IS q44). */
@@ -111,49 +130,76 @@ object Bench {
     def median(times: Seq[Double]): Double =
       if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2)
 
-    val (calStart, _) = calibrate()
+    /** One full sweep → (JSON line, contaminated, spread, total). */
+    def sweep(attempt: Int): (String, Boolean, Double, Double) = {
+      val (calStart, _) = calibrate()
+      val allRuns = headline.map(n => n -> runTimes(n))
+      val (calEnd, _) = calibrate()
+
+      val results = allRuns.map { case (k, ts) => k -> median(ts) }
+      // spread = slowest/fastest STEADY-STATE run of one query (run 1 is
+      // dropped: codegen/JIT warmup routinely triples it). A later-run
+      // SLOWDOWN >2× is contention (JIT tiering keeps improving runs
+      // monotonically — measured 5.8→3.9→1.7 s on q45). A later-run
+      // IMPROVEMENT up to JitImprovementCeiling is that JIT tail; beyond
+      // ImprovementFlagRatio it means the EARLIER run was contended — a
+      // mid-sweep load spike reads as a big "improvement" and would
+      // otherwise slip through (observed: q44 runs [8.3, 29.0, 4.2] under
+      // a concurrent build). Intermittent contention shows up here,
+      // sustained contention in calibration drift; a flagged excursion
+      // still leaves the median intact either way. The 1 s absolute-range
+      // floor keeps sub-second jitter from false-flagging — machine-load
+      // distortion of the r5 kind moved individual queries by 5-14 s.
+      val spreadMax = allRuns.map { case (_, ts) =>
+        val ok = ts.drop(1).filter(_ > 0)
+        if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0
+        else {
+          val ratio = ok.max / ok.min
+          val slowdown = ok.indexOf(ok.max) > ok.indexOf(ok.min)
+          // normalize both signals onto the >2.0 trigger scale
+          if (slowdown) ratio
+          else if (ratio > ImprovementFlagRatio) ratio * 2.0 / ImprovementFlagRatio
+          else 1.0
+        }
+      }.max
+      val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
+      val contaminated = calDrift > 1.5 || spreadMax > 2.0
+
+      val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
+        .mkString("{", ",", "}")
+      val runsJson = allRuns.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val line =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f}""" +
+        f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated,"attempt":$attempt}"""
+      (line, contaminated, spreadMax, total)
+    }
+
     runOnce("q01_tpch_q1") // warmup: JIT, codegen cache, FS metadata
 
-    val allRuns = headline.map(n => n -> runTimes(n))
-    val (calEnd, _) = calibrate()
-
-    val results = allRuns.map { case (k, ts) => k -> median(ts) }
-    // spread = slowest/fastest STEADY-STATE run of one query (run 1 is
-    // dropped: codegen/JIT warmup routinely triples it). A later-run
-    // SLOWDOWN >2× is contention (JIT tiering keeps improving runs
-    // monotonically — measured 5.8→3.9→1.7 s on q45). A later-run
-    // IMPROVEMENT is usually that JIT tail (≤2.3× measured), but beyond
-    // 3× it means the EARLIER run was contended — a mid-sweep load spike
-    // reads as a big "improvement" and would otherwise slip through
-    // (observed: q44 runs [8.3, 29.0, 4.2] under a concurrent build).
-    // Intermittent contention shows up here, sustained contention in
-    // calibration drift; a flagged excursion still leaves the median
-    // intact either way. The 1 s absolute-range floor keeps sub-second
-    // jitter from false-flagging — machine-load distortion of the r5
-    // kind moved individual queries by 5-14 s.
-    val spreadMax = allRuns.map { case (_, ts) =>
-      val ok = ts.drop(1).filter(_ > 0)
-      if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0
-      else {
-        val ratio = ok.max / ok.min
-        val slowdown = ok.indexOf(ok.max) > ok.indexOf(ok.min)
-        // normalize both signals onto the >2.0 trigger scale
-        if (slowdown) ratio else if (ratio > 3.0) ratio * 2.0 / 3.0 else 1.0
-      }
-    }.max
-    val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
-    val contaminated = calDrift > 1.5 || spreadMax > 2.0
-
-    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
-      .mkString("{", ",", "}")
-    val runsJson = allRuns.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f}""" +
-      f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated}""")
+    // A contaminated sweep is a FAILED measurement: retry (the JVM stays
+    // hot — later attempts are pure re-measurement, not re-warmup). Print
+    // exactly one JSON line: the first clean attempt, or — if the machine
+    // stayed loaded through all attempts — the least-contaminated one,
+    // with a non-zero exit so no driver records it as a clean run.
+    var best: (String, Boolean, Double, Double) = null
+    var attempt = 1
+    while (attempt <= MaxAttempts && (best == null || best._2)) {
+      val s = sweep(attempt)
+      System.err.println(
+        s"[bench] attempt $attempt: total=${f"${s._4}%.2f"}s spread=${f"${s._3}%.2f"} contaminated=${s._2}")
+      // clean always beats contaminated; among contaminated, least spread
+      // then least total (a clean sweep also ends the loop above)
+      if (best == null || (best._2 && !s._2) ||
+          (best._2 == s._2 && (s._3 < best._3 || (s._3 == best._3 && s._4 < best._4))))
+        best = s
+      attempt += 1
+    }
+    println(best._1)
     spark.stop()
+    if (best._2) sys.exit(1)
   }
 }

@@ -81,19 +81,22 @@ object Multimodal {
   }
 
   /** Media table with REAL container payloads, built in executors from
-    * per-row deterministic parameters: valid BMPs for images, valid PCM
-    * WAVs for audio, opaque text bytes for "video" (the codec-bound case
-    * the stub stands in for). The parameter formulas are the q71 oracle's
-    * arithmetic — the decode stage must re-derive them by genuinely
-    * parsing the headers it is handed. */
+    * per-row deterministic parameters: valid BMPs (even ids) and PNGs
+    * (odd ids) for images, valid PCM WAVs for audio, opaque text bytes
+    * for "video" (the codec-bound case the stub stands in for). The
+    * parameter formulas are the q71 oracle's arithmetic — the decode
+    * stage must re-derive them by genuinely parsing the headers it is
+    * handed (BMP little-endian, PNG big-endian: an endianness bug breaks
+    * exactly one of the two). */
   def mediaWithHeaders(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     mediaFromDocuments(spark, docs).map { r =>
       val id = r.media_id
       r.kind match {
         case "image" =>
-          r.copy(payload = MediaCodec.bmp(
-            width = (16 + (id * 13) % 48).toInt, height = (16 + (id * 29) % 32).toInt))
+          val w = (16 + (id * 13) % 48).toInt
+          val h = (16 + (id * 29) % 32).toInt
+          r.copy(payload = if (id % 2 == 0) MediaCodec.bmp(w, h) else MediaCodec.png(w, h))
         case "audio" =>
           r.copy(payload = MediaCodec.wav(
             channels = (1 + id % 2).toInt,
@@ -104,11 +107,20 @@ object Multimodal {
     }
   }
 
-  /** Batched decode that REALLY parses headerable containers (BMP/WAV via
-    * MediaCodec) and falls back to the documented stub for codec-bound
+  /** Batched decode that REALLY parses headerable containers (BMP/PNG/WAV
+    * via MediaCodec) and falls back to the documented stub for codec-bound
     * payloads. Output packing per modality: image → (width, height, 1);
     * audio → (channels, sampleRate, nSamples); other → stub triple. Same
-    * partition-batched mapPartitions shape as decodeFeatures. */
+    * partition-batched mapPartitions shape as decodeFeatures.
+    *
+    * Dispatch is on the row's declared KIND first, magic bytes second:
+    * only image/audio rows attempt a header parse; video (and any other
+    * codec-bound modality) goes straight to the stub. A "video" payload
+    * carrying raw text that happens to start with "BM"/"RIFF" must never
+    * be misparsed as a container — the magic-byte check alone cannot
+    * guarantee that, the declared modality can. parseHeader additionally
+    * validates the full fixed header, so a mislabeled image row degrades
+    * to the stub rather than a garbage parse. */
   def decodeHeaderFeatures(media: Dataset[MediaRow], numPartitions: Int)
     : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -116,7 +128,11 @@ object Multimodal {
       .repartition(numPartitions, col("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, f) = MediaCodec.parseHeader(r.payload).getOrElse(decodeStub(r.payload))
+          val parsed = r.kind match {
+            case "image" | "audio" => MediaCodec.parseHeader(r.payload)
+            case _ => None // codec-bound modality: documented stub, never header-sniffed
+          }
+          val (w, h, f) = parsed.getOrElse(decodeStub(r.payload))
           MediaFeatures(r.media_id, r.kind, r.source, r.payload.length, w, h, f)
         }
       }

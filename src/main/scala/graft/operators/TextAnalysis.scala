@@ -149,23 +149,46 @@ object TextAnalysis {
     *
     * Two-pass shape no other text op has: (1) one groupBy builds the
     * vocabulary — at 100 TB a hash shuffle on the token key; (2) the
-    * scores join back to the exploded tokens. The vocabulary is
-    * zipf-bounded (≪ corpus), so Spark broadcasts it (plan-audited) and
-    * pass 2 stays shuffle-free on the corpus side. Per-doc mean uses an
-    * exact DECIMAL sum: IEEE double summation is partition-order
-    * dependent and would break the oracle hash-compare. */
-  def tokenRarity(docs: org.apache.spark.sql.DataFrame, id: String, text: String)
+    * scores join back to the exploded tokens. The vocabulary is usually
+    * zipf-bounded (≪ corpus) — but a web-scale corpus's distinct-token set
+    * (URLs, hashes, typos riding in text) can exceed any broadcast budget,
+    * so the broadcast is BYTE-GATED like every other potentially-unbounded
+    * small side in the library (Dedup's verify map, the CC driver pull):
+    * estimated vocab bytes under `broadcastBudgetBytes` → broadcast join
+    * (corpus side shuffle-free); over budget → SHUFFLE_HASH join on the
+    * token key (no sort on either side; the corpus was shuffling on that
+    * key for the vocabulary aggregate anyway). Same decision rule as the
+    * reference's scatter-vs-shuffle estimate
+    * (engine/src/execution_kernels/BatchJoinProcessing.cpp:672-830). Both
+    * physical plans share one oracle (q70/q70b) — the gate cannot change
+    * answers. Per-doc mean uses an exact DECIMAL sum: IEEE double
+    * summation is partition-order dependent and would break the oracle
+    * hash-compare. */
+  def tokenRarity(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+                  broadcastBudgetBytes: Long = 256L * 1024 * 1024)
     : org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(id).as("rid"), explode(split(col(text), " ")).as("t"))
       .filter(length(col("t")) > 0)
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    // N from a count over the token scan, NOT sum over vocab: an agg on
-    // vocab would execute the corpus-wide vocabulary shuffle a second
-    // time just for sizing (the broadcast join below runs it again). The
-    // scan-only count is the same 1-row driver hop as Dedup's broadcast
-    // gate, and 0 on an empty corpus (join is empty then — no NPE path).
-    val total = toks.count()
-    toks.join(broadcast(vocab), "t")
+    // ONE 1-row driver agg over the token scan yields N *and* the sizing
+    // stats — NOT an agg over vocab, which would execute the corpus-wide
+    // vocabulary shuffle a second time just for sizing (the join below
+    // runs it again). approx_count_distinct is a single-pass HLL partial
+    // agg; it only steers the physical strategy, never the answer, so its
+    // ±2% error is harmless. Empty corpus → total 0 → join is empty (no
+    // NPE path).
+    val sizing = toks.agg(count(lit(1)),
+      approx_count_distinct(col("t")), avg(length(col("t")))).collect()(0)
+    val total = sizing.getLong(0)
+    val nVocab = sizing.getLong(1)
+    val avgLen = if (sizing.isNullAt(2)) 0.0 else sizing.getDouble(2)
+    // UTF-16 payload + per-entry hash-relation overhead (key ref, count
+    // cell, load-factor slack) — the same bytes-not-rows rule as Dedup.
+    val estBytes = (nVocab * (avgLen * 2.0 + 48.0)).toLong
+    val scored =
+      if (estBytes <= broadcastBudgetBytes) toks.join(broadcast(vocab), "t")
+      else toks.join(vocab.hint("SHUFFLE_HASH"), "t")
+    scored
       .withColumn("rarity", round(lit(total.toDouble) / col("cnt"), 6))
       .groupBy(col("rid"))
       .agg(count(lit(1)).as("n_tokens"),

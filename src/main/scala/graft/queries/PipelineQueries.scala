@@ -295,6 +295,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Same scoring forced down the over-budget fallback: vocabulary
+    // joined back via SHUFFLE_HASH instead of broadcast — the plan that
+    // runs when a web-scale corpus's distinct-token set exceeds the
+    // broadcast budget. Oracle identical to q70 (the q44/q44b, q66/q66b
+    // pattern): the byte gate cannot change answers.
+    "q70b_token_rarity_shuffle" -> ((s, dir) => {
+      TextAnalysis.tokenRarity(load(s, dir, "documents"), "doc_id", "text",
+          broadcastBudgetBytes = 0L)
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Multimodal with REAL header decode: executors build valid
     // BMP/WAV containers from per-row parameters, and the decode stage
     // re-derives those parameters by actually parsing the bytes — the
@@ -588,23 +600,17 @@ object PipelineQueries extends QueryPack {
         |        'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g')) AS redacted_fp
         |FROM planted ORDER BY doc_id""".stripMargin,
 
-    "q70_token_rarity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        |  WHERE length(t) > 0),
-        |vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
-        |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab),
-        |scored AS (
-        |  SELECT doc_id, round((SELECT n FROM total) / cnt, 6) AS rarity
-        |  FROM toks JOIN vocab USING (t))
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(CAST(rarity AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_rarity
-        |FROM scored WHERE doc_id < 200
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Shared by q70 (broadcast path at these SFs) and q70b (forced
+    // SHUFFLE_HASH) — the byte gate cannot change answers.
+    "q70_token_rarity" -> tokenRarityOracle,
+    "q70b_token_rarity_shuffle" -> tokenRarityOracle,
 
     // Predicts the container-construction parameters arithmetically; the
-    // Spark side must recover them by parsing the bytes it built.
+    // Spark side must recover them by parsing the bytes it built. Image
+    // rows alternate BMP (even ids: 54-byte headers + 4-padded 24bpp
+    // rows) and PNG (odd ids: 57 fixed bytes + w*h grayscale IDAT) — the
+    // two formats disagree on endianness, so one arithmetic prediction
+    // covers both only if both parses are genuinely correct.
     "q71_multimodal_headers" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -617,8 +623,9 @@ object PipelineQueries extends QueryPack {
         |  FROM documents),
         |sized AS (SELECT *, (w*3+3) - (w*3+3) % 4 AS row_size FROM base)
         |SELECT doc_id AS media_id, kind,
-        |  CAST(CASE kind WHEN 'image' THEN 54 + row_size*h
-        |                 WHEN 'audio' THEN 44 + ns*ch*2 ELSE n END AS INT) AS byte_len,
+        |  CAST(CASE WHEN kind = 'image' AND doc_id % 2 = 0 THEN 54 + row_size*h
+        |            WHEN kind = 'image' THEN 57 + w*h
+        |            WHEN kind = 'audio' THEN 44 + ns*ch*2 ELSE n END AS INT) AS byte_len,
         |  CAST(CASE kind WHEN 'image' THEN w
         |                 WHEN 'audio' THEN ch ELSE 64 + n % 640 END AS INT) AS width,
         |  CAST(CASE kind WHEN 'image' THEN h
@@ -627,6 +634,21 @@ object PipelineQueries extends QueryPack {
         |                 WHEN 'audio' THEN ns ELSE 1 + n % 8 END AS INT) AS frames
         |FROM sized ORDER BY media_id""".stripMargin
   )
+
+  private val tokenRarityOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+      |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab),
+      |scored AS (
+      |  SELECT doc_id, round((SELECT n FROM total) / cnt, 6) AS rarity
+      |  FROM toks JOIN vocab USING (t))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(sum(CAST(rarity AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_rarity
+      |FROM scored WHERE doc_id < 200
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Language-ID oracle: same padded-replace counting and same
     * first-wins-tie argmax as TextAnalysis.langId. */

@@ -83,4 +83,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
   }
+
+  test("q70b forced over-budget: SHUFFLE_HASH on the token key, never sort-merge or broadcast") {
+    val p = plan("q70b_token_rarity_shuffle")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
