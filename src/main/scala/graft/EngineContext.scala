@@ -19,6 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * C++ relational-algebra executor, here parsing/optimization/execution are
  * Catalyst + Tungsten; this class is deliberately a thin catalog/dialect
  * shim, per SURVEY.md §7.1.
+ *
+ * ==Session-wide side effect==
+ * Constructing an EngineContext sets
+ * `spark.sql.parser.escapedStringLiterals=true` on the GIVEN session and
+ * the setting outlives the context: every consumer of that session gets
+ * standard-SQL string-literal parsing (backslash is an ordinary
+ * character) from that point on. This is deliberate — the reference's
+ * BlazingContext owns its process-wide SQL dialect the same way — but a
+ * host application that shares one session between this engine and
+ * Spark-dialect SQL should hand the engine `spark.newSession()` (shared
+ * catalog+executors, isolated conf) instead of its primary session.
  */
 class EngineContext(val spark: SparkSession) {
 
@@ -258,6 +269,7 @@ class EngineContext(val spark: SparkSession) {
       dbtable: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     graft.sources.HiveJdbcDialect.register()
+    graft.sources.NamedJdbcDialects.register() // MySQL/PG/SQLite rules
     val df = spark.read.format("jdbc")
       .option("url", url).option("dbtable", dbtable).options(options).load()
     df.createOrReplaceTempView(name)
@@ -415,10 +427,13 @@ class EngineContext(val spark: SparkSession) {
       completed: Boolean)
 
   // token → its stage ids (populated by onJobStart for jobs whose group is
-  // a live token); stage id → final metrics (populated on stage
+  // a live token); (token, stage id) → final metrics (populated on stage
   // completion, only for tracked stages). Both evicted with the token.
+  // stageDone is keyed PER TOKEN, not globally by stage id: two tokens can
+  // legitimately track the same stage (AQE reuses an exchange across
+  // queries), and releasing one token must not zero the other's detail.
   private val tokenStages = new ConcurrentHashMap[String, java.util.Set[Integer]]()
-  private val stageDone = new ConcurrentHashMap[Integer, StageProgress]()
+  private val stageDone = new ConcurrentHashMap[(String, Int), StageProgress]()
 
   // jobId → (token, its announced stage ids): lets onJobEnd retire stages
   // the scheduler announced but never ran (AQE reused-exchange stages are
@@ -454,22 +469,29 @@ class EngineContext(val spark: SparkSession) {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val tracked = {
-          import scala.jdk.CollectionConverters._
-          tokenStages.values.asScala.exists(_.contains(si.stageId))
-        }
-        if (tracked) {
-          val m = si.taskMetrics
-          stageDone.put(si.stageId, StageProgress(si.stageId, si.numTasks, si.numTasks,
-            m.inputMetrics.recordsRead, m.inputMetrics.bytesRead,
-            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-            completed = true))
+        // record under EVERY token tracking this stage (a reused exchange
+        // can serve several live tokens); each entry dies with its token
+        import scala.jdk.CollectionConverters._
+        tokenStages.asScala.foreach { case (token, set) =>
+          if (set.contains(si.stageId)) {
+            val m = si.taskMetrics
+            stageDone.put((token, si.stageId),
+              StageProgress(si.stageId, si.numTasks, si.numTasks,
+                m.inputMetrics.recordsRead, m.inputMetrics.bytesRead,
+                m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+                completed = true))
+          }
         }
       }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         Option(jobStages.remove(je.jobId)).foreach { case (group, ids) =>
+          // drain the announced ids from `submitted` UNCONDITIONALLY,
+          // before the token lookup: if the token was released mid-job,
+          // tokenStages.get is null and a guarded drain would leak these
+          // ids in `submitted` for the listener's (context-long) lifetime
+          val ran = ids.filter(id => submitted.remove(id)).toSet
           for (set <- Option(tokenStages.get(group)); id <- ids)
-            if (!submitted.remove(id) && !stageDone.containsKey(id)) set.remove(id)
+            if (!ran.contains(id) && !stageDone.containsKey((group, id))) set.remove(id)
         }
     })
 
@@ -509,9 +531,10 @@ class EngineContext(val spark: SparkSession) {
       spark.sparkContext.cancelJobGroup(token)
       Option(q.df).foreach(d => Try(d.unpersist(blocking = true)))
     }
-    // progress detail is part of the token's footprint
+    // progress detail is part of the token's footprint; per-token keys
+    // mean this cannot evict another token's view of a shared stage
     Option(tokenStages.remove(token)).foreach { set =>
-      set.forEach(id => stageDone.remove(id))
+      set.forEach(id => stageDone.remove((token, id.intValue)))
     }
   }
 
@@ -523,7 +546,7 @@ class EngineContext(val spark: SparkSession) {
     val st = spark.sparkContext.statusTracker
     import scala.jdk.CollectionConverters._
     set.asScala.toSeq.map(_.intValue).sorted.map { sid =>
-      Option(stageDone.get(sid)).getOrElse {
+      Option(stageDone.get((token, sid))).getOrElse {
         st.getStageInfo(sid) match {
           case Some(si) => StageProgress(sid, si.numTasks, si.numCompletedTasks,
             0L, 0L, 0L, 0L, completed = false)
@@ -580,7 +603,7 @@ class EngineContext(val spark: SparkSession) {
         Option(aq.df).foreach(d => Try(d.unpersist(blocking = false)))
         // failed tokens are evicted wholesale: progress detail included
         Option(tokenStages.remove(token)).foreach { set =>
-          set.forEach(id => stageDone.remove(id))
+          set.forEach(id => stageDone.remove((token, id.intValue)))
         }
         throw e
     }

@@ -43,7 +43,22 @@ object Layout {
   /** df + `zCol` = Z-value over `colNames`, each column min-max normalized
     * onto [0, 2^bits) — rank-preserving, null → 0 (nulls cluster at the
     * curve origin, matching NULLS FIRST scan stats). The min/max pass is
-    * one 1-row aggregate. */
+    * one 1-row aggregate.
+    *
+    * ==Precision on extreme-range long keys==
+    * Normalization goes through `double`, whose 53-bit mantissa cannot
+    * distinguish long values closer together than `span / 2^53`: when a
+    * column's observed span exceeds 2^53 (e.g. keys spread across the
+    * full int64 range), nearby keys collapse onto the same normalized
+    * rank. The conversion stays MONOTONE (doubles preserve long ordering
+    * direction), so results are never wrong — the Z-value only drives
+    * physical layout — but clustering resolution quietly coarsens for
+    * such keys; with the default 12 bits the rank already quantizes to
+    * 2^12 buckets, so degradation only matters when span/2^53 exceeds a
+    * bucket, i.e. spans beyond ~2^65 — unreachable for int64. For
+    * sub-bucket fidelity on adversarial key spreads, pre-rank the column
+    * (percent_rank) and cluster on the rank instead. ZOrderLayoutSpec
+    * pins the full-int64-span case: no error, monotone z-values. */
   def withZValue(df: DataFrame, colNames: Seq[String], bits: Int = 12,
                  zCol: String = "_zv"): DataFrame = {
     val aggs = colNames.flatMap(c =>

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.SparkEntry
+import graft.operators.Dedup
+
+/**
+ * Scaling-curve evidence for the iterative/corpus-statistics operators:
+ * generates a 10× documents corpus (50k docs — sf1-equivalent; the driver
+ * testdata tops out at sf0.1 = 5k docs and is read-only), runs the
+ * operators whose cost model needs MEASURED curves (q44 MinHash-LSH, q45
+ * SimHash, q66b forced-distributed clustering, q70/q70b token rarity) at
+ * both scales, and prints per-scale medians plus the structural counters
+ * the 100 TB story rests on: pair counts (should grow ~linearly with the
+ * planted dup rate), connected-components round count (should stay
+ * O(log n)), and the q70 vocabulary byte estimate (should stay far under
+ * the broadcast budget). Results are recorded in SCALING.md.
+ *
+ * The generated corpus mirrors the driver generator's shape (word-salad
+ * text over a small common vocabulary + per-doc rare tokens, ~300 chars
+ * avg, 2% planted near-duplicates as one-token mutations of the previous
+ * doc) and is PURELY deterministic from doc_id, so both scales and both
+ * runs see identical bytes. Generation happens in executors via a pure
+ * function of the id — no driver-side data, no RNG state.
+ */
+object ScalingBench {
+
+  private val CommonVocab: Array[String] = Array(
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "vector", "scan", "fast", "query", "agg", "slow", "value", "filter",
+    "customer", "stream", "table", "join", "group", "window", "shuffle",
+    "merge", "hash", "range", "index", "cache", "disk", "memory", "node",
+    "stage", "task", "plan", "cost", "rule", "type", "null", "string",
+    "double", "long", "byte", "read", "write", "skip", "prune", "bucket",
+    "skew")
+
+  /** splitmix64-style deterministic mix. */
+  private def mix(a: Long, b: Long): Long = {
+    var x = a * 0x9E3779B97F4A7C15L + b + 0x632BE59BD9B4E019L
+    x ^= x >>> 32; x *= 0xD6E8FEB86659FD93L
+    x ^= x >>> 32; x *= 0xD6E8FEB86659FD93L
+    x ^= x >>> 32
+    x
+  }
+
+  /** Base text for a doc id: 12..75 tokens; ~1 in 7 tokens is a rare
+    * per-corpus token (w<k>), the rest draw from the common vocabulary —
+    * zipf-ish head + long tail, like a crawled corpus. */
+  private def baseText(id: Long, nDocs: Long): String = {
+    val n = 12 + (mix(id, 0).abs % 64).toInt
+    val sb = new StringBuilder
+    var p = 0
+    while (p < n) {
+      val h = mix(id, p + 1)
+      if (p > 0) sb.append(' ')
+      if (h.abs % 7 == 0) sb.append("w").append((h.abs / 7) % math.max(nDocs / 5, 1))
+      else sb.append(CommonVocab((h.abs % CommonVocab.length).toInt))
+      p += 1
+    }
+    sb.toString
+  }
+
+  /** 2% of docs (id % 50 == 3) are near-duplicates: the PREVIOUS doc's
+    * text with its first token replaced — Jaccard ≫ 0.7 on 3-gram
+    * shingles, exactly the pair shape q44/q66 must find. */
+  def docText(id: Long, nDocs: Long): String =
+    if (id % 50 == 3 && id > 0) {
+      val t = baseText(id - 1, nDocs)
+      "mutated" + t.dropWhile(_ != ' ')
+    } else baseText(id, nDocs)
+
+  private def generate(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+    import spark.implicits._
+    val n = nDocs
+    spark.range(n).map { id =>
+      val text = docText(id, n)
+      val langs = Array("en", "de", "fr", "es", "zh")
+      (id, text, langs((mix(id, -1).abs % langs.length).toInt),
+        "src" + (id % 16), text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val tenxDir = args.headOption.getOrElse("/tmp/graft_scaling_10x")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$tenxDir/documents.parquet").exists()) {
+      println(s"[scaling] generating 10x corpus at $tenxDir (50k docs)")
+      generate(spark, tenxDir, 50000L)
+    }
+
+    val queries = Seq(
+      "q44_dedup_minhash_lsh",
+      "q45_dedup_simhash",
+      "q66b_dedup_clusters_dist",
+      "q70_token_rarity",
+      "q70b_token_rarity_shuffle")
+
+    def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
+
+    for (dir <- Seq("/root/testdata/sf0.1", tenxDir)) {
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      println(s"[scaling] corpus $dir: $nDocs docs")
+      for (q <- queries) {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(q)(spark, dir)
+          val rows = df.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, rows)
+        }
+        val extra = if (q.startsWith("q66b"))
+          s" rounds=${Dedup.lastDistributedRounds}" else ""
+        println(f"[scaling] $q%-28s $dir%-28s median=${median(runs.map(_._1))}%7.2f s" +
+          f" rows=${runs.head._2}%-7d$extra")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -84,6 +84,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("q71 multimodal headers: no exchange beyond the explicit repartition + output sort") {
+    val p = plan("q71_multimodal_headers")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    // exactly: the decode stage's explicit repartition(media_id) and the
+    // output sort's range exchange — construct/parse are row-local
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
   test("q70b forced over-budget: SHUFFLE_HASH on the token key, never sort-merge or broadcast") {
     val p = plan("q70b_token_rarity_shuffle")
     assert(p.contains("ShuffledHashJoin"), p.take(3000))

@@ -67,6 +67,21 @@ class ZOrderLayoutSpec extends AnyFunSuite {
       "y is uniform within every x-run — row-group stats cannot skip")
   }
 
+  test("full-int64-span keys: no error, z-values stay monotone (documented degrade)") {
+    // span Long.Min..Long.Max exceeds double's 2^53 mantissa: the rank
+    // quietly coarsens (nearby keys may collapse) but the conversion is
+    // monotone, so layout is never WRONG — pinned here so the documented
+    // contract in Layout.withZValue stays true
+    val extremes = Seq(Long.MinValue, -1L << 40, -1L, 0L, 1L, 1L << 40, Long.MaxValue)
+    val z = Layout.withZValue(extremes.toDF("k"), Seq("k"), bits = 12)
+      .orderBy("k").select("_zv").collect().map(_.getLong(0)).toSeq
+    assert(z == z.sorted, s"z-values not monotone in key order: $z")
+    assert(z.head == 0L && z.last == (1L << 12) - 1, s"endpoints must span the rank range: $z")
+    // adjacent small keys collapse onto one rank at this span — that IS
+    // the documented degradation (resolution, not correctness)
+    assert(z(2) == z(3) && z(3) == z(4))
+  }
+
   test("interleaveBits places each column's bits at its own positions") {
     val out = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")
       .select(Layout.interleaveBits(Seq(col("a"), col("b")), 2).as("z"))
