@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: find training documents that overlap an
+ * evaluation set through shared token n-gram runs — the standard guard
+ * against test-set leakage in a training corpus (the 13-gram-overlap
+ * method of Brown et al. 2020, appendix C, re-expressed over this
+ * corpus's shorter documents with a configurable n).
+ *
+ * Shape, designed for 100 TB corpus vs ~10⁴-10⁶-doc eval sets:
+ *  - eval side: explode to DISTINCT n-gram fingerprints (tiny — bounded
+ *    by eval tokens), then joined to the corpus grams. The join key is
+ *    the md5 of the space-joined window, so the DuckDB oracle reproduces
+ *    the fingerprints exactly with its own md5.
+ *  - corpus side: one projection computes each doc's distinct gram
+ *    fingerprints row-locally (no corpus-wide shuffle before the join);
+ *    the explode happens right at the join.
+ *  - the join is byte-gated like every small side in this library:
+ *    eval grams under the budget broadcast (corpus side stays
+ *    shuffle-free — the plan a decontamination pass MUST have at 100 TB);
+ *    over budget falls back to SHUFFLE_HASH, oracle-identical
+ *    (q72/q72b, the q44b/q66b/q70b pattern).
+ *
+ * Output: one row per CONTAMINATED corpus doc (≥1 shared n-gram) with its
+ * distinct-gram count and overlap count — the review queue a curation
+ * pipeline feeds to its drop/flag policy.
+ */
+object Decontamination {
+
+  /** Distinct md5 fingerprints of the text's token n-grams (whitespace
+    * tokens, windows of n, space-rejoined before hashing). Row-local,
+    * codegen-friendly (array transform, no UDF); empty below n tokens. */
+  def tokenGramFingerprints(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+    array_distinct(grams)
+  }
+
+  /** Contamination report: corpus docs sharing ≥1 token n-gram with the
+    * eval set. `broadcastBudgetBytes` gates the eval-gram broadcast (md5
+    * hex = 32 chars ≈ 64 B UTF-16 + entry overhead per distinct gram). */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          id: String, text: String, n: Int = 8,
+                          broadcastBudgetBytes: Long = 256L * 1024 * 1024)
+    : DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(tokenGramFingerprints(col(text), n)).as("g"))
+      .distinct()
+    // 1-row sizing agg on the (tiny) eval side only — the corpus is never
+    // scanned for sizing
+    val nGrams = evalGrams.agg(count(lit(1))).collect()(0).getLong(0)
+    val estBytes = nGrams * (64L + 48L)
+    val evalSide =
+      if (estBytes <= broadcastBudgetBytes) broadcast(evalGrams)
+      else evalGrams.hint("SHUFFLE_HASH")
+    corpus
+      .select(col(id).as("cid"), tokenGramFingerprints(col(text), n).as("gs"))
+      .select(col("cid"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g"))
+      .join(evalSide, "g")
+      .groupBy(col("cid"))
+      .agg(first(col("n_grams")).as("n_grams"), count(lit(1)).as("n_overlap"))
+      .select(col("cid").as(id), col("n_grams"), col("n_overlap"))
+  }
+}

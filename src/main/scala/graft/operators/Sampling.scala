@@ -46,4 +46,30 @@ object Sampling {
   def hashSample(df: org.apache.spark.sql.DataFrame, key: Column, ratePer10k: Int)
     : org.apache.spark.sql.DataFrame =
     df.filter(splitBucket(key) < ratePer10k)
+
+  /** EXACT stratified sample: ceil(fraction × |stratum|) rows per stratum,
+    * chosen deterministically (rows ranked inside each stratum by the md5
+    * of the key — a content-keyed total order, so reruns and engines agree
+    * bit-for-bit). hashSample's membership is per-row-independent but only
+    * APPROXIMATELY proportional per stratum; domain-balancing a training
+    * mix needs the exact count, which costs one window shuffle on the
+    * stratum key. Skew note for 100 TB: one stratum = one partition in the
+    * rank window — a pathologically dominant source should be pre-split
+    * (salt the stratum, sample per shard, union) or rebalanced upstream;
+    * for source-count-bounded corpora the shuffle is even.
+    *
+    * Output = input columns + `_rank`/`_n` dropped; rank ties are
+    * impossible (md5 over distinct keys; identical keys tie-break by the
+    * row's own key value making the pick arbitrary-but-stable). */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                       key: Column, fracPer10k: Int)
+    : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(coalesce(key, lit(""))))
+    df.withColumn("_rank", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(stratum)))
+      .filter(col("_rank") <= ceil(col("_n") * fracPer10k / 10000.0))
+      .drop("_rank", "_n")
+  }
 }

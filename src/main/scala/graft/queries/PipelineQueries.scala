@@ -307,6 +307,50 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Benchmark decontamination: corpus docs sharing ≥1 token 8-gram
+    // with a (deterministic) eval slice of the corpus. Leaks are PLANTED
+    // (q42's device): every eval doc gets a "leaked" corpus copy at
+    // id+200000 with a prefix glued on — prefix tokens shift the window
+    // positions, so detection must come from genuine n-gram content, not
+    // identical texts. The eval docs themselves are excluded from the
+    // corpus (they'd trivially self-match).
+    "q72_decontaminate" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(evalSet.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("leaked copy "), col("text")).as("text")))
+      Decontamination.contaminationReport(corpus, evalSet, "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Same report forced down the over-budget fallback (SHUFFLE_HASH
+    // on the gram key) — the plan for an eval set too large to broadcast.
+    // Oracle identical to q72: the byte gate cannot change answers.
+    "q72b_decontaminate_shuffle" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(evalSet.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("leaked copy "), col("text")).as("text")))
+      Decontamination.contaminationReport(corpus, evalSet, "doc_id", "text", 8,
+          broadcastBudgetBytes = 0L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Exact stratified sampling: ceil(10% × |source|) docs per source,
+    // membership chosen by a content-keyed total order (md5 of text+id —
+    // unique, so both engines rank identically). sum_ids pins WHICH docs
+    // were picked, not just how many.
+    "q73_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(
+          load(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          col("source"), concat(col("text"), col("doc_id")), 1000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // ---- Multimodal with REAL header decode: executors build valid
     // BMP/WAV containers from per-row parameters, and the decode stage
     // re-derives those parameters by actually parsing the bytes — the
@@ -605,6 +649,21 @@ object PipelineQueries extends QueryPack {
     "q70_token_rarity" -> tokenRarityOracle,
     "q70b_token_rarity_shuffle" -> tokenRarityOracle,
 
+    // Shared by q72 (broadcast path) and q72b (forced SHUFFLE_HASH).
+    "q72_decontaminate" -> decontaminateOracle,
+    "q72b_decontaminate_shuffle" -> decontaminateOracle,
+
+    "q73_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(coalesce(text || CAST(doc_id AS VARCHAR), ''))) AS r,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM ranked WHERE r <= ceil(n * 1000 / 10000.0)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // Predicts the container-construction parameters arithmetically; the
     // Spark side must recover them by parsing the bytes it built. Image
     // rows alternate BMP (even ids: 54-byte headers + 4-padded 24bpp
@@ -634,6 +693,32 @@ object PipelineQueries extends QueryPack {
         |                 WHEN 'audio' THEN ns ELSE 1 + n % 8 END AS INT) AS frames
         |FROM sized ORDER BY media_id""".stripMargin
   )
+
+  // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB
+  // reproduces the Spark fingerprint byte-for-byte (both md5 the same
+  // string). Distinct per doc on the corpus side mirrors
+  // Decontamination.tokenGramFingerprints' array_distinct.
+  private val decontaminateOracle =
+    """WITH ev AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 97 = 0),
+      |eg AS (
+      |  SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS g
+      |  FROM ev, unnest(generate_series(1, len(toks)-7)) AS t(i)
+      |  WHERE len(toks) >= 8),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, 'leaked copy ' || text FROM documents WHERE doc_id % 97 = 0),
+      |ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |cg AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS g
+      |  FROM ct, unnest(generate_series(1, len(toks)-7)) AS t(i)
+      |  WHERE len(toks) >= 8),
+      |ng AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+      |SELECT cg.doc_id, CAST(any_value(ng.n_grams) AS INT) AS n_grams,
+      |       count(*) AS n_overlap
+      |FROM cg JOIN eg USING (g) JOIN ng ON ng.doc_id = cg.doc_id
+      |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
 
   private val tokenRarityOracle =
     """WITH toks AS (

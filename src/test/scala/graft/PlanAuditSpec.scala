@@ -97,4 +97,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("q72 decontamination: eval grams broadcast, corpus side never shuffle-joins") {
+    val p = plan("q72_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("q72b forced over-budget: SHUFFLE_HASH on the gram key") {
+    val p = plan("q72b_decontaminate_shuffle")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }

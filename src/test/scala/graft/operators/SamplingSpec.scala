@@ -94,6 +94,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(2) == 1.0)
   }
 
+  test("stratifiedSample: exact ceil(frac·n) per stratum, deterministic membership") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}", s"text body $i")).toDF("id", "src", "text")
+    def run() = Sampling.stratifiedSample(df, col("src"), concat(col("text"), col("id")), 1000)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b) // same rows every run — content-keyed, not rand()
+    // exactly ceil(0.1 × 100) = 10 per stratum
+    assert(a.groupBy(_._1).view.mapValues(_.size).toMap == Map("s0" -> 10, "s1" -> 10, "s2" -> 10))
+  }
+
+  test("tokenGramFingerprints: empty below n tokens, distinct, order-stable") {
+    val out = Seq("a b c d e f g h i", "too short", "x x x x x x x x x")
+      .toDF("text")
+      .select(Decontamination.tokenGramFingerprints(col("text"), 8).as("gs"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0).length == 2) // 9 tokens → windows at 1 and 2
+    assert(out(1).isEmpty)     // 2 tokens < n → empty array, not null/error
+    assert(out(2).length == 1) // both windows identical → distinct collapses
+  }
+
+  test("contaminationReport finds planted leaks; budget gate is answer-neutral") {
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon zeta eta theta iota suffix"), // leak
+      (11L, "totally unrelated words that never overlap the benchmark at all ok"),
+      (12L, "short"))
+      .toDF("doc_id", "text")
+    def run(budget: Long) =
+      Decontamination.contaminationReport(corpus, evalSet, "doc_id", "text", 8, budget)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val bc = run(Long.MaxValue)
+    assert(bc == Seq((10L, 4, 2))) // 11-token leak: 4 windows, 2 match eval's grams
+    assert(run(0L) == bc) // SHUFFLE_HASH fallback: identical report
+  }
+
   test("PII redaction: emails and URLs replaced, host names otherwise intact") {
     val out = Seq(
       "mail bob.smith+tag@corp.example.com and see https://a.example.org/x_1/y today",
