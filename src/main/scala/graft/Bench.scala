@@ -41,9 +41,11 @@ object Bench {
   /** Measured JIT tiering tail: a query's steady-state runs improve by at
     * most ~2.3× as C2 finishes (5.8→3.9→1.7 s observed on q45). A
     * later-run improvement beyond this (+ margin) means the EARLIER run
-    * was contended, not that the code warmed up. */
+    * was contended, not that the code warmed up. The flag threshold is
+    * DERIVED from the ceiling so re-measuring the tail moves the guard
+    * with it (the old hardcoded 3.0 left (2.3, 3.0] unmonitored). */
   val JitImprovementCeiling = 2.3
-  val ImprovementFlagRatio = 2.5 // ceiling + margin; was 3.0, which left (2.3, 3.0] unmonitored
+  val ImprovementFlagRatio = JitImprovementCeiling + 0.2
 
   /** Headline set: one per operator family, excluding the deliberately
     * quadratic exact-Jaccard demo (q43 — its scale path IS q44). */

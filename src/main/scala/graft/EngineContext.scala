@@ -269,7 +269,10 @@ class EngineContext(val spark: SparkSession) {
       dbtable: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     graft.sources.HiveJdbcDialect.register()
-    graft.sources.NamedJdbcDialects.register() // MySQL/PG/SQLite rules
+    // Engine dialect rules ONLY for the engine the caller is connecting
+    // to — the dialect registry is JVM-global, and blanket registration
+    // would change unrelated spark.read.jdbc calls in the same process
+    graft.sources.NamedJdbcDialects.registerFor(url)
     val df = spark.read.format("jdbc")
       .option("url", url).option("dbtable", dbtable).options(options).load()
     df.createOrReplaceTempView(name)

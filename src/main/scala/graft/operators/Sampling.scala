@@ -58,9 +58,13 @@ object Sampling {
     * (salt the stratum, sample per shard, union) or rebalanced upstream;
     * for source-count-bounded corpora the shuffle is even.
     *
-    * Output = input columns + `_rank`/`_n` dropped; rank ties are
-    * impossible (md5 over distinct keys; identical keys tie-break by the
-    * row's own key value making the pick arbitrary-but-stable). */
+    * ==Key uniqueness is the caller's contract== — the determinism claim
+    * holds only when `key` is unique per row within a stratum: duplicate
+    * keys tie in the md5 order and row_number breaks the tie by
+    * post-shuffle arrival, so WHICH duplicate crosses the cutoff can
+    * differ between runs/engines. Salt the key with a unique id (q73
+    * concatenates text+doc_id) when duplicates are possible. Output =
+    * input columns; the `_rank`/`_n` helpers are dropped. */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, stratum: Column,
                        key: Column, fracPer10k: Int)
     : org.apache.spark.sql.DataFrame = {

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.util.Locale
-import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
 import org.apache.spark.sql.types._
@@ -44,15 +43,26 @@ import org.apache.spark.sql.types._
   * integrations prove the wire path end-to-end.
   */
 private[graft] object NamedJdbcDialects {
-  private val registered = new AtomicBoolean(false)
+  private val all = Seq(MySqlGraftDialect, PostgresGraftDialect, SqliteGraftDialect)
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[JdbcDialect]()
 
   /** Idempotently prepend all three dialects into Spark's registry. */
-  def register(): Unit =
-    if (registered.compareAndSet(false, true)) {
-      JdbcDialects.registerDialect(MySqlGraftDialect)
-      JdbcDialects.registerDialect(PostgresGraftDialect)
-      JdbcDialects.registerDialect(SqliteGraftDialect)
-    }
+  def register(): Unit = all.foreach(registerOne)
+
+  /** Register ONLY the dialect (if any) that handles `url`. Spark's
+    * dialect registry is process-global, so registering all three on any
+    * JDBC table creation would silently change UNRELATED `spark.read
+    * .jdbc` calls elsewhere in the JVM (e.g. the DECIMAL → double
+    * degrade applying to a read that never opted into engine semantics).
+    * Scoping registration to the engine-registered URL keeps the blast
+    * radius to engines the caller actually connected through this
+    * context. */
+  def registerFor(url: String): Unit =
+    all.filter(_.canHandle(url)).foreach(registerOne)
+
+  private def registerOne(d: JdbcDialect): Unit =
+    if (registered.add(d)) JdbcDialects.registerDialect(d)
 }
 
 /** MySQL: backtick quoting (default sql_mode has no ANSI_QUOTES — a
@@ -78,6 +88,19 @@ private[graft] object MySqlGraftDialect extends JdbcDialect {
       "TINYBLOB", "TINYTEXT", "TEXT", "BLOB", "MEDIUMTEXT", "MEDIUMBLOB",
       "LONGTEXT", "LONGBLOB", "ENUM", "SET")
     if (stringPrefixes.exists(t.startsWith)) Some(StringType)
+    // UNSIGNED columns BEFORE the signed prefix rules: the reference
+    // parser's prefix match would mis-type "INT UNSIGNED" as INT32 (its
+    // CHANGELOG #1464 intent is unsigned support); this library's §1.2
+    // widening contract is the faithful semantics — same-width signed
+    // would overflow the upper half-range on a live wire.
+    else if (t.contains("UNSIGNED")) {
+      if (t.startsWith("TINYINT")) Some(ShortType)        // uint8 → smallint
+      else if (t.startsWith("SMALLINT")) Some(IntegerType) // uint16 → int
+      else if (t.startsWith("MEDIUMINT")) Some(IntegerType) // uint24 fits int32
+      else if (t.startsWith("BIGINT")) Some(DecimalType(20, 0)) // uint64
+      else if (t.startsWith("INT")) Some(LongType)        // uint32 → bigint
+      else None
+    }
     else if (t.startsWith("BOOL") || t == "TINYINT(1)") Some(BooleanType)
     else if (t.startsWith("TINYINT")) Some(ByteType)
     else if (t.startsWith("INT")) Some(IntegerType) // INT/INTEGER before BIGINT is safe: prefix differs
@@ -108,26 +131,33 @@ private[graft] object PostgresGraftDialect extends JdbcDialect {
   override def getCatalystType(sqlType: Int, typeName: String, size: Int,
                                md: MetadataBuilder): Option[DataType] = {
     val t = typeName.toLowerCase(Locale.ROOT)
-    val stringTypes =
-      Set("character", "character varying", "bytea", "text", "anyarray", "name")
+    // BOTH name families are matched: the reference reads catalog-style
+    // names from information_schema ("integer", "character varying",
+    // "timestamp with time zone" — what PostgreSQLParser.cpp switches
+    // on), while the pgjdbc driver's getColumnTypeName reports pg_type
+    // names ("int4", "varchar", "timestamptz"). A live Spark read sees
+    // the LATTER, so without the aliases every reference-mirroring rule
+    // would silently fall through to the built-in dialect.
+    val stringTypes = Set("character", "character varying", "bytea", "text",
+      "anyarray", "name", "varchar", "bpchar")
     if (stringTypes(t)) Some(StringType)
     else t match {
-      case "smallint" | "smallserial"    => Some(ShortType)
-      case "integer" | "serial"          => Some(IntegerType)
-      case "bigint" | "bigserial"        => Some(LongType)
+      case "smallint" | "smallserial" | "int2"       => Some(ShortType)
+      case "integer" | "serial" | "int4"             => Some(IntegerType)
+      case "bigint" | "bigserial" | "int8"           => Some(LongType)
       // parser says DECIMAL64, but the engine then degrades every DECIMAL
       // column to float64 at registration (context.py:484-491,
       // expression_utils.cpp:1082-1084) — the degraded type is what a
       // reference user's query actually sees
-      case "decimal" | "numeric"         => Some(DoubleType)
-      case "real"                        => Some(FloatType)
-      case "double precision"            => Some(DoubleType)
-      case "boolean"                     => Some(BooleanType)
-      case "date"                        => Some(DateType)
-      case "money"                       => Some(DecimalType(20, 0)) // uint64 → §1.2 widening
-      case "timestamp without time zone" | "timestamp with time zone" =>
-        Some(TimestampType)
-      case _                             => None
+      case "decimal" | "numeric"                     => Some(DoubleType)
+      case "real" | "float4"                         => Some(FloatType)
+      case "double precision" | "float8"             => Some(DoubleType)
+      case "boolean" | "bool"                        => Some(BooleanType)
+      case "date"                                    => Some(DateType)
+      case "money"                                   => Some(DecimalType(20, 0)) // uint64 → §1.2 widening
+      case "timestamp without time zone" | "timestamp with time zone" |
+           "timestamp" | "timestamptz"               => Some(TimestampType)
+      case _                                         => None
     }
   }
 }

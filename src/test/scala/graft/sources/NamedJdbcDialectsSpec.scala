@@ -111,6 +111,17 @@ class NamedJdbcDialectsSpec extends AnyFunSuite {
     assert(typ(d, "DECIMAL(12,2)").contains(DoubleType))
     // SMALLINT has no rule in parse_mysql_column_type — fall through
     assert(typ(d, "SMALLINT(6)").isEmpty)
+    // UNSIGNED columns take the §1.2 widenings, not the same-width signed
+    // type the reference's prefix match would pick (its CHANGELOG #1464
+    // intent is real unsigned support; same-width signed overflows the
+    // upper half-range on a live wire)
+    assert(typ(d, "TINYINT UNSIGNED").contains(ShortType))
+    assert(typ(d, "TINYINT(3) UNSIGNED").contains(ShortType))
+    assert(typ(d, "SMALLINT UNSIGNED").contains(IntegerType))
+    assert(typ(d, "MEDIUMINT UNSIGNED").contains(IntegerType))
+    assert(typ(d, "INT UNSIGNED").contains(LongType))
+    assert(typ(d, "INT(10) UNSIGNED").contains(LongType))
+    assert(typ(d, "BIGINT UNSIGNED").contains(DecimalType(20, 0)))
   }
 
   test("postgres type table mirrors PostgreSQLParser.cpp") {
@@ -135,6 +146,19 @@ class NamedJdbcDialectsSpec extends AnyFunSuite {
     // time-of-day → cudf DURATION, which the reference itself documents
     // as unsupported; the dialect leaves it to the driver default
     assert(typ(d, "time without time zone").isEmpty)
+    // pgjdbc reports pg_type names (int4/varchar/timestamptz...), not the
+    // information_schema names the reference's libpq path reads — a live
+    // Spark read sees the driver names, so both families must map
+    assert(typ(d, "int2").contains(ShortType))
+    assert(typ(d, "int4").contains(IntegerType))
+    assert(typ(d, "int8").contains(LongType))
+    assert(typ(d, "float4").contains(FloatType))
+    assert(typ(d, "float8").contains(DoubleType))
+    assert(typ(d, "bool").contains(BooleanType))
+    assert(typ(d, "varchar").contains(StringType))
+    assert(typ(d, "bpchar").contains(StringType))
+    assert(typ(d, "timestamptz").contains(TimestampType))
+    assert(typ(d, "timestamp").contains(TimestampType))
   }
 
   test("sqlite type table mirrors SQLiteParser.cpp, quirks preserved") {
@@ -159,6 +183,20 @@ class NamedJdbcDialectsSpec extends AnyFunSuite {
     assert(typ(d, "boolean").contains(ShortType)) // UINT8 → smallint widening
     assert(typ(d, "date").contains(TimestampType))     // TIMESTAMP_MILLISECONDS
     assert(typ(d, "datetime").contains(TimestampType))
+  }
+
+  // NOTE: declared BEFORE the register()-all test — ScalaTest runs tests
+  // in declaration order and the registry is JVM-global.
+  test("registerFor scopes registration to the engine actually connected") {
+    // registering a Derby url must not install ANY of the named dialects:
+    // mysql urls still route to Spark's built-in (DECIMAL stays decimal)
+    NamedJdbcDialects.registerFor("jdbc:derby:;databaseName=/tmp/x")
+    assert(!JdbcDialects.get("jdbc:mysql://h/db")
+      .getCatalystType(java.sql.Types.OTHER, "DECIMAL(12,2)", 0, md)
+      .contains(DoubleType))
+    // a sqlite url installs exactly the sqlite dialect
+    NamedJdbcDialects.registerFor("jdbc:sqlite:/tmp/x.db")
+    assert(JdbcDialects.get("jdbc:sqlite:/tmp/x.db") eq SqliteGraftDialect)
   }
 
   test("registration is idempotent and routes urls to the named dialects") {
