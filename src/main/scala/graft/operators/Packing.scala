@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-sequence packing: the concat-and-chunk step that turns a
+ * curated document set into fixed-token-length training sequences. Docs
+ * are laid end-to-end in a deterministic order inside each pack shard;
+ * every document gets its token-stream offset and the range of
+ * `budget`-sized chunks it lands in. This is the bookkeeping a
+ * tokenize-and-pack job needs to emit sequences (and to answer "which
+ * docs does sequence k contain" for attribution) without materializing
+ * the token stream itself.
+ *
+ * Scale shape: ONE hash shuffle on the shard key, then a per-shard sort
+ * and a running sum — the standard window plan. The shard is the packing
+ * unit: offsets never cross shards, so shards process independently and
+ * the running sum's state is one long per open partition. At 100 TB the
+ * shard key must be finer than `source` (source × date × part-file is
+ * typical) so a shard stays executor-sized; the contract only requires
+ * that the (shard, order) pair is a total order within each shard.
+ *
+ * Determinism contract: `order` must be unique per row within a shard
+ * (doc_id is; a content hash salted with the id also is). Ties would make
+ * WHICH doc precedes which — and hence every downstream offset —
+ * run-dependent.
+ */
+object Packing {
+
+  /** Per-doc chunk assignment: start offset in the shard's token stream,
+    * and the first/last index of the `budget`-token chunks the doc spans
+    * (a doc longer than `budget` spans several; chunk indexes are
+    * per-shard). `tokens` must be ≥ 1 for every row (whitespace
+    * tokenization of any string yields ≥ 1 — the empty string is one
+    * empty token), so `chunkLast ≥ chunkFirst` always holds. */
+  def assignChunks(df: DataFrame, shard: Column, order: Column,
+                   tokens: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // floor over exact-in-double magnitudes (token offsets ≪ 2^53); the
+    // double division is what DuckDB's `/` does, so the oracle agrees.
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_first",
+        floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("start_off") + col("n_tokens") - 1) / lit(budget.toDouble))
+          .cast("long"))
+  }
+
+  /** Per-chunk summary over an assignment: how many docs START in each
+    * chunk and how many tokens those docs carry — the sequence-emission
+    * work list (chunk k's writer reads docs starting in k plus the tail
+    * of its left neighbour's last straddler; `straddles_out` = 1 marks
+    * chunks whose final doc spills into k+1). */
+  def chunkSummary(assigned: DataFrame, shard: Column): DataFrame =
+    assigned
+      .groupBy(shard.as("shard"), col("chunk_first").as("chunk"))
+      .agg(count(lit(1)).as("n_docs_start"),
+        sum(col("n_tokens")).as("tokens_started"),
+        max((col("chunk_last") > col("chunk_first")).cast("int"))
+          .as("straddles_out"))
+}

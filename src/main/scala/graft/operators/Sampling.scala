@@ -76,4 +76,50 @@ object Sampling {
       .filter(col("_rank") <= ceil(col("_n") * fracPer10k / 10000.0))
       .drop("_rank", "_n")
   }
+
+  /** Per-stratum rates for √-temperature mixture sampling (the α = 0.5
+    * setting of the temperature-reweighting rule used to rebalance
+    * multilingual / multi-source training mixes — Conneau & Lample 2019
+    * §3.1 shape): the LARGEST stratum keeps rate 10000 (everything) and a
+    * stratum of n rows keeps floor(10000·√(n/max)) per 10000 — small
+    * sources are kept at a disproportionately high rate, flattening the
+    * mixture toward (but not all the way to) uniform.
+    *
+    * α is fixed at 0.5 because √ is the one power both engines compute
+    * identically: IEEE sqrt and division are correctly rounded, so
+    * floor() lands on the same integer everywhere; a general-α pow() can
+    * differ by an ulp across libm implementations exactly at a floor
+    * boundary. (A caller wanting another α writes the same three-line
+    * skeleton with pow — and gives up bit-exact cross-engine rates.)
+    *
+    * Plan: one hash aggregate on the stratum key → a tiny per-stratum
+    * relation → a 1-row global max crossed back in via broadcast. Nothing
+    * here scales with row count except the first aggregate. */
+  def sqrtTemperatureRates(df: org.apache.spark.sql.DataFrame, stratum: Column)
+    : org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(counts.agg(max(col("n_total")).as("_mx"))))
+      .withColumn("rate_per10k",
+        floor(lit(10000.0) * sqrt(col("n_total").cast("double") / col("_mx")))
+          .cast("long"))
+      .drop("_mx")
+  }
+
+  /** Apply √-temperature mixture sampling: keep a row iff its content-key
+    * bucket falls under its stratum's rate. Membership stays per-row
+    * deterministic (same key ⇒ same bucket as hashSample/assignSplit), so
+    * re-runs and incremental corpus growth never reshuffle WHICH rows a
+    * stratum keeps — only the rates move as counts drift. The rates join
+    * is on the stratum key against a per-stratum relation; its size is
+    * stratum cardinality (a bounded taxonomy for source-keyed mixes —
+    * AQE broadcasts it; an unbounded stratum key would make the rule
+    * itself meaningless before the join becomes the problem). */
+  def sqrtTemperatureSample(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                            key: Column)
+    : org.apache.spark.sql.DataFrame =
+    df.withColumn("_b", splitBucket(key))
+      .join(sqrtTemperatureRates(df, stratum).withColumnRenamed("stratum", "_s"),
+        stratum === col("_s"))
+      .filter(col("_b") < col("rate_per10k"))
+      .drop("_b", "_s", "n_total", "rate_per10k")
 }

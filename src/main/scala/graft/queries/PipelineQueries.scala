@@ -363,6 +363,87 @@ object PipelineQueries extends QueryPack {
         .select(col("media_id"), col("kind"), col("byte_len"),
           col("width"), col("height"), col("frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- Training-sequence packing (concat-and-chunk): docs laid
+    // end-to-end per source shard in doc_id order; each gets its token
+    // offset and 512-token chunk span. The oracle pins every offset and
+    // both chunk indexes for every doc — a running-sum or floor bug
+    // anywhere breaks the hash.
+    "q74_seq_pack" -> ((s, dir) => {
+      Packing.assignChunks(
+          load(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          col("source"), col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")), 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+          col("chunk_first"), col("chunk_last"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- √-temperature mixture sampling: per-source keep-rates from
+    // the α=0.5 temperature rule (largest source keeps all, a source of
+    // n keeps floor(10000·√(n/max)) per 10000), membership by the same
+    // content-key bucket as q67/q73. sum_ids pins WHICH docs each
+    // source keeps, n_total/rate_per10k pin the rate computation.
+    "q75_mixture_sample" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val rates = Sampling.sqrtTemperatureRates(docs, col("source"))
+        .withColumnRenamed("stratum", "source")
+      docs
+        .withColumn("bucket",
+          Sampling.splitBucket(concat(col("text"), col("doc_id"))))
+        .join(rates, "source")
+        .groupBy(col("source"), col("n_total"), col("rate_per10k"))
+        .agg(count(when(col("bucket") < col("rate_per10k"), 1)).as("n_sampled"),
+          sum(when(col("bucket") < col("rate_per10k"), col("doc_id"))).as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- End-to-end curation funnel: the composed pipeline a training
+    // run actually executes — language gate, quality gate, exact-dedup
+    // keeper, decontamination — with per-stage retention (count + id
+    // checksum). Stages are CUMULATIVE (each applies on top of the
+    // previous), computed as flag columns in ONE pass over the corpus:
+    // c1/c2 row-local, c3 one window on the content fingerprint, c4 a
+    // semi-join against the q72 eval-gram set. Contaminated rows are
+    // PLANTED exactly as in q72 (leaked eval copies at id+200000), so
+    // stage 4 provably drops rows the earlier stages let through.
+    "q76_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(evalSet.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("leaked copy "), col("text")).as("text")))
+      val flagged = TextAnalysis.langPredicted(corpus, "text", Seq("doc_id", "text"))
+        .withColumn("quality", TextAnalysis.qualityScore(length(col("text")),
+          TextAnalysis.punctRatio(col("text")), TextAnalysis.meanWordLen(col("text"))))
+        .withColumn("c1", (col("predicted") === "en").cast("int"))
+        .withColumn("c2", (col("c1") === 1 && col("quality") >= 0.5).cast("int"))
+      // dedup keeper among stage-2 survivors: smallest id per fingerprint
+      val deduped = flagged.withColumn("minid",
+          min(when(col("c2") === 1, col("doc_id")))
+            .over(Window.partitionBy(TextAnalysis.contentFingerprint(col("text")))))
+        .withColumn("c3", (col("c2") === 1 && col("doc_id") === col("minid")).cast("int"))
+      val evalGrams = evalSet.select(explode(
+        Decontamination.tokenGramFingerprints(col("text"), 8)).as("g")).distinct()
+      val contamIds = corpus
+        .select(col("doc_id"), explode(
+          Decontamination.tokenGramFingerprints(col("text"), 8)).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .select(col("doc_id")).distinct().withColumn("is_contam", lit(1))
+      val agg = deduped.join(contamIds, Seq("doc_id"), "left")
+        .withColumn("c4", (col("c3") === 1 && col("is_contam").isNull).cast("int"))
+        .agg(count(lit(1)).as("n0"), sum(col("doc_id")).as("s0"),
+          sum(col("c1")).cast("long").as("n1"), sum(col("c1") * col("doc_id")).as("s1"),
+          sum(col("c2")).cast("long").as("n2"), sum(col("c2") * col("doc_id")).as("s2"),
+          sum(col("c3")).cast("long").as("n3"), sum(col("c3") * col("doc_id")).as("s3"),
+          sum(col("c4")).cast("long").as("n4"), sum(col("c4") * col("doc_id")).as("s4"))
+      agg.select(expr(
+          "stack(5, '0_all', n0, s0, '1_lang', n1, s1, '2_quality', n2, s2, " +
+          "'3_dedup', n3, s3, '4_decontam', n4, s4) AS (stage, n_docs, sum_ids)"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -691,7 +772,45 @@ object PipelineQueries extends QueryPack {
         |                 WHEN 'audio' THEN rate ELSE 64 + (n*7) % 480 END AS INT) AS height,
         |  CAST(CASE kind WHEN 'image' THEN 1
         |                 WHEN 'audio' THEN ns ELSE 1 + n % 8 END AS INT) AS frames
-        |FROM sized ORDER BY media_id""".stripMargin
+        |FROM sized ORDER BY media_id""".stripMargin,
+
+    // Every per-doc offset and chunk index is pinned — a running-sum
+    // bug, an off-by-one in the straddle arithmetic, or a wrong
+    // partition/order key breaks the hash.
+    "q74_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |  CAST(floor(start_off / 512.0) AS BIGINT) AS chunk_first,
+        |  CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT) AS chunk_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // √-temperature rates: IEEE sqrt and division are correctly rounded
+    // in both engines, so floor() lands on the same integer; membership
+    // reuses the q67/q73 md5-bucket contract.
+    "q75_mixture_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+        |m AS (SELECT max(n_total) AS mx FROM c),
+        |r AS (SELECT source, CAST(n_total AS BIGINT) AS n_total,
+        |        CAST(floor(10000.0 * sqrt(CAST(n_total AS DOUBLE) / mx)) AS BIGINT) AS rate_per10k
+        |      FROM c, m),
+        |b AS (SELECT doc_id, source,
+        |        ('0x' || substr(md5(coalesce(text || doc_id, '')), 1, 8))::BIGINT % 10000 AS bucket
+        |      FROM documents)
+        |SELECT b.source, r.n_total, r.rate_per10k,
+        |  count(CASE WHEN bucket < rate_per10k THEN 1 END) AS n_sampled,
+        |  CAST(sum(CASE WHEN bucket < rate_per10k THEN doc_id END) AS BIGINT) AS sum_ids
+        |FROM b JOIN r ON b.source = r.source
+        |GROUP BY b.source, r.n_total, r.rate_per10k
+        |ORDER BY b.source""".stripMargin,
+
+    "q76_curation_funnel" -> curationFunnelOracle
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB
@@ -734,6 +853,70 @@ object PipelineQueries extends QueryPack {
       |  round(CAST(sum(CAST(rarity AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_rarity
       |FROM scored WHERE doc_id < 200
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Curation-funnel oracle: replays the cumulative stage flags with the
+    * PROVEN building blocks — q49's padded-replace lang argmax, q50's
+    * quality formula, q42's md5 dedup key, q72's gram-overlap CTEs —
+    * composed over the q72 corpus (leaked eval copies planted), then
+    * unpivots the five stage aggregates. */
+  private def curationFunnelOracle: String = {
+    def cnt(w: String) =
+      s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS INT)"
+    def score(words: Seq[String]) = words.map(cnt).mkString("(", " + ", ")")
+    val Seq(en, de, fr, es) = TextAnalysis.LangMarkers.map { case (_, ws) => score(ws) }
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, 'leaked copy ' || text FROM documents WHERE doc_id % 97 = 0),
+       |pre AS (SELECT doc_id, text, ' ' || text || ' ' AS p FROM corpus),
+       |met AS (
+       |  SELECT doc_id, text, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es,
+       |    round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |          / greatest(length(text), 1), 6) AS punct_ratio,
+       |    round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |          / greatest(len(string_split(text, ' ')), 1), 6) AS mean_word_len
+       |  FROM pre),
+       |fl AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN (CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |               WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+       |               WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+       |               WHEN s_de > s_en THEN 'de' ELSE 'en' END) = 'en'
+       |         THEN 1 ELSE 0 END AS c1,
+       |    round(least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
+       |      + (CASE WHEN mean_word_len BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.3
+       |      + greatest(0.0, 1.0 - punct_ratio*5.0)*0.3, 6) AS quality
+       |  FROM met),
+       |fl2 AS (
+       |  SELECT doc_id, text, c1,
+       |    CASE WHEN c1 = 1 AND quality >= 0.5 THEN 1 ELSE 0 END AS c2 FROM fl),
+       |dd AS (
+       |  SELECT doc_id, c1, c2,
+       |    CASE WHEN c2 = 1 AND doc_id = min(CASE WHEN c2 = 1 THEN doc_id END)
+       |      OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |      THEN 1 ELSE 0 END AS c3
+       |  FROM fl2),
+       |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 97 = 0),
+       |eg AS (SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS g
+       |       FROM ev, unnest(generate_series(1, len(toks)-7)) AS t(i) WHERE len(toks) >= 8),
+       |ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       |cg AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS g
+       |       FROM ct, unnest(generate_series(1, len(toks)-7)) AS t(i) WHERE len(toks) >= 8),
+       |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)),
+       |flags AS (
+       |  SELECT dd.doc_id, c1, c2, c3,
+       |    CASE WHEN c3 = 1 AND contam.doc_id IS NULL THEN 1 ELSE 0 END AS c4
+       |  FROM dd LEFT JOIN contam ON contam.doc_id = dd.doc_id),
+       |a AS (SELECT count(*) AS n0, sum(doc_id) AS s0, sum(c1) AS n1, sum(c1*doc_id) AS s1,
+       |             sum(c2) AS n2, sum(c2*doc_id) AS s2, sum(c3) AS n3, sum(c3*doc_id) AS s3,
+       |             sum(c4) AS n4, sum(c4*doc_id) AS s4 FROM flags)
+       |SELECT '0_all' AS stage, CAST(n0 AS BIGINT) AS n_docs, CAST(s0 AS BIGINT) AS sum_ids FROM a
+       |UNION ALL SELECT '1_lang', CAST(n1 AS BIGINT), CAST(s1 AS BIGINT) FROM a
+       |UNION ALL SELECT '2_quality', CAST(n2 AS BIGINT), CAST(s2 AS BIGINT) FROM a
+       |UNION ALL SELECT '3_dedup', CAST(n3 AS BIGINT), CAST(s3 AS BIGINT) FROM a
+       |UNION ALL SELECT '4_decontam', CAST(n4 AS BIGINT), CAST(s4 AS BIGINT) FROM a
+       |ORDER BY stage""".stripMargin
+  }
 
   /** Language-ID oracle: same padded-replace counting and same
     * first-wins-tie argmax as TextAnalysis.langId. */

@@ -109,4 +109,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("q74 packing: one window shuffle on the shard key, no join") {
+    val p = plan("q74_seq_pack")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    // the shard hash exchange + the output range sort, nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
 }
