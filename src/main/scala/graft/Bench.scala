@@ -76,7 +76,11 @@ object Bench {
     "q68_repetition",     // repetition quality filters
     "q69_pii_scrub",      // PII detection + redaction
     "q70_token_rarity",   // corpus-stats vocab + broadcast scoring
-    "q71_multimodal_headers") // real BMP/WAV construct + header parse
+    "q71_multimodal_headers", // real BMP/PNG/WAV construct + header parse
+    "q72_decontaminate",  // eval-set n-gram overlap
+    "q74_seq_pack",       // concat-and-chunk sequence packing
+    "q75_mixture_sample", // sqrt-temperature source rebalancing
+    "q76_curation_funnel") // composed lang→quality→dedup→decontam pass
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

@@ -58,9 +58,18 @@ object Decontamination {
     val evalSide =
       if (estBytes <= broadcastBudgetBytes) broadcast(evalGrams)
       else evalGrams.hint("SHUFFLE_HASH")
+    // explode_OUTER + explicit null filter, NOT plain explode: with a
+    // non-outer generate over the aliased array, InferFiltersFromGenerate
+    // pushes an inferred `size(gs) > 0` filter BELOW the projection,
+    // inlining the whole gram-hash expression into the filter — the md5
+    // chain then runs ~3× per row (measured 4.8 s → 1.7 s for this stage
+    // at sf0.1). The outer generate emits one null-g row per empty array,
+    // which the isNotNull filter (and the inner join) drops — answers
+    // identical, expression evaluated once.
     corpus
       .select(col(id).as("cid"), tokenGramFingerprints(col(text), n).as("gs"))
-      .select(col("cid"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g"))
+      .select(col("cid"), size(col("gs")).as("n_grams"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
       .join(evalSide, "g")
       .groupBy(col("cid"))
       .agg(first(col("n_grams")).as("n_grams"), count(lit(1)).as("n_overlap"))
