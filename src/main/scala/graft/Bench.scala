@@ -79,6 +79,7 @@ object Bench {
     "q71_multimodal_headers", // real BMP/PNG/WAV construct + header parse
     "q72_decontaminate",  // eval-set n-gram overlap
     "q74_seq_pack",       // concat-and-chunk sequence packing
+    "q77_seq_emit",       // packed-sequence emission (hash-pinned bytes)
     "q75_mixture_sample", // sqrt-temperature source rebalancing
     "q76_curation_funnel") // composed lang→quality→dedup→decontam pass
 

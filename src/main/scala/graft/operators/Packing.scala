@@ -50,6 +50,47 @@ object Packing {
           .cast("long"))
   }
 
+  /** EMIT the packed sequences: one row per (shard, chunk) carrying the
+    * chunk's exact token stream — each doc contributes the slice of its
+    * tokens that falls inside the chunk, pieces concatenated in stream
+    * order. Every chunk except a shard's last holds exactly `budget`
+    * tokens (PackingSpec pins it); the md5 of the emitted text is what
+    * the q77 oracle hash-matches, so a slice boundary or ordering bug
+    * anywhere breaks the byte-exact comparison.
+    *
+    * Shape on top of assignChunks' window: one explode over the per-doc
+    * chunk RANGE (a doc of n tokens lands in ≤ n/budget+1 chunks — the
+    * explosion factor is ~1, not token count), a row-local token slice,
+    * then one hash aggregation on (shard, chunk). The doc's token array
+    * is built AFTER the window from the carried text, so the window
+    * shuffle moves each text once and no array rides through the sort
+    * buffer. Within a chunk the pieces are ordered by start_off via
+    * array_sort over (offset, piece) structs — offsets are unique per
+    * chunk, so the order (and the md5) is total and deterministic. */
+  def emitChunks(df: DataFrame, shard: Column, order: Column,
+                 text: Column, budget: Int): DataFrame = {
+    val assigned = assignChunks(df, shard, order,
+      TextAnalysis.wsTokenCount(text), budget)
+      .select(shard.as("shard"), col("start_off"), col("n_tokens"),
+        col("chunk_first"), col("chunk_last"), text.as("_text"))
+    assigned
+      .select(col("shard"), col("start_off"), col("n_tokens"), col("_text"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk"))
+      .withColumn("ls", greatest(col("chunk") * budget - col("start_off"), lit(0L)))
+      .withColumn("le",
+        least((col("chunk") + 1) * budget - col("start_off"), col("n_tokens")))
+      .withColumn("piece", concat_ws(" ",
+        slice(split(col("_text"), " "), (col("ls") + 1).cast("int"),
+          (col("le") - col("ls")).cast("int"))))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("le") - col("ls")).as("n_tokens"),
+        array_sort(collect_list(struct(col("start_off").as("o"), col("piece").as("p"))))
+          .as("_ps"))
+      .select(col("shard"), col("chunk"), col("n_docs"), col("n_tokens"),
+        md5(concat_ws(" ", transform(col("_ps"), s => s.getField("p")))).as("text_md5"))
+  }
+
   /** Per-chunk summary over an assignment: how many docs START in each
     * chunk and how many tokens those docs carry — the sequence-emission
     * work list (chunk k's writer reads docs starting in k plus the tail

@@ -444,6 +444,18 @@ object PipelineQueries extends QueryPack {
           "stack(5, '0_all', n0, s0, '1_lang', n1, s1, '2_quality', n2, s2, " +
           "'3_dedup', n3, s3, '4_decontam', n4, s4) AS (stage, n_docs, sum_ids)"))
         .orderBy(col("stage"))
+    }),
+
+    // ---- Packed-sequence EMISSION (q74's assignment made physical):
+    // each 512-token chunk's exact token stream, hash-pinned. The md5
+    // compares the emitted BYTES against DuckDB's independent
+    // slice+string_agg reconstruction — any boundary, ordering, or
+    // off-by-one slip in the token slicing changes the hash.
+    "q77_seq_emit" -> ((s, dir) => {
+      Packing.emitChunks(
+          load(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          col("source"), col("doc_id"), col("text"), 512)
+        .orderBy(col("shard"), col("chunk"))
     })
   )
 
@@ -810,7 +822,36 @@ object PipelineQueries extends QueryPack {
         |GROUP BY b.source, r.n_total, r.rate_per10k
         |ORDER BY b.source""".stripMargin,
 
-    "q76_curation_funnel" -> curationFunnelOracle
+    "q76_curation_funnel" -> curationFunnelOracle,
+
+    // Independent reconstruction of every chunk's token stream: DuckDB
+    // slices each doc's token list per chunk and string_aggs the pieces
+    // in offset order; md5 of the result must equal Spark's byte-exact.
+    "q77_seq_emit" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - len(toks) AS start_off
+        |  FROM t),
+        |e AS (
+        |  SELECT source, start_off, n_tokens, toks,
+        |    unnest(generate_series(CAST(floor(start_off / 512.0) AS BIGINT),
+        |                           CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT))) AS chunk
+        |  FROM a),
+        |p AS (
+        |  SELECT source, chunk, start_off,
+        |    greatest(chunk*512 - start_off, 0) AS ls,
+        |    least((chunk+1)*512 - start_off, n_tokens) AS le,
+        |    toks
+        |  FROM e),
+        |s AS (SELECT source, chunk, start_off, le - ls AS np,
+        |        array_to_string(toks[ls+1:le], ' ') AS piece FROM p)
+        |SELECT source AS shard, chunk, count(*) AS n_docs,
+        |  CAST(sum(np) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(piece, ' ' ORDER BY start_off)) AS text_md5
+        |FROM s GROUP BY source, chunk ORDER BY shard, chunk""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

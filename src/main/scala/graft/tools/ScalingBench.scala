@@ -108,7 +108,9 @@ object ScalingBench {
       "q45_dedup_simhash",
       "q66b_dedup_clusters_dist",
       "q70_token_rarity",
-      "q70b_token_rarity_shuffle")
+      "q70b_token_rarity_shuffle",
+      "q72_decontaminate",
+      "q76_curation_funnel")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

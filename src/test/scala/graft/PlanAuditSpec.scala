@@ -117,4 +117,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // the shard hash exchange + the output range sort, nothing else
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
   }
+
+  test("q77 emission: window + chunk agg + output sort, no join, explode stays row-local") {
+    val p = plan("q77_seq_emit")
+    assert(!p.contains("Join"), p.take(3000))
+    // the per-doc chunk-range explode (Generate) sits BETWEEN the window
+    // and the (shard, chunk) aggregation — a ~1× expansion, not token count
+    assert(p.contains("Generate"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000)) // map-side combine into the chunk agg
+    // window shard exchange + chunk-agg exchange + output range sort
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+  }
 }

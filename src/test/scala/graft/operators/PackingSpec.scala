@@ -65,6 +65,28 @@ class PackingSpec extends AnyFunSuite {
     assert(marked == straddlers)
   }
 
+  test("emitChunks: every non-terminal chunk holds exactly the budget") {
+    val emitted = Packing.emitChunks(docs, col("shard"), col("id"), col("text"), 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    for ((shard, rows) <- emitted.groupBy(_._1)) {
+      val ordered = rows.sortBy(_._2)
+      // chunk ids are dense from 0
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length).toSeq, s"$shard gaps")
+      // all but the last chunk are exactly budget-full; the tail holds the rest
+      ordered.init.foreach { case (_, c, _, n, _) => assert(n == 64L, s"$shard chunk $c") }
+      assert(ordered.last._4 <= 64L && ordered.last._4 > 0L)
+    }
+    // token conservation across the emission
+    val total = docs.select(TextAnalysis.wsTokenCount(col("text")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(emitted.map(_._4).sum == total)
+    // md5s are deterministic across a rerun (ordering inside chunks is total)
+    val again = Packing.emitChunks(docs, col("shard"), col("id"), col("text"), 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(4))).toSet
+    assert(again == emitted.map(t => (t._1, t._2, t._5)).toSet)
+  }
+
   test("sqrtTemperatureRates: largest stratum keeps everything, smaller keep sqrt-scaled") {
     // strata of 320 / 80 / 20 rows: rates 10000 / 5000 / 2500
     val skewed = ((0 until 320).map(i => (i.toLong, "big")) ++
