@@ -81,7 +81,10 @@ object Bench {
     "q74_seq_pack",       // concat-and-chunk sequence packing
     "q77_seq_emit",       // packed-sequence emission (hash-pinned bytes)
     "q75_mixture_sample", // sqrt-temperature source rebalancing
-    "q76_curation_funnel") // composed lang→quality→dedup→decontam pass
+    "q76_curation_funnel", // composed lang→quality→dedup→decontam pass
+    "q78_dedup_canonical", // dedup APPLIED: pairs→clusters→kept corpus
+    "q79_boilerplate",    // cross-doc boilerplate sentence removal
+    "q80_epoch_upsample") // epoch-balanced upsampling w/ replacement
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

@@ -534,6 +534,30 @@ object Dedup {
       .union(edges.select(col("v"), col("v")).distinct())
   }
 
+  /** APPLY the near-dup detection: the deduplicated corpus itself — every
+    * input column of `docs`, restricted to the one canonical member (min
+    * id) of each MinHash-LSH cluster plus all unclustered docs. This is
+    * the step a training pipeline actually runs: q44 emits evidence
+    * (pairs), q66 emits structure (clusters), this emits the KEPT corpus.
+    *
+    * Shape: pairs → connectedComponents → one left join of the corpus
+    * against the cluster assignment on the id key, keeping rows whose
+    * rep_id is null (never clustered) or equal to their own id (the rep).
+    * The cluster relation is bounded by the number of near-dup DOCS, not
+    * corpus size — at 100 TB it is the dup tail the verify stage confirmed
+    * (ref BatchJoinProcessing's small-side scatter case), so AQE picks a
+    * broadcast join when it fits and a shuffle join when a pathological
+    * corpus makes the tail big; correctness is join-strategy independent
+    * (the q44/q44b and q66/q66b contract covers both constituents). */
+  def canonicalize(docs: DataFrame, id: String, text: String,
+                   threshold: Double): DataFrame = {
+    val clusters = connectedComponents(minHashLshPairs(docs, id, text, threshold))
+      .withColumnRenamed("doc_id", "_cluster_id")
+    docs.join(clusters, docs(id) === col("_cluster_id"), "left")
+      .filter(col("rep_id").isNull || col("rep_id") === docs(id))
+      .drop("_cluster_id", "rep_id")
+  }
+
   /** 32-bit SimHash fingerprint per document over whitespace tokens —
     * a row-local codegen'd kernel (graft_simhash32): a doc's fingerprint
     * depends only on its OWN tokens, so the stage is a pure projection

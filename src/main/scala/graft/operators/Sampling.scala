@@ -122,4 +122,55 @@ object Sampling {
         stratum === col("_s"))
       .filter(col("_b") < col("rate_per10k"))
       .drop("_b", "_s", "n_total", "rate_per10k")
+
+  /** Per-stratum UPSAMPLING rates that equalize the mixture toward the
+    * largest stratum: a stratum of n rows gets rate floor(10000·max/n)
+    * per-10000 — i.e. ~max/n epochs — capped at `capPer10k` (repeating a
+    * tiny source hundreds of times degrades models faster than it
+    * balances them; ~4 epochs is the conventional ceiling). The largest
+    * stratum's rate is exactly 10000 (one epoch). Downsampling never
+    * happens here: rates are ≥ 10000 by construction, the complement of
+    * sqrtTemperatureRates (which only ever keeps ≤ everything).
+    * Plan shape is identical to sqrtTemperatureRates: one hash aggregate
+    * on the stratum key, a 1-row max crossed back via broadcast. */
+  def epochBalanceRates(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                        capPer10k: Long = 40000L)
+    : org.apache.spark.sql.DataFrame = {
+    // rates are ≥ 10000 by construction (mx ≥ n); a sub-10000 cap would
+    // silently turn upsampling into downsampling — refuse it
+    require(capPer10k >= 10000L, s"capPer10k must be ≥ 10000, got $capPer10k")
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(counts.agg(max(col("n_total")).as("_mx"))))
+      .withColumn("rate_per10k",
+        least(lit(capPer10k),
+          floor(lit(10000.0) * col("_mx").cast("double") / col("n_total"))
+            .cast("long")))
+      .drop("_mx")
+  }
+
+  /** Apply epoch-balanced upsampling WITH REPLACEMENT: each row is emitted
+    * floor(rate/10000) times, plus once more iff its content-key bucket
+    * falls under the fractional remainder — so a stratum at rate 25000
+    * emits every row twice and a deterministic, content-keyed half of the
+    * rows a third time (expected total = 2.5 epochs exactly, and WHICH
+    * rows get the extra copy is stable under re-runs and corpus growth,
+    * per the [[splitBucket]] contract). Output adds `copy_idx` (1-based)
+    * so downstream shuffling/packing can treat copies as distinct rows.
+    *
+    * Scale: one narrow rates join (stratum cardinality — broadcast by
+    * AQE) and one `explode(sequence(1, n_copies))` whose expansion factor
+    * is the epoch count (bounded by capPer10k/10000), not data size; no
+    * extra shuffle — the explode is row-local and pipelines into whatever
+    * consumes the mixture. */
+  def epochUpsample(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                    key: Column, capPer10k: Long = 40000L)
+    : org.apache.spark.sql.DataFrame = {
+    val whole = (col("rate_per10k") / 10000L).cast("long")
+    val extra = when(col("_b") < col("rate_per10k") % 10000L, 1L).otherwise(0L)
+    df.withColumn("_b", splitBucket(key))
+      .join(epochBalanceRates(df, stratum, capPer10k)
+        .withColumnRenamed("stratum", "_s"), stratum === col("_s"))
+      .withColumn("copy_idx", explode(sequence(lit(1L), whole + extra)))
+      .drop("_b", "_s", "n_total", "rate_per10k")
+  }
 }

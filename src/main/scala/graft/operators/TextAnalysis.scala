@@ -196,4 +196,63 @@ object TextAnalysis {
       .select(col("rid").as(id), col("n_tokens"),
         round(col("s").cast("double") / col("n_tokens"), 6).as("mean_rarity"))
   }
+
+  /** Sentence segmentation on the literal ". " separator — the standard
+    * cheap splitter for boilerplate work (CCNet splits on lines; web text
+    * without layout needs the sentence fallback). The trailing sentence
+    * keeps its final "." (no separator follows it); reassembly with the
+    * same ". " separator is the inverse wherever no sentence was removed. */
+  def sentenceSplit(text: Column): Column = split(text, "\\. ")
+
+  /** Sentences occurring in at least `minDocs` DISTINCT documents — the
+    * cross-document repetition signal for boilerplate ("subscribe to our
+    * newsletter", cookie banners, license footers). Per-doc repetition is
+    * deliberately not counted (that's q68's repetition filter); a sentence
+    * pasted 50× in one doc is not site boilerplate. One explode + one
+    * (sentence → distinct-doc-count) aggregate, both map-side-combined. */
+  def boilerplateSentences(docs: org.apache.spark.sql.DataFrame, id: String,
+                           text: String, minDocs: Long)
+    : org.apache.spark.sql.DataFrame =
+    docs.select(col(id).as("bid"), explode(sentenceSplit(col(text))).as("sent"))
+      .filter(length(col("sent")) > 0)
+      .groupBy(col("sent")).agg(count_distinct(col("bid")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Remove cross-document boilerplate sentences from every document,
+    * preserving the order of what remains (reassembled with ". ", the
+    * split's inverse). A document whose every sentence is boilerplate
+    * keeps an EMPTY text rather than disappearing — row counts are
+    * stable, so the operator composes with downstream stages that join
+    * on the id.
+    *
+    * Scale shape: one sentence explode, a left-anti join against the
+    * boilerplate set (output of an aggregate whose size AQE observes at
+    * runtime — broadcast when small, which the ≥minDocs filter makes the
+    * overwhelmingly common case, shuffle when a pathological corpus
+    * inflates it; either way answers are identical), one per-doc
+    * reassembly aggregate, and one id-equi join back to the full rows.
+    * Within a doc the sentence order is recovered by position, unique by
+    * construction — the reassembled string (and its md5) is total-order
+    * deterministic. */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, id: String,
+                       text: String, minDocs: Long)
+    : org.apache.spark.sql.DataFrame = {
+    val pieces = docs
+      .select(col(id).as("_sid"),
+        posexplode(sentenceSplit(col(text))).as(Seq("_pos", "_sent")))
+      .filter(length(col("_sent")) > 0)
+    val boiler = boilerplateSentences(docs, id, text, minDocs)
+      .select(col("sent").as("_bs"))
+    val kept = pieces
+      .join(boiler, pieces("_sent") === col("_bs"), "left_anti")
+      .groupBy(col("_sid"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_pos").as("o"), col("_sent").as("p")))),
+          s => s.getField("p")),
+        ". ").as("_clean"))
+    docs.join(kept, docs(id) === col("_sid"), "left")
+      .withColumn(text, coalesce(col("_clean"), lit("")))
+      .drop("_sid", "_clean")
+  }
 }

@@ -456,6 +456,55 @@ object PipelineQueries extends QueryPack {
           load(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
           col("source"), col("doc_id"), col("text"), 512)
         .orderBy(col("shard"), col("chunk"))
+    }),
+
+    // ---- Dedup APPLIED: the canonical corpus — one representative (min
+    // id) per MinHash-LSH near-dup cluster plus every unclustered doc.
+    // q44 emits evidence (pairs), q66 structure (clusters); this emits
+    // what a training run actually reads. The oracle recomputes clusters
+    // via DuckDB's recursive reachability and must agree on every
+    // surviving row.
+    "q78_dedup_canonical" -> ((s, dir) => {
+      Dedup.canonicalize(
+          load(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text", 0.7)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Cross-doc boilerplate removal. The synthetic corpus repeats no
+    // sentence, so the query PLANTS two sentinel footers (q42's planting
+    // pattern): every 3rd doc gets a newsletter plea, every 5th a rights
+    // notice — the latter lands in EXACTLY minDocs=100 docs at sf0.01,
+    // pinning the ≥ boundary. Stripping must restore every original text
+    // byte-for-byte (md5 + length pinned per doc), and the all-boilerplate
+    // edge keeps its row with empty text.
+    "q79_boilerplate" -> ((s, dir) => {
+      val planted = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(". subscribe to our newsletter today"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(". all rights reserved"))
+            .otherwise(lit(""))))
+      TextAnalysis.stripBoilerplate(planted, "doc_id", "text", 100L)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          length(col("text")).as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Epoch-balanced upsampling WITH replacement: small sources are
+    // repeated toward the largest one (capped at 4 epochs). The weighted
+    // checksum Σ doc_id·copy_idx pins WHICH docs replicate AND their
+    // exact copy counts — an off-by-one in the fractional-copy bucket
+    // arithmetic shifts the sum.
+    "q80_epoch_upsample" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      Sampling.epochUpsample(docs, col("source"), concat(col("text"), col("doc_id")))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id") * col("copy_idx")).as("wsum"))
+        .orderBy(col("source"))
     })
   )
 
@@ -851,7 +900,67 @@ object PipelineQueries extends QueryPack {
         |SELECT source AS shard, chunk, count(*) AS n_docs,
         |  CAST(sum(np) AS BIGINT) AS n_tokens,
         |  md5(string_agg(piece, ' ' ORDER BY start_off)) AS text_md5
-        |FROM s GROUP BY source, chunk ORDER BY shard, chunk""".stripMargin
+        |FROM s GROUP BY source, chunk ORDER BY shard, chunk""".stripMargin,
+
+    // Clusters re-derived by recursive reachability (the q66 oracle),
+    // then the corpus restricted to reps + unclustered — an independent
+    // reconstruction of the surviving set.
+    "q78_dedup_canonical" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+         |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+         |       FROM reach GROUP BY v)
+         |SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.rep_id IS NULL OR cl.rep_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same planting, then an independent split→count-distinct→filter→
+    // reassemble pass; string_agg ORDER BY position mirrors Spark's
+    // array_sort-by-position reassembly.
+    "q79_boilerplate" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN '. subscribe to our newsletter today' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN '. all rights reserved' ELSE '' END AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS arr FROM d2)),
+        |s AS (SELECT doc_id, pos, arr[pos] AS sent FROM p WHERE length(arr[pos]) > 0),
+        |b AS (SELECT sent FROM s GROUP BY sent HAVING count(DISTINCT doc_id) >= 100),
+        |k AS (SELECT doc_id, string_agg(sent, '. ' ORDER BY pos) AS clean
+        |      FROM s WHERE sent NOT IN (SELECT sent FROM b) GROUP BY doc_id)
+        |SELECT d2.doc_id, md5(coalesce(k.clean, '')) AS clean_md5,
+        |       CAST(length(coalesce(k.clean, '')) AS INT) AS clean_len
+        |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
+        |ORDER BY d2.doc_id""".stripMargin,
+
+    // Rates, buckets, and copy explosion re-derived from scratch; the
+    // weighted checksum must land on the same integer.
+    "q80_epoch_upsample" ->
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+        |m AS (SELECT max(n_total) AS mx FROM c),
+        |r AS (SELECT source,
+        |        least(40000, CAST(floor(10000.0 * mx / n_total) AS BIGINT)) AS rate
+        |      FROM c, m),
+        |b AS (SELECT doc_id, source,
+        |        ('0x' || substr(md5(coalesce(text || doc_id, '')), 1, 8))::BIGINT % 10000 AS bucket
+        |      FROM documents),
+        |n AS (SELECT b.doc_id, b.source,
+        |        rate // 10000 + CASE WHEN bucket < rate % 10000 THEN 1 ELSE 0 END AS n_copies
+        |      FROM b JOIN r ON b.source = r.source),
+        |e AS (SELECT source, doc_id,
+        |        unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy_idx
+        |      FROM n)
+        |SELECT source, count(*) AS n_rows,
+        |       CAST(sum(doc_id * copy_idx) AS BIGINT) AS wsum
+        |FROM e GROUP BY source ORDER BY source""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+  * Round-7 curation "apply" operators: dedup canonicalization (the kept
+  * corpus, not just pairs/clusters), epoch-balanced upsampling with
+  * replacement, and cross-document boilerplate removal. Cross-engine value
+  * parity is pinned by the q78-q80 DuckDB oracles; these specs pin the
+  * operator PROPERTIES — who survives, copy-count arithmetic, row-count
+  * stability, order preservation, determinism.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("canonicalize keeps exactly one representative per near-dup cluster") {
+    // byte-identical copies have Jaccard 1.0 — guaranteed above any threshold
+    val body1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val body2 = "completely different words about query engines and shuffles at scale"
+    val docs = Seq(
+      (1L, body1), (2L, body1),            // cluster {1,2} → keep 1
+      (3L, "a unique document with its own content never repeated anywhere"),
+      (4L, body2), (5L, body2), (6L, body2) // cluster {4,5,6} → keep 4
+    ).toDF("doc_id", "text")
+    val kept = Dedup.canonicalize(docs, "doc_id", "text", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // output schema is the input schema — the operator composes transparently
+    assert(Dedup.canonicalize(docs, "doc_id", "text", 0.7).columns.toSeq
+      == Seq("doc_id", "text"))
+  }
+
+  test("epochUpsample: copy counts follow floor(rate) + content-keyed remainder") {
+    val df = ((0L until 100L).map(i => (i, "big", s"big doc $i")) ++
+      (100L until 140L).map(i => (i, "mid", s"mid doc $i")) ++
+      (140L until 150L).map(i => (i, "tiny", s"tiny doc $i")))
+      .toDF("id", "src", "text")
+    val rates = Sampling.epochBalanceRates(df, col("src"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // big: 10000 (one epoch); mid: floor(10000·100/40) = 25000; tiny: capped
+    assert(rates == Map("big" -> 10000L, "mid" -> 25000L, "tiny" -> 40000L))
+
+    val out = Sampling.epochUpsample(df, col("src"), col("text"))
+      .groupBy(col("id"), col("src")).agg(
+        count(lit(1)).as("n"), max(col("copy_idx")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // copy_idx is dense 1..n for every row
+    assert(out.forall { case (_, _, n, mx) => n == mx })
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("big").forall(_._3 == 1L))                   // exactly one epoch
+    assert(bySrc("mid").forall(t => t._3 == 2L || t._3 == 3L)) // 2.5 epochs
+    assert(bySrc("tiny").forall(_._3 == 4L))                  // cap = 4 epochs
+    // the fractional half is content-keyed: rerun emits the SAME copy counts
+    val again = Sampling.epochUpsample(df, col("src"), col("text"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._3).toMap == again)
+  }
+
+  test("epochBalanceRates refuses a cap below one epoch") {
+    val df = Seq((1L, "a")).toDF("id", "src")
+    intercept[IllegalArgumentException] {
+      Sampling.epochBalanceRates(df, col("src"), capPer10k = 9999L)
+    }
+  }
+
+  test("stripBoilerplate removes cross-doc sentences, preserves order and row count") {
+    val docs = Seq(
+      (1L, "unique one. COMMON A. tail one"),
+      (2L, "unique two. COMMON A. COMMON B"),
+      (3L, "COMMON A. COMMON B. unique three"),
+      (4L, "COMMON B")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", 3L)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(
+      1L -> "unique one. tail one", // middle removed, flanks rejoined in order
+      2L -> "unique two",
+      3L -> "unique three",
+      4L -> ""))                    // all-boilerplate doc survives as empty, not dropped
+    assert(out.count() == 4)
+  }
+
+  test("stripBoilerplate under threshold is the identity") {
+    val docs = Seq(
+      (1L, "shared line. own text"),
+      (2L, "shared line. other text")).toDF("doc_id", "text")
+    // "shared line" is in only 2 docs; minDocs=3 → nothing removed
+    val m = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "shared line. own text", 2L -> "shared line. other text"))
+  }
+}
