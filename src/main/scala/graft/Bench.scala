@@ -84,7 +84,8 @@ object Bench {
     "q76_curation_funnel", // composed lang→quality→dedup→decontam pass
     "q78_dedup_canonical", // dedup APPLIED: pairs→clusters→kept corpus
     "q79_boilerplate",    // cross-doc boilerplate sentence removal
-    "q80_epoch_upsample") // epoch-balanced upsampling w/ replacement
+    "q80_epoch_upsample", // epoch-balanced upsampling w/ replacement
+    "q81_dedup_incremental") // batch-vs-index dedup, no corpus rescan
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

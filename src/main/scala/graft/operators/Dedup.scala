@@ -534,6 +534,65 @@ object Dedup {
       .union(edges.select(col("v"), col("v")).distinct())
   }
 
+  /** Precomputable LSH index of a corpus: the size-annotated band relation
+    * (the candidate-join probe side) and the gram-hash sets (the verify
+    * side). Both are plain relations a pipeline persists as parquet
+    * alongside the corpus and reuses for every incoming batch — at 100 TB
+    * you index the corpus ONCE and never re-read it per batch. */
+  final case class DedupIndex(bands: DataFrame, sets: DataFrame)
+
+  def dedupIndex(docs: DataFrame, id: String, text: String): DedupIndex = {
+    val sets = gramSets(docs, id, text)
+    DedupIndex(bandRelation(signaturesFromSets(sets), sizeAware = true), sets)
+  }
+
+  /** INCREMENTAL near-dup detection: pairs between an indexed existing
+    * corpus and an incoming batch, plus pairs within the batch — without
+    * ever generating an existing×existing candidate. This is the arrival
+    * path of a continuously-growing corpus: per-batch cost scales with
+    * the batch and its band collisions, not with corpus size (the index
+    * side of the candidate join ships only colliding bands; re-running
+    * the full [[minHashLshPairs]] would re-pay the whole-corpus signature
+    * scan AND re-discover every old-old pair per batch).
+    *
+    * ==Id uniqueness across index and batch is the caller's contract==
+    * (same as a primary key across an append). Output orientation: for
+    * probe pairs id_a is the EXISTING doc, id_b the incoming one; for
+    * within-batch pairs id_a < id_b.
+    *
+    * Verify runs the SHUFFLE_HASH path unconditionally: the broadcast-map
+    * fast path would collect index+batch gram sets, and an incremental
+    * index is big by definition — the shuffle plan is the one that runs
+    * at scale (the q44b-proven strategy), so it is also the one proven
+    * here (q81 oracle). */
+  def incrementalPairs(index: DedupIndex, incoming: DataFrame, id: String,
+                       text: String, threshold: Double): DataFrame = {
+    val inSets = gramSets(incoming, id, text).persist()
+    try {
+      // Persisted for the same reason as the main pipeline's band relation:
+      // the probe join and the within-batch self-join (both sides) share
+      // one signature pass over the batch.
+      val inBands = bandRelation(signaturesFromSets(inSets), sizeAware = true).persist()
+      try {
+        // band id is baked into the xxhash64 sig, so sig equality alone is
+        // the banding condition; the size-ratio prefilter drops pairs that
+        // cannot reach the jaccard threshold before the distinct's shuffle
+        val probe = index.bands.as("x").join(inBands.as("y"),
+            col("x.sig") === col("y.sig") &&
+              least(col("x.gn"), col("y.gn")).cast("double") >=
+                lit(threshold) * greatest(col("x.gn"), col("y.gn")))
+          .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+          .distinct()
+        val intra = pairsFromBands(inBands, threshold, sizeAware = true)
+        val verified = minHashVerify(probe.unionByName(intra),
+          index.sets.unionByName(inSets), useBroadcastMap = false, threshold)
+        truncateLineage(verified
+          .select(col("id_a"), col("id_b"), jaccardCol)
+          .filter(col("jaccard") >= threshold))
+      } finally inBands.unpersist(blocking = false)
+    } finally inSets.unpersist(blocking = false)
+  }
+
   /** APPLY the near-dup detection: the deduplicated corpus itself — every
     * input column of `docs`, restricted to the one canonical member (min
     * id) of each MinHash-LSH cluster plus all unclustered docs. This is

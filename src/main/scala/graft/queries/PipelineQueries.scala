@@ -20,13 +20,16 @@ import graft.operators.TextHashing._
 object PipelineQueries extends QueryPack {
 
   // Shared DuckDB CTE: distinct 3-gram shingles + base hash per doc.
-  private val shingleCte =
+  // Parameterized on the source relation so planted-corpus oracles (q81)
+  // can run the identical chain over documents ∪ planted rows.
+  private def shingleCteOver(src: String) =
     s"""pos AS (
        |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2,1))) AS i
-       |  FROM documents
+       |  FROM $src
        |),
        |gr AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS g FROM pos),
        |hs AS (SELECT doc_id, CAST(${gramHashSql("g")} AS BIGINT) AS h FROM gr)""".stripMargin
+  private val shingleCte = shingleCteOver("documents")
 
   private val minSqlCols =
     MinHashParams.indices.map(j => s"min(${minHashJSql("h", j)}) AS m$j").mkString(", ")
@@ -38,8 +41,8 @@ object PipelineQueries extends QueryPack {
 
   // Full MinHash-LSH pair pipeline as a CTE chain ending in
   // pr(id_a, id_b, jaccard) — shared by the q44/q44b/q66 oracles.
-  private val minhashPairsCtes =
-    s"""$shingleCte,
+  private def minhashPairsCtesOver(src: String) =
+    s"""${shingleCteOver(src)},
        |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
        |bands AS ($bandSql),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
@@ -53,6 +56,7 @@ object PipelineQueries extends QueryPack {
        |  SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
+  private val minhashPairsCtes = minhashPairsCtesOver("documents")
 
   private val clustersOracle =
     s"""WITH RECURSIVE $minhashPairsCtes,
@@ -505,6 +509,25 @@ object PipelineQueries extends QueryPack {
           count(lit(1)).as("n_rows"),
           sum(col("doc_id") * col("copy_idx")).as("wsum"))
         .orderBy(col("source"))
+    }),
+
+    // ---- INCREMENTAL dedup: docs <400 are the indexed existing corpus,
+    // the rest plus planted near-copies (30 exact copies of existing
+    // docs at id+300000, q42's planting pattern) arrive as a batch. The
+    // operator must find every copy↔original pair and every natural pair
+    // touching the batch — WITHOUT generating existing×existing
+    // candidates. The oracle runs the full-corpus pair pipeline over
+    // documents ∪ planted and keeps pairs whose larger id is in the
+    // batch: if the incremental path missed a pair (or invented one),
+    // the sets differ.
+    "q81_dedup_incremental" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val existing = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400).unionByName(
+        docs.filter(col("doc_id") < 30).withColumn("doc_id", col("doc_id") + 300000L))
+      Dedup.incrementalPairs(
+          Dedup.dedupIndex(existing, "doc_id", "text"), batch, "doc_id", "text", 0.7)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -960,7 +983,19 @@ object PipelineQueries extends QueryPack {
         |      FROM n)
         |SELECT source, count(*) AS n_rows,
         |       CAST(sum(doc_id * copy_idx) AS BIGINT) AS wsum
-        |FROM e GROUP BY source ORDER BY source""".stripMargin
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // Full-corpus pair pipeline over documents ∪ planted copies, filtered
+    // to pairs touching the batch. Existing ids are all <400 and batch
+    // ids ≥400, so "larger id ≥ 400" ⇔ "at least one endpoint incoming".
+    "q81_dedup_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id < 30),
+         |${minhashPairsCtesOver("corpus")}
+         |SELECT id_a, id_b, jaccard FROM pr WHERE id_b >= 400
+         |ORDER BY id_a, id_b""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

@@ -34,6 +34,29 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("incrementalPairs = full-pipeline pairs touching the batch (interleaved ids)") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "completely different words about query engines and shuffles at scale"
+    val c = "a third body of text that matches nothing else in this tiny corpus"
+    // batch ids INTERLEAVE with existing ids — orientation (existing, incoming)
+    // must still cover the same unordered pair set as the full pipeline
+    val existing = Seq((10L, a), (40L, b), (60L, c)).toDF("doc_id", "text")
+    val batch = Seq((25L, a), (55L, b), (70L, "unique batch content with no duplicate partner here at all")).toDF("doc_id", "text")
+    val full = Dedup.minHashLshPairs(existing.unionByName(batch), "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(25L, 55L, 70L)
+    val expected = full.filter(p => batchIds(p._1) || batchIds(p._2))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    assert(expected == Set((10L, 25L), (40L, 55L))) // sanity: the planted dups
+    val incr = Dedup.incrementalPairs(
+        Dedup.dedupIndex(existing, "doc_id", "text"), batch, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(incr.length == incr.toSet.size) // no duplicate emissions
+    assert(incr.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet == expected)
+    // pure-existing pairs are structurally impossible — both endpoints existing
+    assert(incr.forall(p => batchIds(p._1) || batchIds(p._2)))
+  }
+
   test("epochUpsample: copy counts follow floor(rate) + content-keyed remainder") {
     val df = ((0L until 100L).map(i => (i, "big", s"big doc $i")) ++
       (100L until 140L).map(i => (i, "mid", s"mid doc $i")) ++
