@@ -123,6 +123,53 @@ object Sampling {
       .filter(col("_b") < col("rate_per10k"))
       .drop("_b", "_s", "n_total", "rate_per10k")
 
+  /** Keep each stratum's TOP fraction by a score — the quality-percentile
+    * gate of a curation pipeline ("drop the bottom 75% by quality per
+    * source"), expressed as exact ranks rather than an interpolated
+    * percentile threshold: rank arithmetic is integer-exact cross-engine,
+    * where a double quantile boundary can flip a row's membership by one
+    * ulp. Ties in the score are broken by the content key's md5, so the
+    * kept set is total-order deterministic ([[stratifiedSample]]'s key-
+    * uniqueness contract applies). Same one-window-per-stratum shape —
+    * and the same dominant-stratum skew note — as stratifiedSample. */
+  def topFractionByScore(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                         score: Column, key: Column, fracPer10k: Int)
+    : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(score.desc, md5(coalesce(key, lit(""))))
+    df.withColumn("_rank", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(stratum)))
+      .filter(col("_rank") <= ceil(col("_n") * fracPer10k / 10000.0))
+      .drop("_rank", "_n")
+  }
+
+  /** Deterministic global "shuffle" for training order: every row gets a
+    * reproducible pseudo-random (shard, pos) — shard from the seeded
+    * content-key hash, position by rank of that hash within the shard.
+    * Re-seeding yields a fresh permutation without touching the data;
+    * re-running (or re-computing on another engine) yields the identical
+    * one — which is what makes a training run resumable and auditable,
+    * where an orderBy(rand()) permutation is gone the moment the job
+    * ends. Downstream packing ([[graft.operators.Packing]]) consumes
+    * (shard, pos) directly as its shard/order columns.
+    *
+    * Scale: the shard hash exchange is the one shuffle; within a shard
+    * the rank is a per-partition sort of corpus/nShards rows — size
+    * nShards so a shard fits an executor (the same knob as any range
+    * write). Key uniqueness is the caller's contract (duplicate keys tie
+    * in the hash order; salt with a unique id). */
+  def trainingOrder(df: org.apache.spark.sql.DataFrame, key: Column,
+                    seed: String, nShards: Int)
+    : org.apache.spark.sql.DataFrame = {
+    val h = md5(concat(lit(seed), coalesce(key, lit(""))))
+    df.withColumn("shard",
+        conv(substring(h, 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(h)))
+  }
+
   /** Per-stratum UPSAMPLING rates that equalize the mixture toward the
     * largest stratum: a stratum of n rows gets rate floor(10000·max/n)
     * per-10000 — i.e. ~max/n epochs — capped at `capPer10k` (repeating a

@@ -528,6 +528,40 @@ object PipelineQueries extends QueryPack {
       Dedup.incrementalPairs(
           Dedup.dedupIndex(existing, "doc_id", "text"), batch, "doc_id", "text", 0.7)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Quality-percentile gate: top 25% per source by the q50 quality
+    // score, as exact ranks (integer-exact cross-engine where a double
+    // quantile boundary can flip membership by an ulp). The per-source
+    // count + id checksum pins exactly WHICH docs survive — score
+    // computation, ordering, tie-break, and the ceil cutoff all have to
+    // agree with DuckDB's independent ranking.
+    "q82_quality_gate" -> ((s, dir) => {
+      val scored = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("quality", TextAnalysis.qualityScore(
+          length(col("text")),
+          TextAnalysis.punctRatio(col("text")),
+          TextAnalysis.meanWordLen(col("text"))))
+      Sampling.topFractionByScore(scored, col("source"), col("quality"),
+          concat(col("text"), col("doc_id")), 2500)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Deterministic training-order shuffle: seeded content-keyed
+    // (shard, pos) permutation. The per-shard Σ pos·doc_id checksum pins
+    // the ENTIRE permutation — any row in the wrong shard or position
+    // shifts the sum.
+    "q83_train_order" -> ((s, dir) => {
+      Sampling.trainingOrder(
+          load(s, dir, "documents").select(col("doc_id"), col("text")),
+          concat(col("text"), col("doc_id")), "epoch0", 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("pos") * col("doc_id")).as("perm_sum"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -995,7 +1029,44 @@ object PipelineQueries extends QueryPack {
          |  SELECT doc_id + 300000, text FROM documents WHERE doc_id < 30),
          |${minhashPairsCtesOver("corpus")}
          |SELECT id_a, id_b, jaccard FROM pr WHERE id_b >= 400
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Independent ranking: same q50 score formula, DESC + md5 tie-break,
+    // exact ceil cutoff per source.
+    "q82_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    round(least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
+        |      + (CASE WHEN round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |                     / greatest(len(string_split(text, ' ')), 1), 6) BETWEEN 3.0 AND 9.0
+        |         THEN 1.0 ELSE 0.5 END)*0.3
+        |      + greatest(0.0, 1.0 - round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |                                  / greatest(length(text), 1), 6)*5.0)*0.3, 6) AS quality
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY quality DESC, md5(text || doc_id)) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM scored)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM ranked WHERE rk <= ceil(n * 2500 / 10000.0)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same seeded hash, same shard arithmetic, same within-shard rank.
+    "q83_train_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('epoch0' || coalesce(text || doc_id, '')) AS hx
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, ('0x' || substr(hx, 1, 8))::BIGINT % 16 AS shard, hx FROM h),
+        |rk AS (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY hx) AS pos
+        |  FROM sp)
+        |SELECT shard, count(*) AS n_rows,
+        |       CAST(sum(pos * doc_id) AS BIGINT) AS perm_sum
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

@@ -108,6 +108,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.count() == 4)
   }
 
+  test("topFractionByScore keeps exactly the ceil-fraction best rows per stratum") {
+    val df = (0L until 24L).map(i => (i, s"s${i % 3}", (i / 3).toDouble, s"key $i"))
+      .toDF("id", "src", "score", "key")
+    val kept = Sampling.topFractionByScore(df, col("src"), col("score"), col("key"), 2500)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    // 8 rows per stratum → ceil(0.25·8) = 2 survivors, and they are the top scores
+    val bySrc = kept.groupBy(_._1)
+    assert(bySrc.keySet == Set("s0", "s1", "s2"))
+    for ((src, rows) <- bySrc) {
+      assert(rows.length == 2, src)
+      val threshold = df.filter(col("src") === src).select("score")
+        .collect().map(_.getDouble(0)).sorted.takeRight(2).min
+      assert(rows.forall(_._3 >= threshold), src)
+    }
+  }
+
+  test("trainingOrder: dense per-shard positions, deterministic, seed-sensitive") {
+    val df = (0L until 200L).map(i => (i, s"doc body number $i")).toDF("id", "text")
+    def run(seed: String) = Sampling.trainingOrder(df, concat(col("text"), col("id")), seed, 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val a = run("epoch0")
+    assert(a.length == 200) // a permutation loses nothing
+    for ((_, rows) <- a.groupBy(_._2)) // pos is dense 1..n within every shard
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    assert(a.toSet == run("epoch0").toSet) // reproducible
+    val b = run("epoch1") // a different seed is a genuinely different permutation
+    assert(a.map(t => t._1 -> ((t._2, t._3))).toMap != b.map(t => t._1 -> ((t._2, t._3))).toMap)
+  }
+
   test("stripBoilerplate under threshold is the identity") {
     val docs = Seq(
       (1L, "shared line. own text"),
