@@ -85,7 +85,10 @@ object Bench {
     "q78_dedup_canonical", // dedup APPLIED: pairs→clusters→kept corpus
     "q79_boilerplate",    // cross-doc boilerplate sentence removal
     "q80_epoch_upsample", // epoch-balanced upsampling w/ replacement
-    "q81_dedup_incremental") // batch-vs-index dedup, no corpus rescan
+    "q81_dedup_incremental", // batch-vs-index dedup, no corpus rescan
+    "q82_quality_gate",   // per-stratum top-fraction rank gate
+    "q83_train_order",    // seeded deterministic training permutation
+    "q85_semantic_dedup") // k-means + within-cluster cosine dedup (SemDeDup)
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

@@ -144,6 +144,25 @@ object Sampling {
       .drop("_rank", "_n")
   }
 
+  /** Cap each stratum at `maxN` rows — the per-domain cap of web-corpus
+    * curation (a handful of template-heavy domains would otherwise
+    * dominate the mixture; RefinedWeb/C4 apply exactly this guard). The
+    * kept subset is chosen by CONTENT-HASH rank, not arrival order: the
+    * md5 of the content key is crawl-stable, so a re-crawl that appends
+    * more pages from a capped domain keeps the SAME survivors and only
+    * fills toward the cap — where "first N by ingest order" would churn
+    * the corpus every run. One window per stratum (hash shuffle on the
+    * stratum key); the dominant-stratum skew note of [[stratifiedSample]]
+    * applies. Key uniqueness is the caller's contract. */
+  def capPerStratum(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                    key: Column, maxN: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(coalesce(key, lit(""))))
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= maxN)
+      .drop("_rank")
+  }
+
   /** Deterministic global "shuffle" for training order: every row gets a
     * reproducible pseudo-random (shard, pos) — shard from the seeded
     * content-key hash, position by rank of that hash within the shard.

@@ -172,4 +172,169 @@ object SimilaritySearch {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Scalar (int8-style) quantization of the embedding column: each
+    * dimension is affinely mapped onto integer codes 0..254 using GLOBAL
+    * per-dimension min/max (one tiny aggregate — 64 rows — attached back
+    * by a one-row broadcast, so coding is a row-local projection; the
+    * corpus never shuffles). This is the classic 4× memory cut for an
+    * ANN corpus (float32 → byte codes) — and because the codes are
+    * integers, downstream dot products are EXACT integer arithmetic: no
+    * float summation order to disagree on, which is why the q86 oracle
+    * can hash-match the ranking bit-for-bit. Rounding is explicit
+    * floor(x + 0.5) — half-up on both engines, avoiding banker's-rounding
+    * divergence. A constant dimension (span 0) codes to 0. Returns the
+    * input plus `qv: array<int>` (codes fit a byte; INT keeps the
+    * integer dot in plain SQL types both here and in DuckDB). */
+  def quantize(vectors: DataFrame): DataFrame = {
+    val stats = vectors
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    vectors.crossJoin(broadcast(stats))
+      .withColumn("qv",
+        zip_with(col("embedding"),
+          zip_with(col("mns"), col("mxs"), (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (x, s) => {
+            val span = s.getField("mx") - s.getField("mn")
+            when(span > 0,
+              floor((x.cast("double") - s.getField("mn")) / span * 254.0 + 0.5)
+                .cast("int"))
+              .otherwise(lit(0))
+          }))
+      .drop("mns", "mxs")
+  }
+
+  /** Exact integer dot product of two quantized code arrays. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Top-k by QUANTIZED cosine: both sides coded by [[quantize]], ranked
+    * on round(qdot/(√qdot(a,a)·√qdot(b,b)), 6) with id tie-break. The
+    * rank arithmetic is integer-exact up to one final double division —
+    * deterministic cross-engine — and the corpus side carries ~4× less
+    * data than float embeddings. A vector whose codes are all zero has
+    * no direction: its similarity is pinned to −1 (ranks last) rather
+    * than the 0/0 NaN, which Spark's DESC sort would otherwise place
+    * FIRST. Recall vs exact float cosine (q47) is the documented
+    * quantization trade. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val coded = quantize(corpus.select(col("vec_id"), col("embedding")))
+    val q = coded.join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val c = coded.select(col("vec_id").as("cand_id"), col("qv").as("qb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("na2", qdot(col("qa"), col("qa")))
+      .withColumn("nb2", qdot(col("qb"), col("qb")))
+      .select(col("query_id"), col("cand_id"),
+        when(col("na2") > 0 && col("nb2") > 0,
+          round(qdot(col("qa"), col("qb")) /
+            (sqrt(col("na2")) * sqrt(col("nb2"))), 6))
+          .otherwise(lit(-1.0))
+          .as("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recompute centroids as the per-dimension mean of each assigned
+    * cluster's members — one Lloyd "update" step. Same order-independent
+    * DECIMAL-mean construction as [[ivfCentroids]] (the oracle rebuilds it
+    * bit-for-bit); clusters that lost every member simply emit no row. */
+  private def refineCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** Assign every vector to its nearest centroid by ROUNDED cosine (6dp,
+    * smaller cid wins rounded ties — the cross-engine determinism rule of
+    * every ANN op here). The whole centroid set is packed into ONE row
+    * (array of (cid, centroid, cnrm) structs, cid-ascending) and attached
+    * to the corpus by a broadcast of that single row, so the argmax is a
+    * row-local fold: the corpus is NEVER shuffled, sorted, or windowed for
+    * assignment — the plan shape that survives a 100 TB corpus with
+    * K ≤ ~10⁵ centroids (the broadcast is K·dim doubles, not corpus-
+    * sized). The fold keeps the FIRST strict maximum, and the struct array
+    * is cid-sorted, which is exactly "ORDER BY csim DESC, cid ASC LIMIT
+    * 1". Returns (vec_id, embedding, cid, csim). */
+  private def assignNearest(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .select(struct(col("cid"), col("centroid"),
+        l2norm(col("centroid")).as("cnrm")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("cents"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .withColumn("vnrm", l2norm(col("embedding")))
+      .withColumn("best",
+        aggregate(col("cents"),
+          struct(lit(-1L).as("cid"), lit(-2.0).as("csim")),
+          (acc, c) => {
+            val csim = round(
+              aggregate(
+                zip_with(col("embedding"), c.getField("centroid"),
+                  (x, y) => x.cast("double") * y),
+                lit(0.0), (a2, v) => a2 + v)
+                / (col("vnrm") * c.getField("cnrm")), 6)
+            when(csim > acc.getField("csim"),
+              struct(c.getField("cid").as("cid"), csim.as("csim")))
+              .otherwise(acc)
+          }))
+      .select(col("vec_id"), col("embedding"),
+        col("best").getField("cid").as("cid"),
+        col("best").getField("csim").as("csim"))
+  }
+
+  /** K-means cluster assignment with `iters` Lloyd refinement steps over
+    * the DETERMINISTIC sign-bucket initialization ([[ivfCentroids]] — no
+    * sampled init, so the oracle replays the whole optimization exactly).
+    * iters=0 assigns against the raw sign-bucket centroids; each
+    * refinement is one assignment (shuffle-free, see [[assignNearest]])
+    * plus one centroid mean (partial-agg'd shuffle of K·dim cells, not
+    * corpus rows). Cluster labels stay the init's cid values; clusters
+    * may die (lose all members) under refinement, which both engines
+    * reproduce identically. Returns (vec_id, embedding, cid, csim). */
+  def kmeansAssign(corpus: DataFrame, bits: Int, iters: Int): DataFrame = {
+    var assigned = assignNearest(corpus, ivfCentroids(corpus, bits))
+    for (_ <- 0 until iters)
+      assigned = assignNearest(corpus, refineCentroids(assigned))
+    assigned
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the corpus, then near-
+    * duplicate detection runs all-pairs INSIDE each cluster only — the
+    * cluster radius bounds the candidate set the way LSH bands bound
+    * [[cosineDupPairs]], but with a tunable K instead of a fixed hash
+    * family, and the pair join is equi on cid (hash shuffle, no cross
+    * product). A vector is dropped iff some SMALLER-id vector in its
+    * cluster is ≥ `threshold` rounded cosine — the pair-local greedy
+    * survivor rule (deterministic, non-transitive: for transitive-closure
+    * semantics feed the pairs to [[Dedup.canonicalize]] instead). Returns
+    * the surviving (vec_id, embedding, cid, csim) rows. */
+  def semanticDedup(vectors: DataFrame, bits: Int, iters: Int,
+                    threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(vectors, bits, iters)
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_b")).distinct()
+    assigned.join(dropped, assigned("vec_id") === dropped("id_b"), "left_anti")
+  }
 }

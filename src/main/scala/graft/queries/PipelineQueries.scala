@@ -176,6 +176,56 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- K-means with one Lloyd refinement over the deterministic
+    // sign-bucket init (16 clusters). The oracle replays the ENTIRE
+    // optimization — init centroids, first assignment, refined means,
+    // final assignment — so a divergence anywhere in the iteration
+    // breaks the hash. Per-cluster sum of ids + DECIMAL csim sum pins
+    // exactly which vectors land where.
+    "q84_kmeans_assign" -> ((s, dir) => {
+      SimilaritySearch.kmeansAssign(load(s, dir, "embeddings"), 4, 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).as("sum_ids"),
+          graft.Tables.dsum(col("csim")).as("sum_csim"))
+        .orderBy(col("cid"))
+    }),
+
+    // ---- SemDeDup: same k-means partition, then pair-local greedy
+    // dedup inside each cluster (drop a vector iff a smaller-id cluster
+    // member is ≥0.4 rounded cosine). Cluster-bounded all-pairs is the
+    // scale story: K bounds candidates the way LSH bands do in q46.
+    "q85_semantic_dedup" -> ((s, dir) => {
+      SimilaritySearch.semanticDedup(load(s, dir, "embeddings"), 4, 1, 0.4)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy(col("cid"))
+    }),
+
+    // ---- Int8-style scalar-quantized ANN: global per-dim min/max →
+    // integer codes 0..254, ranking on integer dot products (exact
+    // arithmetic — the oracle matches the ranking bit-for-bit, unlike
+    // any float-sum scheme). The 4× memory cut is the corpus-scale
+    // story; recall vs exact float cosine is the documented trade.
+    "q86_ann_quantized" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.quantizedTopK(emb.filter(col("vec_id") < 20), emb, 3)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("qcos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- Per-source cap (the per-domain guard of web curation):
+    // at most 20 docs per source, chosen by crawl-stable content-hash
+    // rank. Count + id-sum pins exactly WHICH docs survive.
+    "q87_source_cap" -> ((s, dir) => {
+      Sampling.capPerStratum(
+          load(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          col("source"), concat(col("text"), col("doc_id")), 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // ---- Language-ID heuristic vs the labeled lang column
     "q49_lang_id" -> ((s, dir) => {
       TextAnalysis.langPredicted(load(s, dir, "documents"), "text", Seq("lang"))
@@ -753,6 +803,81 @@ object PipelineQueries extends QueryPack {
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // Same quantization replay: per-dim global min/max, half-up integer
+    // codes, exact integer dots — the ranking matches bit-for-bit.
+    "q86_ann_quantized" ->
+      """WITH stats AS (
+        |  SELECT j AS pos, min(CAST(embedding[j+1] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[j+1] AS DOUBLE)) AS mx
+        |  FROM embeddings, unnest(generate_series(0, 63)) AS t(j)
+        |  GROUP BY j),
+        |coded AS (
+        |  SELECT e.vec_id,
+        |         array_agg(CASE WHEN s.mx - s.mn > 0
+        |                        THEN CAST(floor((CAST(e.embedding[s.pos+1] AS DOUBLE) - s.mn)
+        |                                        / (s.mx - s.mn) * 254.0 + 0.5) AS BIGINT)
+        |                        ELSE 0 END ORDER BY s.pos) AS qv
+        |  FROM embeddings e, stats s
+        |  GROUP BY e.vec_id),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.qv AS qa, c.qv AS qb
+        |  FROM coded q JOIN coded c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |dots AS (
+        |  SELECT query_id, cand_id,
+        |         sum(x1*x2) AS dot, sum(x1*x1) AS na2, sum(x2*x2) AS nb2
+        |  FROM (SELECT query_id, cand_id, unnest(qa) AS x1, unnest(qb) AS x2 FROM pairs)
+        |  GROUP BY query_id, cand_id),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |         CASE WHEN na2 > 0 AND nb2 > 0
+        |              THEN round(CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS DOUBLE))), 6)
+        |              ELSE -1.0 END AS qcos
+        |  FROM dots)
+        |SELECT query_id, rank, cand_id, qcos FROM (
+        |  SELECT query_id, cand_id, qcos,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Same crawl-stable hash rank, same cap.
+    "q87_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY md5(text || doc_id)) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM ranked WHERE rk <= 20
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Full replay of the k-means optimization: init sign-bucket
+    // centroids, assignment 1, refined DECIMAL means, final assignment.
+    "q84_kmeans_assign" ->
+      s"""$kmeansCtes
+         |SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+         |       CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) AS sum_csim
+         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // Same clustering, then the pair-local greedy survivor rule inside
+    // each cluster (drop id_b iff a smaller-id member is ≥0.4 cosine).
+    "q85_semantic_dedup" ->
+      s"""$kmeansCtes,
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, bx.embedding AS ea, bb.embedding AS eb,
+         |         bx.nrm AS na, bb.nrm AS nb
+         |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN base bx ON bx.vec_id = x.vec_id
+         |  JOIN base bb ON bb.vec_id = y.vec_id),
+         |pdots AS (
+         |  SELECT id_a, id_b, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+         |         any_value(na) AS na, any_value(nb) AS nb
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x1, unnest(eb) AS x2, na, nb FROM pairs)
+         |  GROUP BY id_a, id_b),
+         |dropped AS (
+         |  SELECT DISTINCT id_b FROM pdots WHERE round(dot/(na*nb), 6) >= 0.4)
+         |SELECT cid, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM a2 WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+         |GROUP BY cid ORDER BY cid""".stripMargin,
+
     "q49_lang_id" -> langIdOracle,
 
     "q50_text_quality" ->
@@ -1094,6 +1219,58 @@ object PipelineQueries extends QueryPack {
       |       count(*) AS n_overlap
       |FROM cg JOIN eg USING (g) JOIN ng ON ng.doc_id = cg.doc_id
       |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
+  // K-means replay shared by q84/q85: the sign-bucket init (4 bits → 16
+  // clusters over the 64-dim embeddings), the first assignment against
+  // the init centroids, one Lloyd refinement (per-dimension DECIMAL
+  // means over the assigned members), and the final assignment — ending
+  // in a2(vec_id, cid, csim). Rounded-cosine argmax with cid-ascending
+  // tie-break mirrors assignNearest's first-strict-max fold exactly.
+  private val kmeansCtes =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+      |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |          FROM unnest(generate_series(0, 3)) AS t(j)) AS bkt
+      |  FROM embeddings),
+      |cent0 AS (
+      |  SELECT bkt AS cid, j AS pos,
+      |         CAST(sum(CAST(embedding[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+      |  FROM base, unnest(generate_series(0, 63)) AS t(j)
+      |  GROUP BY bkt, j),
+      |cent0_n AS (
+      |  SELECT cid, centroid, sqrt((SELECT sum(x*x) FROM unnest(centroid) AS u(x))) AS cnrm
+      |  FROM (SELECT cid, array_agg(c ORDER BY pos) AS centroid FROM cent0 GROUP BY cid)),
+      |s0 AS (
+      |  SELECT vec_id, cid,
+      |         round(sum(CAST(x1 AS DOUBLE)*x2) / (any_value(nrm)*any_value(cnrm)), 6) AS csim
+      |  FROM (SELECT b.vec_id, b.nrm, ca.cid, ca.cnrm,
+      |               unnest(b.embedding) AS x1, unnest(ca.centroid) AS x2
+      |        FROM base b, cent0_n ca)
+      |  GROUP BY vec_id, cid),
+      |a1 AS (
+      |  SELECT vec_id, cid AS c1 FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+      |    FROM s0) WHERE rk = 1),
+      |cent1 AS (
+      |  SELECT c1 AS cid, j AS pos,
+      |         CAST(sum(CAST(b.embedding[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+      |  FROM a1 JOIN base b USING (vec_id), unnest(generate_series(0, 63)) AS t(j)
+      |  GROUP BY c1, j),
+      |cent1_n AS (
+      |  SELECT cid, centroid, sqrt((SELECT sum(x*x) FROM unnest(centroid) AS u(x))) AS cnrm
+      |  FROM (SELECT cid, array_agg(c ORDER BY pos) AS centroid FROM cent1 GROUP BY cid)),
+      |s1 AS (
+      |  SELECT vec_id, cid,
+      |         round(sum(CAST(x1 AS DOUBLE)*x2) / (any_value(nrm)*any_value(cnrm)), 6) AS csim
+      |  FROM (SELECT b.vec_id, b.nrm, ca.cid, ca.cnrm,
+      |               unnest(b.embedding) AS x1, unnest(ca.centroid) AS x2
+      |        FROM base b, cent1_n ca)
+      |  GROUP BY vec_id, cid),
+      |a2 AS (
+      |  SELECT vec_id, cid, csim FROM (
+      |    SELECT vec_id, cid, csim, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+      |    FROM s1) WHERE rk = 1)""".stripMargin
 
   private val tokenRarityOracle =
     """WITH toks AS (

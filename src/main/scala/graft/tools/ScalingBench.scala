@@ -84,6 +84,34 @@ object ScalingBench {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** 64-dim float vector, purely deterministic from vec_id; components in
+    * [-1, 1). */
+  private def baseVec(id: Long): Array[Float] = {
+    val v = new Array[Float](64)
+    var j = 0
+    while (j < 64) {
+      v(j) = ((mix(id, 100 + j) % 1000) / 1000.0f)
+      j += 1
+    }
+    v
+  }
+
+  /** 2% of vectors (id % 50 == 3) are near-duplicates of the previous
+    * vector (one component nudged by 0.01 — cosine ≈ 1), the pair shape
+    * q85's within-cluster dedup must find. */
+  def embVec(id: Long): Array[Float] =
+    if (id % 50 == 3 && id > 0) {
+      val v = baseVec(id - 1); v(0) = v(0) + 0.01f; v
+    } else baseVec(id)
+
+  private def generateEmb(spark: SparkSession, dir: String, nVecs: Long): Unit = {
+    import spark.implicits._
+    spark.range(nVecs).map(id => (id, embVec(id)))
+      .toDF("vec_id", "embedding")
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val tenxDir = args.headOption.getOrElse("/tmp/graft_scaling_10x")
     val spark = SparkSession.builder()
@@ -102,6 +130,10 @@ object ScalingBench {
       println(s"[scaling] generating 10x corpus at $tenxDir (50k docs)")
       generate(spark, tenxDir, 50000L)
     }
+    if (!new java.io.File(s"$tenxDir/embeddings.parquet").exists()) {
+      println(s"[scaling] generating 10x embeddings at $tenxDir (20k vectors)")
+      generateEmb(spark, tenxDir, 20000L)
+    }
 
     val queries = Seq(
       "q44_dedup_minhash_lsh",
@@ -110,7 +142,8 @@ object ScalingBench {
       "q70_token_rarity",
       "q70b_token_rarity_shuffle",
       "q72_decontaminate",
-      "q76_curation_funnel")
+      "q76_curation_funnel",
+      "q85_semantic_dedup")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

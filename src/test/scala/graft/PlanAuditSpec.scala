@@ -128,4 +128,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // window shard exchange + chunk-agg exchange + output range sort
     assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
   }
+
+  test("q84 k-means: centroid set rides a one-row broadcast; assignment never windows/sorts the corpus") {
+    val p = plan("q84_kmeans_assign")
+    // the only nested-loop joins are the 1-row centroid-array attaches
+    // (broadcast), and the corpus is never range- or window-exchanged
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q85 semantic dedup: within-cluster pairs via equi join on cid, no cross product") {
+    val p = plan("q85_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
