@@ -269,8 +269,11 @@ object SimilaritySearch {
     * K ≤ ~10⁵ centroids (the broadcast is K·dim doubles, not corpus-
     * sized). The fold keeps the FIRST strict maximum, and the struct array
     * is cid-sorted, which is exactly "ORDER BY csim DESC, cid ASC LIMIT
-    * 1". Returns (vec_id, embedding, cid, csim). */
-  private def assignNearest(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    * 1". Works unchanged on a STREAMING `corpus` (every step is a
+    * row-local projection plus one static-side broadcast — the
+    * stream-static shape; CurationStreams.semanticDupIds uses it this
+    * way). Returns (vec_id, embedding, cid, csim). */
+  def assignToCentroids(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents
       .select(struct(col("cid"), col("centroid"),
         l2norm(col("centroid")).as("cnrm")).as("s"))
@@ -306,11 +309,17 @@ object SimilaritySearch {
     * corpus rows). Cluster labels stay the init's cid values; clusters
     * may die (lose all members) under refinement, which both engines
     * reproduce identically. Returns (vec_id, embedding, cid, csim). */
-  def kmeansAssign(corpus: DataFrame, bits: Int, iters: Int): DataFrame = {
-    var assigned = assignNearest(corpus, ivfCentroids(corpus, bits))
+  def kmeansAssign(corpus: DataFrame, bits: Int, iters: Int): DataFrame =
+    assignToCentroids(corpus, kmeansCentroids(corpus, bits, iters))
+
+  /** The refined centroid relation [[kmeansAssign]]'s final assignment
+    * runs against — materialize it once to index a corpus, then assign
+    * NEW (batch or streaming) vectors against it without re-clustering. */
+  def kmeansCentroids(corpus: DataFrame, bits: Int, iters: Int): DataFrame = {
+    var cents = ivfCentroids(corpus, bits)
     for (_ <- 0 until iters)
-      assigned = assignNearest(corpus, refineCentroids(assigned))
-    assigned
+      cents = refineCentroids(assignToCentroids(corpus, cents))
+    cents
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

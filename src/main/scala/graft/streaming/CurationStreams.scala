@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.Decontamination
+import graft.operators.{Decontamination, SimilaritySearch}
 
 /**
  * Streaming curation built on STREAM-STATIC joins: an ingest stream of
@@ -45,4 +45,26 @@ object CurationStreams {
         Decontamination.tokenGramFingerprints(col(text), n)).as("g"))
       .join(evalGrams, Seq("g"), "left_semi")
       .dropDuplicates(id)
+
+  /** Ids of STREAMING vectors that semantically duplicate a member of a
+    * static, pre-clustered corpus — the incremental form of
+    * [[graft.operators.SimilaritySearch.semanticDedup]] for an index
+    * that's already built (a training corpus checked as new crawl data
+    * lands, no corpus re-scan). Each incoming vector is assigned to its
+    * nearest static centroid (row-local fold over a one-row broadcast —
+    * nothing stateful), then compared against that ONE cluster's members
+    * via a stream-static equi join on cid; candidates are bounded by
+    * cluster size exactly as in the batch operator. `index` is
+    * kmeansAssign's output on the corpus, `cents` is kmeansCentroids
+    * with the SAME (bits, iters) — persist both for long streams.
+    * Append-mode safe: the only state is dropDuplicates' per-id set
+    * (watermark upstream for unbounded streams). */
+  def semanticDupIds(stream: DataFrame, index: DataFrame, cents: DataFrame,
+                     threshold: Double): DataFrame =
+    SimilaritySearch.assignToCentroids(stream, cents)
+      .join(index.select(col("cid"), col("embedding").as("iv")), Seq("cid"))
+      .filter(round(SimilaritySearch.cosine(col("embedding"), col("iv")), 6)
+        >= threshold)
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("cid"))
 }
