@@ -88,7 +88,9 @@ object Bench {
     "q81_dedup_incremental", // batch-vs-index dedup, no corpus rescan
     "q82_quality_gate",   // per-stratum top-fraction rank gate
     "q83_train_order",    // seeded deterministic training permutation
-    "q85_semantic_dedup") // k-means + within-cluster cosine dedup (SemDeDup)
+    "q85_semantic_dedup", // k-means + within-cluster cosine dedup (SemDeDup)
+    "q86_ann_quantized",  // int8 symmetric-scale ANN (exact integer dots)
+    "q88_source_overlap") // cross-source shared-gram matrix (no self-join)
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

@@ -75,4 +75,36 @@ object Decontamination {
       .agg(first(col("n_grams")).as("n_grams"), count(lit(1)).as("n_overlap"))
       .select(col("cid").as(id), col("n_grams"), col("n_overlap"))
   }
+
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many DISTINCT token n-gram fingerprints they share — the "is domain
+    * A scraping domain B" / "do these two crawls overlap" audit a corpus
+    * assembler runs before fixing mixture weights or train/eval splits
+    * by source.
+    *
+    * Shape chosen for scale — there is NO gram self-join: one aggregation
+    * collects each gram's (sorted, distinct) source set, grams present in
+    * more than `maxSources` sources are DROPPED, and the pair expansion
+    * is a row-local nested transform bounded by C(maxSources, 2). The cap
+    * is both the skew guard (a boilerplate gram shared by thousands of
+    * domains would otherwise fan out quadratically) and a signal choice:
+    * ubiquitous grams say nothing about pairwise copying. The final
+    * matrix groupBy is |sources|² at most — tiny. */
+  def crossSourceOverlap(docs: DataFrame, source: String, text: String,
+                         n: Int = 3, maxSources: Int = 5): DataFrame = {
+    val bySrc = docs
+      .select(col(source).as("src"),
+        explode(tokenGramFingerprints(col(text), n)).as("g"))
+      .distinct()
+    bySrc.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")).between(2, maxSources))
+      .select(explode(flatten(
+        transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + lit(2), size(col("srcs")) - i - 1),
+            b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p").getField("src_a").as("src_a"),
+        col("p").getField("src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

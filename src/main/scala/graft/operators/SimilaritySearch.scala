@@ -173,42 +173,37 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Scalar (int8-style) quantization of the embedding column: each
-    * dimension is affinely mapped onto integer codes 0..254 using GLOBAL
-    * per-dimension min/max (one tiny aggregate — 64 rows — attached back
-    * by a one-row broadcast, so coding is a row-local projection; the
-    * corpus never shuffles). This is the classic 4× memory cut for an
-    * ANN corpus (float32 → byte codes) — and because the codes are
-    * integers, downstream dot products are EXACT integer arithmetic: no
-    * float summation order to disagree on, which is why the q86 oracle
-    * can hash-match the ranking bit-for-bit. Rounding is explicit
-    * floor(x + 0.5) — half-up on both engines, avoiding banker's-rounding
-    * divergence. A constant dimension (span 0) codes to 0. Returns the
-    * input plus `qv: array<int>` (codes fit a byte; INT keeps the
-    * integer dot in plain SQL types both here and in DuckDB). */
+  /** Symmetric (int8-style) scalar quantization of the embedding
+    * column: every component maps to an integer code in [-127, 127] by
+    * ONE global scale, max |x| over the whole corpus (a 1-row aggregate
+    * attached back by a one-row broadcast, so coding is a row-local
+    * projection; the corpus never shuffles). The classic 4× memory cut
+    * for an ANN corpus (float32 → byte codes) — and because the codes
+    * are integers, downstream dot products are EXACT integer arithmetic:
+    * no float summation order to disagree on, which is why the q86
+    * oracle can hash-match the ranking bit-for-bit.
+    *
+    * The scale is deliberately global and SHIFT-FREE: a per-dimension
+    * min/max affine map (the histogram-style quantizer) translates each
+    * axis, and cosine is not invariant under per-axis shifts — it would
+    * rank a genuinely different measure. A uniform scale preserves every
+    * vector's direction exactly; only the ±0.5-code rounding perturbs
+    * similarities (AnnRecallSpec pins the substitution gap). Rounding is
+    * explicit floor(x + 0.5) — half-up on both engines, avoiding
+    * banker's-rounding divergence. Returns the input plus
+    * `qv: array<int>` (codes fit a byte; INT keeps the integer dot in
+    * plain SQL types both here and in DuckDB). */
   def quantize(vectors: DataFrame): DataFrame = {
     val stats = vectors
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("pos"))
-      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
-      .groupBy()
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
-          s => s.getField("mn")).as("mns"),
-        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          s => s.getField("mx")).as("mxs"))
+      .agg(max(abs(col("x").cast("double"))).as("gmax"))
     vectors.crossJoin(broadcast(stats))
       .withColumn("qv",
-        zip_with(col("embedding"),
-          zip_with(col("mns"), col("mxs"), (a, b) => struct(a.as("mn"), b.as("mx"))),
-          (x, s) => {
-            val span = s.getField("mx") - s.getField("mn")
-            when(span > 0,
-              floor((x.cast("double") - s.getField("mn")) / span * 254.0 + 0.5)
-                .cast("int"))
-              .otherwise(lit(0))
-          }))
-      .drop("mns", "mxs")
+        transform(col("embedding"), x =>
+          when(col("gmax") > 0,
+            floor(x.cast("double") / col("gmax") * 127.0 + 0.5).cast("int"))
+            .otherwise(lit(0))))
+      .drop("gmax")
   }
 
   /** Exact integer dot product of two quantized code arrays. */

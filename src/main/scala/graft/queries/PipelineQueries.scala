@@ -226,6 +226,17 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // ---- Cross-source duplication matrix: distinct shared 3-gram
+    // fingerprints per source pair, grams in >5 sources dropped (the
+    // skew guard — exercised at this SF: grams reach 7 sources). No
+    // gram self-join: one collect_set aggregation + row-local pair
+    // expansion bounded by C(5,2).
+    "q88_source_overlap" -> ((s, dir) => {
+      Decontamination.crossSourceOverlap(
+          load(s, dir, "documents"), "source", "text", 3, 5)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- Language-ID heuristic vs the labeled lang column
     "q49_lang_id" -> ((s, dir) => {
       TextAnalysis.langPredicted(load(s, dir, "documents"), "text", Seq("lang"))
@@ -803,21 +814,20 @@ object PipelineQueries extends QueryPack {
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
-    // Same quantization replay: per-dim global min/max, half-up integer
-    // codes, exact integer dots — the ranking matches bit-for-bit.
+    // Same quantization replay: one global |x| max, half-up symmetric
+    // integer codes, exact integer dots — the ranking matches
+    // bit-for-bit.
     "q86_ann_quantized" ->
       """WITH stats AS (
-        |  SELECT j AS pos, min(CAST(embedding[j+1] AS DOUBLE)) AS mn,
-        |         max(CAST(embedding[j+1] AS DOUBLE)) AS mx
-        |  FROM embeddings, unnest(generate_series(0, 63)) AS t(j)
-        |  GROUP BY j),
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS gmax
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings)),
         |coded AS (
         |  SELECT e.vec_id,
-        |         array_agg(CASE WHEN s.mx - s.mn > 0
-        |                        THEN CAST(floor((CAST(e.embedding[s.pos+1] AS DOUBLE) - s.mn)
-        |                                        / (s.mx - s.mn) * 254.0 + 0.5) AS BIGINT)
-        |                        ELSE 0 END ORDER BY s.pos) AS qv
-        |  FROM embeddings e, stats s
+        |         array_agg(CASE WHEN s.gmax > 0
+        |                        THEN CAST(floor(CAST(e.embedding[t.j+1] AS DOUBLE)
+        |                                        / s.gmax * 127.0 + 0.5) AS BIGINT)
+        |                        ELSE 0 END ORDER BY t.j) AS qv
+        |  FROM embeddings e, stats s, unnest(generate_series(0, 63)) AS t(j)
         |  GROUP BY e.vec_id),
         |pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.qv AS qa, c.qv AS qb
@@ -838,6 +848,21 @@ object PipelineQueries extends QueryPack {
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id) AS INT) AS rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Join formulation of the same matrix (the answer is formulation-
+    // independent; the Spark side uses set-collection + row-local pair
+    // expansion instead of this self-join).
+    "q88_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT source, md5(array_to_string(toks[i:i+2], ' ')) AS g
+        |      FROM t, unnest(generate_series(1, len(toks)-2)) AS u(i)
+        |      WHERE len(toks) >= 3),
+        |keep AS (SELECT g FROM g GROUP BY g HAVING count(*) BETWEEN 2 AND 5)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM keep k
+        |JOIN g a ON a.g = k.g
+        |JOIN g b ON b.g = k.g AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
 
     // Same crawl-stable hash rank, same cap.
     "q87_source_cap" ->

@@ -138,6 +138,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a.map(t => t._1 -> ((t._2, t._3))).toMap != b.map(t => t._1 -> ((t._2, t._3))).toMap)
   }
 
+  test("crossSourceOverlap counts shared grams per pair and drops over-cap grams") {
+    val docs = Seq(
+      (1L, "A", "one two three x"),
+      (2L, "B", "one two three y"),
+      (3L, "C", "one two three z"),   // "one two three" reaches 3 sources
+      (4L, "A", "alpha beta gamma"),
+      (5L, "B", "alpha beta gamma")   // shared by exactly A and B
+    ).toDF("doc_id", "src", "text")
+    val out = Decontamination.crossSourceOverlap(docs, "src", "text", 3, maxSources = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // the 3-source gram is dropped by the cap; only the A-B pair remains
+    assert(out == Map(("A", "B") -> 1L))
+    // raising the cap admits it: every pair then shares the common gram
+    val out3 = Decontamination.crossSourceOverlap(docs, "src", "text", 3, maxSources = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out3 == Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+  }
+
   test("stripBoilerplate under threshold is the identity") {
     val docs = Seq(
       (1L, "shared line. own text"),

@@ -85,18 +85,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("cand_id")).toSet == Set(1L)) // only 1 shares bucket
   }
 
-  test("quantize: codes span 0..254 per dimension, constant dims code to 0") {
+  test("quantize: symmetric global-scale codes, half-up rounding, signs preserved") {
     val df = Seq(
       (0L, Array(0f, 5f, 1f)),
       (1L, Array(10f, 5f, 2f)),
-      (2L, Array(5f, 5f, 3f))
+      (2L, Array(-5f, 5f, 3f))
     ).toDF("vec_id", "embedding")
+    // gmax = 10 → code = floor(x/10*127 + 0.5)
     val coded = SimilaritySearch.quantize(df)
       .select("vec_id", "qv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    assert(coded(0L) == Seq(0, 0, 0))        // min of dims 0 and 2; constant dim 1 → 0
-    assert(coded(1L) == Seq(254, 0, 127))    // dim0 max; dim2 midpoint floor(127.5)
-    assert(coded(2L) == Seq(127, 0, 254))    // dim0 midpoint; dim2 max
+    assert(coded(0L) == Seq(0, 64, 13))      // floor(63.5+.5)=64, floor(12.7+.5)=13
+    assert(coded(1L) == Seq(127, 64, 25))    // the max magnitude hits ±127 exactly
+    assert(coded(2L) == Seq(-63, 64, 38))    // floor(-63.5+.5)=-63: sign survives
   }
 
   test("quantizedTopK preserves the coarse similarity order of brute force") {
