@@ -163,6 +163,27 @@ object Sampling {
       .drop("_rank")
   }
 
+  /** Keep each stratum's docs — in crawl-stable content-hash order —
+    * until a TOKEN budget fills: the step that turns per-source mixture
+    * weights into an actual corpus ("this source contributes 2B
+    * tokens"). A row is kept iff the running token sum INCLUDING it is
+    * within budget; everything after the first overflow is dropped
+    * (prefix property in the hash order — the kept set never churns when
+    * a re-crawl appends more rows, same argument as [[capPerStratum]]).
+    * One running-sum window per stratum with an explicit ROWS frame;
+    * dominant-stratum skew note of [[stratifiedSample]] applies. */
+  def capTokensPerStratum(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                          key: Column, nTokens: Column, budgetTokens: Long)
+    : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(coalesce(key, lit(""))))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_cum", sum(nTokens).over(w))
+      .filter(col("_cum") <= budgetTokens)
+      .drop("_cum")
+  }
+
   /** Deterministic global "shuffle" for training order: every row gets a
     * reproducible pseudo-random (shard, pos) — shard from the seeded
     * content-key hash, position by rank of that hash within the shard.

@@ -226,6 +226,21 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // ---- Token-budget capping: each source keeps its hash-order doc
+    // prefix until 800 tokens. Count + id-sum + token-sum pins exactly
+    // which docs fill the budget and where the prefix cuts off.
+    "q89_token_budget" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      Sampling.capTokensPerStratum(docs, col("source"),
+          concat(col("text"), col("doc_id")), col("n_toks"), 800L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_toks")).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- Cross-source duplication matrix: distinct shared 3-gram
     // fingerprints per source pair, grams in >5 sources dropped (the
     // skew guard — exercised at this SF: grams reach 7 sources). No
@@ -848,6 +863,21 @@ object PipelineQueries extends QueryPack {
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id) AS INT) AS rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Same hash order, same ROWS-frame running sum, same prefix cutoff.
+    "q89_token_budget" ->
+      """WITH tc AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_toks,
+        |         md5(text || doc_id) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_toks,
+        |         sum(n_toks) OVER (PARTITION BY source ORDER BY h
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tc)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+        |FROM c WHERE cum <= 800 GROUP BY source ORDER BY source""".stripMargin,
 
     // Join formulation of the same matrix (the answer is formulation-
     // independent; the Spark side uses set-collection + row-local pair

@@ -156,6 +156,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out3 == Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
   }
 
+  test("capTokensPerStratum keeps the maximal hash-order prefix within budget") {
+    val docs = (0L until 12L).map(i => (i, s"s${i % 2}", s"body $i", 100L + i))
+      .toDF("doc_id", "src", "text", "n_toks")
+    val kept = Sampling.capTokensPerStratum(docs, col("src"),
+        concat(col("text"), col("doc_id")), col("n_toks"), 320L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    for ((src, rows) <- kept.groupBy(_._1)) {
+      // within budget, and EXACTLY the maximal prefix in md5 order: the
+      // kept set's token sum plus the next doc in hash order overflows
+      val totalKept = rows.map(_._3).sum
+      assert(totalKept <= 320L, src)
+      val hashOrder = docs.filter(col("src") === src)
+        .select(col("doc_id"), col("n_toks"),
+          md5(concat(col("text"), col("doc_id"))).as("h"))
+        .orderBy(col("h")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val keptIds = rows.map(_._2).toSet
+      val prefix = hashOrder.scanLeft(0L)(_ + _._2).tail
+        .zip(hashOrder).takeWhile(_._1 <= 320L).map(_._2._1).toSet
+      assert(keptIds == prefix, src)
+    }
+    assert(kept.nonEmpty)
+  }
+
   test("stripBoilerplate under threshold is the identity") {
     val docs = Seq(
       (1L, "shared line. own text"),
