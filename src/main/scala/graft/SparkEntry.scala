@@ -12,7 +12,8 @@ object SparkEntry {
     ExpressionQueries,
     WindowQueries,
     EventQueries,
-    PipelineQueries)
+    PipelineQueries,
+    TemporalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs TPC-H Q1 through the EngineContext SQL path (catalog + spark.sql),

@@ -48,9 +48,7 @@ object Decontamination {
                           id: String, text: String, n: Int = 8,
                           broadcastBudgetBytes: Long = 256L * 1024 * 1024)
     : DataFrame = {
-    val evalGrams = evalSet
-      .select(explode(tokenGramFingerprints(col(text), n)).as("g"))
-      .distinct()
+    val evalGrams = distinctEvalGrams(evalSet, text, n)
     // 1-row sizing agg on the (tiny) eval side only — the corpus is never
     // scanned for sizing
     val nGrams = evalGrams.agg(count(lit(1))).collect()(0).getLong(0)
@@ -58,6 +56,50 @@ object Decontamination {
     val evalSide =
       if (estBytes <= broadcastBudgetBytes) broadcast(evalGrams)
       else evalGrams.hint("SHUFFLE_HASH")
+    overlapReport(corpus, evalSide, id, text, n, prefilter = None)
+  }
+
+  /** Same report with a Bloom prefilter on the corpus gram stream — the
+    * plan for an eval set too large to broadcast as a hash relation. The
+    * q72b fallback shuffles EVERY corpus gram to meet the eval grams; at
+    * 100 TB that shuffle is the bill. A Bloom filter over the eval grams
+    * is ~1.2 MB per million grams at 1% fpp — broadcastable long after
+    * the exact set is not — and drops ~99% of corpus grams BEFORE the
+    * exchange. False positives are then eliminated by the exact
+    * (SHUFFLE_HASH-gated) join on the survivors, so the report is
+    * bit-identical to [[contaminationReport]] — q72c shares q72's oracle.
+    *
+    * The membership probe is a Scala closure over the driver-built sketch
+    * (`DataFrameStatFunctions.bloomFilter`) because Spark exposes no
+    * public mightContain Column function; it breaks codegen only for the
+    * one short-circuit filter on the already-exploded stream. */
+  def contaminationReportBloom(corpus: DataFrame, evalSet: DataFrame,
+                               id: String, text: String, n: Int = 8,
+                               fpp: Double = 0.01,
+                               broadcastBudgetBytes: Long = 256L * 1024 * 1024)
+    : DataFrame = {
+    val evalGrams = distinctEvalGrams(evalSet, text, n)
+    val nGrams = evalGrams.agg(count(lit(1))).collect()(0).getLong(0)
+    val bf = evalGrams.stat.bloomFilter("g", math.max(nGrams, 1L), fpp)
+    val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfBc.value.mightContain(g))
+    val estBytes = nGrams * (64L + 48L)
+    val evalSide =
+      if (estBytes <= broadcastBudgetBytes) broadcast(evalGrams)
+      else evalGrams.hint("SHUFFLE_HASH")
+    overlapReport(corpus, evalSide, id, text, n, prefilter = Some(mightContain(_)))
+  }
+
+  private def distinctEvalGrams(evalSet: DataFrame, text: String, n: Int) =
+    evalSet
+      .select(explode(tokenGramFingerprints(col(text), n)).as("g"))
+      .distinct()
+
+  /** Corpus-side gram explode + overlap join + per-doc report, shared by
+    * the exact and Bloom-prefiltered paths. */
+  private def overlapReport(corpus: DataFrame, evalSide: DataFrame,
+                            id: String, text: String, n: Int,
+                            prefilter: Option[Column => Column]): DataFrame = {
     // explode_OUTER + explicit null filter, NOT plain explode: with a
     // non-outer generate over the aliased array, InferFiltersFromGenerate
     // pushes an inferred `size(gs) > 0` filter BELOW the projection,
@@ -66,10 +108,12 @@ object Decontamination {
     // at sf0.1). The outer generate emits one null-g row per empty array,
     // which the isNotNull filter (and the inner join) drops — answers
     // identical, expression evaluated once.
-    corpus
+    val grams = corpus
       .select(col(id).as("cid"), tokenGramFingerprints(col(text), n).as("gs"))
       .select(col("cid"), size(col("gs")).as("n_grams"), explode_outer(col("gs")).as("g"))
       .filter(col("g").isNotNull)
+    val pruned = prefilter.fold(grams)(p => grams.filter(p(col("g"))))
+    pruned
       .join(evalSide, "g")
       .groupBy(col("cid"))
       .agg(first(col("n_grams")).as("n_grams"), count(lit(1)).as("n_overlap"))

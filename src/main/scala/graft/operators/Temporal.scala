@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal joins the reference engine does not have (SURVEY §2.3: "No
+ * sort-merge, range, as-of, or interval join exists in the reference") and
+ * vanilla Spark SQL cannot express without a plan-killing non-equi join —
+ * re-expressed here as compositions of equi-shuffles and sorted window
+ * passes, the shapes that survive a 1000-executor cluster:
+ *
+ *  - [[asOfJoin]]: point-in-time lookup (each left row picks the latest
+ *    right row at-or-before its timestamp). The naive formulation is a
+ *    non-equi theta join (quadratic per key) topped by an argmax; this one
+ *    is a UNION + one hash shuffle on the key + one sorted window pass —
+ *    identical cost profile to a sort-merge join, zero pair explosion.
+ *    The standard trick in every time-series store built on a shuffle
+ *    engine (e.g. the union-asof in Flink/QuestDB discussions; Spark has
+ *    no built-in).
+ *
+ *  - [[rangeJoinBinned]]: interval join (left timestamp falls in a right
+ *    [lo, hi) window) with NO equi key. Spark plans the naive version as
+ *    BroadcastNestedLoopJoin — O(|L|·|R|) and a single-node broadcast of a
+ *    possibly-huge side. Binning quantizes time into fixed buckets,
+ *    explodes each right interval onto the (few) buckets it covers, and
+ *    joins on the bucket as an equi key; the exact predicate remains as a
+ *    residual filter. Pair work collapses from |L|·|R| to Σ per-bucket
+ *    products — the classic "bin the range join" rewrite used by
+ *    range-join-hinted engines (Databricks' range-join hint implements the
+ *    same idea inside the planner).
+ */
+object Temporal {
+
+  /**
+   * As-of join: for every `left` row, attach the payload of the single
+   * `right` row with the greatest `rightTime` at-or-before (`inclusive`)
+   * or strictly-before (`!inclusive`) the row's `leftTime`, matching on
+   * the equi key. Left rows with no qualifying right row keep null
+   * payload fields (left-outer semantics; no left rows are dropped or
+   * duplicated).
+   *
+   * Mechanics: both sides are tagged and unioned — right rows carry the
+   * payload struct, left rows carry their full row — then ONE window pass
+   * partitioned by key and ordered by (time, side, tieBreak) runs
+   * `last(payload, ignoreNulls)` over the growing frame: each left row
+   * reads the most recent payload emitted above it. Side ordering encodes
+   * the boundary rule (inclusive → right sorts before left at equal
+   * time). Cost: one hash shuffle + one sort per side — no pair blowup
+   * for hot keys, unlike the non-equi-join formulation.
+   *
+   * `tieBreak` must be unique per (key, rightTime) group on the right
+   * side (e.g. the right row's primary key): equal-time right rows are
+   * ordered by it ascending, so the LARGEST tieBreak wins — deterministic
+   * regardless of partitioning.
+   *
+   * `payload` maps output column names to right-side expressions. Output
+   * = all `left` columns + payload columns, in that order. Left column
+   * names must not collide with payload names; `_k/_t/_tb/_side/_rp` are
+   * reserved tags.
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               leftKey: Column, rightKey: Column,
+               leftTime: Column, rightTime: Column,
+               payload: Seq[(String, Column)],
+               tieBreak: Column,
+               inclusive: Boolean = true): DataFrame = {
+    require(payload.nonEmpty, "asOfJoin needs at least one payload column")
+    val (rSide, lSide) = if (inclusive) (0, 1) else (1, 0)
+    val lTagged = left.select(
+      left.columns.map(col) ++ Seq(
+        leftKey.as("_k"), leftTime.as("_t"),
+        lit(null).cast("long").as("_tb"), lit(lSide).as("_side")): _*)
+    val rTagged = right.select(
+      rightKey.as("_k"), rightTime.as("_t"),
+      tieBreak.cast("long").as("_tb"), lit(rSide).as("_side"),
+      struct(payload.map { case (n, c) => c.as(n) }: _*).as("_rp"))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = left.columns.map(col) ++
+      payload.map { case (n, _) => col("_carry").getField(n).as(n) }
+    unioned
+      .withColumn("_carry", last(col("_rp"), ignoreNulls = true).over(w))
+      .where(col("_side") === lSide)
+      .select(outCols: _*)
+  }
+
+  /**
+   * Interval (range) join with no equi key: all (left, right) pairs with
+   * `leftTime` in the half-open window [`rightLo`, `rightHi`). Output =
+   * left columns + right columns (names must be disjoint).
+   *
+   * Both sides get a bucket = floor(epochSeconds / bucketSeconds); each
+   * right interval explodes onto every bucket it covers (an interval of
+   * width W covers at most ceil(W/bucketSeconds)+1 buckets — pick
+   * `bucketSeconds` ≈ the typical window width so this stays ≤2). The
+   * join is then an EQUI join on the bucket with the exact range
+   * predicate as a residual — Catalyst plans SortMergeJoin/ShuffledHash,
+   * never BroadcastNestedLoopJoin (PlanAuditSpec pins this on q91).
+   *
+   * Bounds must be whole-second timestamps (interval endpoints from date
+   * arithmetic are); `leftTime` may carry sub-second precision — bucket
+   * assignment floors it, the residual predicate compares full values.
+   */
+  def rangeJoinBinned(left: DataFrame, leftTime: Column,
+                      right: DataFrame, rightLo: Column, rightHi: Column,
+                      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    val lb = left.withColumn("_lb", floor(unix_timestamp(leftTime) / bucketSeconds))
+    val rb = right.withColumn("_rb", explode(sequence(
+      floor(unix_timestamp(rightLo) / bucketSeconds),
+      floor((unix_timestamp(rightHi) - 1) / bucketSeconds))))
+    lb.join(rb,
+        col("_lb") === col("_rb") && leftTime >= rightLo && leftTime < rightHi)
+      .drop("_lb", "_rb")
+  }
+}

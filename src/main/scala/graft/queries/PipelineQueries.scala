@@ -418,6 +418,20 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Same report through the Bloom-prefilter scale path: a ~1%-fpp
+    // sketch of the eval grams prunes the corpus gram stream BEFORE any
+    // exchange, the exact join on survivors kills false positives. Oracle
+    // identical to q72 — the sketch is a prefilter, never the verdict.
+    "q72c_decontaminate_bloom" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(evalSet.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("leaked copy "), col("text")).as("text")))
+      Decontamination.contaminationReportBloom(corpus, evalSet, "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Exact stratified sampling: ceil(10% × |source|) docs per source,
     // membership chosen by a content-keyed total order (md5 of text+id —
     // unique, so both engines rank identically). sum_ids pins WHICH docs
@@ -1028,9 +1042,12 @@ object PipelineQueries extends QueryPack {
     "q70_token_rarity" -> tokenRarityOracle,
     "q70b_token_rarity_shuffle" -> tokenRarityOracle,
 
-    // Shared by q72 (broadcast path) and q72b (forced SHUFFLE_HASH).
+    // Shared by q72 (broadcast path), q72b (forced SHUFFLE_HASH), and
+    // q72c (Bloom prefilter + exact verify — the sketch cannot change
+    // answers, only shrink the exchange).
     "q72_decontaminate" -> decontaminateOracle,
     "q72b_decontaminate_shuffle" -> decontaminateOracle,
+    "q72c_decontaminate_bloom" -> decontaminateOracle,
 
     "q73_stratified_sample" ->
       """WITH ranked AS (

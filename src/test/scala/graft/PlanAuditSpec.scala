@@ -143,4 +143,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q90 as-of join: union+window rewrite — no join operator, one key shuffle") {
+    val p = plan("q90_asof_attrib")
+    assert(!p.contains("Join"), p.take(3000)) // the whole point: no pair blowup
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("Union"), p.take(3000))
+    // the window's hash exchange on user_id + the output range sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
+  test("q91 keyless range join: binned to an equi join — never nested-loop/cartesian") {
+    val p = plan("q91_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the bucket key makes it a real equi join (either shuffle family is fine)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // interval → covered-bucket explode
+  }
+
+  test("q72c bloom decontamination: sketch prefilter sits on the corpus stream, join stays broadcast") {
+    val p = plan("q72c_decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
+    // the closure probe appears as a non-codegen UDF filter — on the
+    // already-exploded gram stream, before the exchange/join
+    assert(p.contains("UDF"), p.take(3000))
+  }
 }
