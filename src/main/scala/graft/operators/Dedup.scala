@@ -686,4 +686,55 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Exact duplicated SPANS: for each document, the positions covered by
+    * token n-gram runs that also appear in at least one OTHER document —
+    * the position-level exact-substring signal of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better", §4.1
+    * ExactSubstr), which set-level MinHash/Jaccard cannot see (a doc 1%
+    * similar to the corpus can still carry a 200-token verbatim quote).
+    * Where Lee et al. build a suffix array, the shuffle-engine shape is
+    * positional n-gram fingerprints: a run of m consecutive duplicated
+    * n-grams pins a duplicated substring of m+n-1 tokens.
+    *
+    * Stages, all linear in token count: (1) positional gram stream
+    * (row-local md5, same fingerprints as Decontamination); (2) one
+    * aggregate marks grams seen in ≥2 distinct docs; (3) an equi join
+    * back on the gram key (both sides already hash-shuffled on it — AQE
+    * may broadcast the dup set when small); (4) consecutive marked
+    * positions merge into runs with the islands trick (pos − row_number
+    * is constant within a run) — the window runs only over MARKED
+    * positions, a tiny fraction of the corpus.
+    *
+    * Output per doc with ≥1 duplicated span: `n_dup_positions` (gram
+    * windows in shared runs) and `max_span_tokens` (longest verbatim
+    * duplicated token run, = longest island + n − 1). */
+  def duplicatedSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val toks = docs.select(col(id).as("sid"), split(col(text), " ").as("ts"))
+    // posexplode_OUTER + null filter for the same reason as q72's explode
+    // (InferFiltersFromGenerate would clone the md5 chain into a pushed
+    // size()>0 filter); positions are 0-based here, 1-based in the oracle
+    // — the islands offset (pos − row_number) cancels the difference.
+    val grams = toks
+      .select(col("sid"), posexplode_outer(
+        when(size(col("ts")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("ts"), i, lit(n))))))).as(Seq("pos", "g")))
+      .filter(col("g").isNotNull)
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("sid")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val marked = grams.join(dup, "g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(col("pos"))
+    marked
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("sid"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("sid"))
+      .agg(sum(col("run")).as("n_dup_positions"),
+        (max(col("run")) + (n - 1)).as("max_span_tokens"))
+      .select(col("sid").as(id), col("n_dup_positions"), col("max_span_tokens"))
+  }
 }

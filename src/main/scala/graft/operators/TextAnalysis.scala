@@ -197,6 +197,55 @@ object TextAnalysis {
         round(col("s").cast("double") / col("n_tokens"), 6).as("mean_rarity"))
   }
 
+  /** BM25 relevance of every document against a fixed bag of query terms —
+    * the retrieval-based data-selection scorer (rank a 100 TB corpus
+    * against a seed query / domain description, keep the head). Robertson-
+    * Walker BM25 with one deliberate change: the idf keeps its RATIONAL
+    * core (N − df + 0.5)/(df + 0.5) and drops the outer ln — ln is not an
+    * exactly-rounded IEEE op, so Spark's libm vs DuckDB's libm can differ
+    * in the last ulp and break the oracle's exact compare (same reasoning
+    * as tokenRarity's N/cnt). The rational idf is exp(idf_BM25): strictly
+    * monotone in it, so ranking and filtering behavior is unchanged. All
+    * remaining arithmetic is +,−,×,÷ on doubles — exactly rounded, bit-
+    * identical across engines when the expression tree matches, which the
+    * oracle's SQL mirrors parenthesis-for-parenthesis.
+    *
+    * Scale shape: term stats need no vocabulary pass — tokens are
+    * filtered to the (tiny, constant) query bag BEFORE any shuffle, so
+    * the only aggregations run on ~|terms|·|matching docs| rows. The df
+    * table is ≤|terms| rows and broadcast unconditionally (bounded by the
+    * literal query, not the data). Corpus length stats (N, Σdl) are one
+    * 1-row driver aggregate. Per-doc term-score sums go through exact
+    * DECIMAL (3-term IEEE sums are still partition-order dependent). */
+  def bm25Scores(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+                 queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+    : org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    val stats = docs
+      .agg(count(lit(1)), sum(size(split(col(text), " ")))).collect()(0)
+    val nDocs = stats.getLong(0)
+    val avgdl = if (nDocs == 0) 1.0 else stats.getLong(1).toDouble / nDocs
+    val hits = docs
+      .select(col(id).as("bid"), size(split(col(text), " ")).as("dl"),
+        explode(split(col(text), " ")).as("t"))
+      .filter(col("t").isInCollection(queryTerms))
+    val tf = hits.groupBy(col("bid"), col("t"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl))))
+    tf.join(broadcast(dfT), "t")
+      .withColumn("term_score", round(idf * sat, 6))
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("term_score").cast("decimal(28,6)")).as("s"))
+      .select(col("bid").as(id), col("n_terms_hit"),
+        col("s").cast("double").as("bm25"))
+  }
+
   /** Sentence segmentation on the literal ". " separator — the standard
     * cheap splitter for boilerplate work (CCNet splits on lines; web text
     * without layout needs the sentence fallback). The trailing sentence

@@ -652,6 +652,26 @@ object PipelineQueries extends QueryPack {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("pos") * col("doc_id")).as("perm_sum"))
         .orderBy(col("shard"))
+    }),
+
+    // ---- BM25 retrieval scoring against a fixed query bag (one rare
+    // planted token + two common ones, so idf actually discriminates).
+    // Rational idf — see TextAnalysis.bm25Scores for why ln is banned.
+    "q92_bm25_score" -> ((s, dir) => {
+      TextAnalysis.bm25Scores(
+          load(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", Seq("dup", "join", "vector"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Exact duplicated substring spans (Lee et al. ExactSubstr
+    // signal): runs of 8-gram windows shared with another doc, reported
+    // as per-doc covered-window count + longest verbatim token run.
+    "q93_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(
+          load(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1263,7 +1283,51 @@ object PipelineQueries extends QueryPack {
         |  FROM sp)
         |SELECT shard, count(*) AS n_rows,
         |       CAST(sum(pos * doc_id) AS BIGINT) AS perm_sum
-        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Rational-idf BM25, parenthesized exactly like the Spark expression
+    // tree (every op is exactly-rounded IEEE; avgdl is one exact-long-sum
+    // division — bit-identical cross-engine, no ln anywhere).
+    "q92_bm25_score" ->
+      """WITH stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |           unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE t IN ('dup', 'join', 'vector') GROUP BY doc_id, t),
+        |dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |       CAST(sum(CAST(round(
+        |         ((n_docs - df + 0.5) / (df + 0.5)) *
+        |         ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+        |         6) AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+        |FROM tf JOIN dft USING (t) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Positional 8-gram duplicated runs; DuckDB positions are 1-based vs
+    // Spark's 0-based posexplode — pos − row_number() cancels the offset.
+    "q93_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS g
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS r(i)),
+        |dup AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+        |  WHERE nd >= 2),
+        |marked AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |runs AS (
+        |  SELECT doc_id, isl, count(*) AS run FROM (
+        |    SELECT doc_id,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |    FROM marked)
+        |  GROUP BY doc_id, isl)
+        |SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_positions,
+        |       CAST(max(run) + 7 AS BIGINT) AS max_span_tokens
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics of the exact-substring span detector and the BM25 scorer on
+  * constructed corpora where the right answer is computable by hand. */
+class SpanBm25Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("duplicatedSpans: planted verbatim run found, length exact, unique text silent") {
+    // doc 1 and 2 share a verbatim 12-token run (→ 10 dup 3-gram windows,
+    // max span 12); doc 3 shares nothing
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"delta $shared epsilon zeta"),
+      (3L, "entirely different words with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L, 12L), (2L, 10L, 12L)))
+  }
+
+  test("duplicatedSpans: two disjoint runs in one doc stay separate islands") {
+    val runA = (1 to 5).map(i => s"a$i").mkString(" ")   // 5 tokens → 3 windows @ n=3
+    val runB = (1 to 4).map(i => s"b$i").mkString(" ")   // 4 tokens → 2 windows
+    val docs = Seq(
+      (1L, s"$runA x y z w $runB"),
+      (2L, s"pad1 pad2 $runA pad3"),
+      (3L, s"$runB pad4 pad5 pad6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 1: 3+2 dup windows, longest ISLAND is runA's 3 → span 3+3-1=5
+    assert(got.head === ((1L, 5L, 5L)))
+  }
+
+  test("bm25: rarer term dominates; doc without any term absent; scores positive") {
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq("rare", "common"))
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // doc 3 hits nothing
+    val s1 = got(0).getDouble(2); val s2 = got(1).getDouble(2)
+    assert(s1 > s2 && s2 > 0.0) // doc 1 adds the rarer 'rare' term's idf
+  }
+}
