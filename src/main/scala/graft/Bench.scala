@@ -90,7 +90,16 @@ object Bench {
     "q83_train_order",    // seeded deterministic training permutation
     "q85_semantic_dedup", // k-means + within-cluster cosine dedup (SemDeDup)
     "q86_ann_quantized",  // int8 symmetric-scale ANN (exact integer dots)
-    "q88_source_overlap") // cross-source shared-gram matrix (no self-join)
+    "q88_source_overlap", // cross-source shared-gram matrix (no self-join)
+    "q90_asof_attrib",    // as-of join via union + one keyed window pass
+    "q72c_decontaminate_bloom", // bloom-pruned gram stream + exact verify
+    "q92_bm25_score",     // rational-idf BM25 retrieval scoring
+    "q93_dup_spans",      // positional-gram exact duplicated substrings
+    "q94_span_scrub")     // keep-one-copy span removal (rewritten bytes)
+  // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at
+  // sf0.1 is ~2.6e8 (every lineitem × ~440 orders in its 7-day window) —
+  // a semantics-driven volume, not plan overhead; benching it would time
+  // the data, not the operator.
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

@@ -709,18 +709,74 @@ object Dedup {
     * Output per doc with ≥1 duplicated span: `n_dup_positions` (gram
     * windows in shared runs) and `max_span_tokens` (longest verbatim
     * duplicated token run, = longest island + n − 1). */
-  def duplicatedSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  /** APPLY side of [[duplicatedSpans]]: rewrite every document with its
+    * cross-document duplicated runs CUT, keeping exactly one copy
+    * corpus-wide (Lee et al. 2022 §4.1 remove one of the two occurrences;
+    * the deterministic owner here is the min doc id containing the gram —
+    * content-independent of partitioning). Token t is dropped iff some
+    * NON-owner duplicated window covers it; owner docs keep their copy
+    * verbatim. Returns one row per input doc — docs whose every token is
+    * covered keep an empty text, so the operator composes by id.
+    *
+    * Output: id, `n_before`/`n_after` token counts, `clean_md5` (md5 of
+    * the space-rejoined kept tokens, order-recovered by position — pins
+    * the BYTES of the rewritten corpus, not just how much was cut).
+    *
+    * Scale shape: the gram aggregate and window marking are
+    * [[duplicatedSpans]]'s; coverage explodes only MARKED windows (n
+    * rows each — duplicated volume, not corpus volume); the final
+    * left-anti join + per-doc reassembly shuffle the token stream once
+    * on (doc, position) — the unavoidable cost of materially rewriting
+    * text, linear and key-partitioned. */
+  def removeDuplicatedSpans(docs: DataFrame, id: String, text: String, n: Int)
+    : DataFrame = {
     val toks = docs.select(col(id).as("sid"), split(col(text), " ").as("ts"))
-    // posexplode_OUTER + null filter for the same reason as q72's explode
-    // (InferFiltersFromGenerate would clone the md5 chain into a pushed
-    // size()>0 filter); positions are 0-based here, 1-based in the oracle
-    // — the islands offset (pos − row_number) cancels the difference.
-    val grams = toks
+    val tokens = toks
+      .select(col("sid"), size(col("ts")).as("n_before"),
+        posexplode_outer(col("ts")).as(Seq("p0", "t")))
+      .filter(col("t").isNotNull)
+      .select(col("sid"), col("n_before"), (col("p0") + 1).as("tp"), col("t"))
+    val grams = positionalGrams(toks, n)
+    val marked = grams
+      .join(grams.groupBy(col("g"))
+        .agg(count_distinct(col("sid")).as("nd"), min(col("sid")).as("owner"))
+        .filter(col("nd") >= 2), "g")
+      .filter(col("sid") =!= col("owner"))
+    // gram at 0-based pos covers 1-based tokens pos+1 .. pos+n
+    val covered = marked
+      .select(col("sid"), explode(sequence(col("pos") + 1, col("pos") + n)).as("tp"))
+      .distinct()
+    val kept = tokens.join(covered, Seq("sid", "tp"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("sid"))
+      .agg(first(col("n_before")).as("n_before"), count(lit(1)).as("n_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp").as("o"), col("t").as("w")))),
+          s => s.getField("w")), " ").as("clean"))
+    docs.select(col(id).as("sid"), size(split(col(text), " ")).as("nb"))
+      .join(rebuilt, Seq("sid"), "left")
+      .select(col("sid").as(id), col("nb").as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
+  /** Positional token n-gram fingerprints: (sid, 0-based pos, md5 gram)
+    * from a (sid, ts: array&lt;string&gt;) frame. posexplode_OUTER + null
+    * filter for the same InferFiltersFromGenerate reason as q72's explode
+    * (a pushed size()>0 filter would clone the md5 chain). */
+  private def positionalGrams(toks: DataFrame, n: Int): DataFrame =
+    toks
       .select(col("sid"), posexplode_outer(
         when(size(col("ts")) < n, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
             i => md5(concat_ws(" ", slice(col("ts"), i, lit(n))))))).as(Seq("pos", "g")))
       .filter(col("g").isNotNull)
+
+  def duplicatedSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val toks = docs.select(col(id).as("sid"), split(col(text), " ").as("ts"))
+    // positions are 0-based here, 1-based in the oracle — the islands
+    // offset (pos − row_number) cancels the difference.
+    val grams = positionalGrams(toks, n)
     val dup = grams.groupBy(col("g"))
       .agg(count_distinct(col("sid")).as("nd"))
       .filter(col("nd") >= 2)

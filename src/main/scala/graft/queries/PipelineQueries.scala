@@ -672,6 +672,16 @@ object PipelineQueries extends QueryPack {
           load(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- APPLY side of q93: cut every duplicated run, keeping the one
+    // copy owned by the min doc id; clean_md5 pins the rewritten BYTES
+    // of every doc (empty-text survivors included — row count stable).
+    "q94_span_scrub" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(
+          load(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1327,7 +1337,38 @@ object PipelineQueries extends QueryPack {
         |  GROUP BY doc_id, isl)
         |SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_positions,
         |       CAST(max(run) + 7 AS BIGINT) AS max_span_tokens
-        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Keep-one-copy span removal; 1-based window i covers tokens
+    // i..i+7 (range() end-exclusive) = Spark's 0-based pos+1..pos+8.
+    "q94_span_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i AS tp, ts[i] AS t
+        |  FROM toks, unnest(range(1, len(ts) + 1)) AS r(i)),
+        |gr AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS g
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS r(i)),
+        |ga AS (
+        |  SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+        |  FROM gr GROUP BY g),
+        |mk AS (
+        |  SELECT gr.doc_id, gr.pos FROM gr JOIN ga USING (g)
+        |  WHERE ga.nd >= 2 AND gr.doc_id <> ga.owner),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, tp FROM
+        |    (SELECT doc_id, unnest(range(pos, pos + 8)) AS tp FROM mk)),
+        |kept AS (
+        |  SELECT t.doc_id, t.tp, t.t FROM tok t LEFT JOIN cov c
+        |  ON t.doc_id = c.doc_id AND t.tp = c.tp WHERE c.tp IS NULL),
+        |re AS (
+        |  SELECT doc_id, count(*) AS n_after,
+        |         string_agg(t, ' ' ORDER BY tp) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_before,
+        |       coalesce(r.n_after, CAST(0 AS BIGINT)) AS n_after,
+        |       md5(coalesce(r.clean, '')) AS clean_md5
+        |FROM documents d LEFT JOIN re r USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

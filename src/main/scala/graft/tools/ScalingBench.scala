@@ -142,8 +142,11 @@ object ScalingBench {
       "q70_token_rarity",
       "q70b_token_rarity_shuffle",
       "q72_decontaminate",
+      "q72c_decontaminate_bloom",
       "q76_curation_funnel",
-      "q85_semantic_dedup")
+      "q85_semantic_dedup",
+      "q93_dup_spans",
+      "q94_span_scrub")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

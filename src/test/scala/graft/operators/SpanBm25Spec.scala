@@ -39,6 +39,25 @@ class SpanBm25Spec extends AnyFunSuite {
     assert(got.head === ((1L, 5L, 5L)))
   }
 
+  test("removeDuplicatedSpans: owner keeps its copy, non-owner is cut, bytes pinned") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),        // owner (min id) — untouched
+      (2L, s"delta $shared epsilon zeta"),      // loses the 12-token run
+      (3L, "entirely different words with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    def md5Of(s: String) =
+      spark.range(1).select(md5(lit(s))).head.getString(0)
+    assert(got.length === 3) // row count stable
+    assert(got(0).getInt(1) === 15 && got(0).getLong(2) === 15L)
+    assert(got(0).getString(3) === md5Of(s"alpha beta $shared gamma"))
+    assert(got(1).getInt(1) === 15 && got(1).getLong(2) === 3L)
+    assert(got(1).getString(3) === md5Of("delta epsilon zeta"))
+    assert(got(2).getLong(2) === 8L) // untouched unique doc (8 tokens)
+  }
+
   test("bm25: rarer term dominates; doc without any term absent; scores positive") {
     val docs = Seq(
       (1L, "rare common common filler filler filler"),
