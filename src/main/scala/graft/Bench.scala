@@ -95,7 +95,10 @@ object Bench {
     "q72c_decontaminate_bloom", // bloom-pruned gram stream + exact verify
     "q92_bm25_score",     // rational-idf BM25 retrieval scoring
     "q93_dup_spans",      // positional-gram exact duplicated substrings
-    "q94_span_scrub")     // keep-one-copy span removal (rewritten bytes)
+    "q94_span_scrub",     // keep-one-copy span removal (rewritten bytes)
+    "q95_merge_upsert")   // CDC merge: compaction window + one outer join
+  // q96_containment is excluded with q43 (same deliberately-quadratic
+  // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at
   // sf0.1 is ~2.6e8 (every lineitem × ~440 orders in its 7-day window) —
   // a semantics-driven volume, not plan overhead; benching it would time

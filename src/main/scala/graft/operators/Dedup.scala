@@ -85,6 +85,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed CONTAINMENT pairs: inter(A,B)/|A| ≥ threshold for ordered
+    * doc pairs sharing ≥1 shingle — the asymmetric cousin of
+    * [[ngramJaccardPairs]]. Containment is the quote/subset detector
+    * resemblance misses: a 20-token verbatim quote inside a 500-token doc
+    * has Jaccard ≈ 0.04 but containment(quote, host) = 1.0 (Broder 1997
+    * distinguishes exactly these two measures). Directed: (a⊂b) and
+    * (b⊂a) are separate rows and usually only one side qualifies.
+    * Same bounded-candidate cost model as the exact Jaccard operator —
+    * the scale path for unbounded corpora is banding over the SMALL
+    * side's grams, which q44's machinery provides. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, id, text).cache()
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.sid") =!= col("b.sid"))
+      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.sid"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("sa.n")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** (sid, gs) with gs = SORTED DISTINCT gram-hash array per doc — the one
     * scan both the signature and verify stages derive from. gramHash is
     * injective, so set ops on these arrays equal set ops on the grams.

@@ -682,6 +682,44 @@ object PipelineQueries extends QueryPack {
           load(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- CDC merge: a change log (two conflicting upserts, deletes,
+    // inserts — all derived deterministically from the base) applied to
+    // the documents table; per-key latest-seq wins. md5(text) per
+    // surviving key pins replace/insert/delete resolution byte-exactly.
+    "q95_merge_upsert" -> ((s, dir) => {
+      val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val up1 = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v1")).as("text"),
+          lit("upsert").as("op"), lit(1).as("seq"))
+      val up2 = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit("upsert").as("op"), lit(2).as("seq"))
+      val del = base.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op"), lit(3).as("seq"))
+      val ins = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit("upsert").as("op"), lit(1).as("seq"))
+      Merge.applyChanges(base,
+          up1.unionByName(up2).unionByName(del).unionByName(ins),
+          "doc_id", "seq", "op")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Directed containment (quote detection): planted 60-char
+    // verbatim excerpts (id+300000) must surface as containment ≈ 1.0 in
+    // their host — pairs resemblance/Jaccard would score ~0.1 and miss.
+    "q96_containment" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          substring(col("text"), 11, 60).as("text"))
+      Dedup.containmentPairs(docs.unionByName(quotes), "doc_id", "text", 0.9)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1368,7 +1406,48 @@ object PipelineQueries extends QueryPack {
         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_before,
         |       coalesce(r.n_after, CAST(0 AS BIGINT)) AS n_after,
         |       md5(coalesce(r.clean, '')) AS clean_md5
-        |FROM documents d LEFT JOIN re r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN re r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Latest-seq-wins merge resolution, replayed independently.
+    "q95_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, text || ' v1' AS text, 'upsert' AS op, 1 AS seq
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text || ' v2', 'upsert', 2
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL SELECT doc_id, NULL, 'delete', 3
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 500000, 'new doc ' || doc_id, 'upsert', 1
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |latest AS (
+        |  SELECT doc_id, text, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1),
+        |merged AS (
+        |  SELECT coalesce(l.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN l.op IS NOT NULL THEN l.text ELSE b.text END AS text,
+        |         l.op AS op
+        |  FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id)
+        |SELECT doc_id, md5(text) AS text_md5 FROM merged
+        |WHERE op IS NULL OR op <> 'delete' ORDER BY doc_id""".stripMargin,
+
+    // Directed containment over documents ∪ planted excerpts; identical
+    // shingle chain as q43, asymmetric denominator.
+    "q96_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, substr(text, 11, 60) FROM documents
+         |  WHERE doc_id % 37 = 0),
+         |${shingleCteOver("corpus")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, inter*1.0/sa.n AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |WHERE inter*1.0/sa.n >= 0.9 ORDER BY id_a, id_b""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

@@ -154,10 +154,21 @@ object ScalingBench {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       println(s"[scaling] corpus $dir: $nDocs docs")
       for (q <- queries) {
+        // noop sink, not count(): count() lets Catalyst prune projections
+        // and even eliminate unique-key outer joins (q94's rebuild side
+        // vanished entirely — 0.3 s for a query whose work is the md5
+        // reassembly), under-reporting expression-heavy queries. Same
+        // rationale as Bench. Row counts are read once, outside timing.
+        // Cached intermediates from PREVIOUS queries are dropped first —
+        // accumulated storage pressure across the (growing) query list
+        // slowed later queries ~2× via eviction/GC, which is measurement
+        // noise, not operator cost.
+        spark.catalog.clearCache()
+        val rows = SparkEntry.queries(q)(spark, dir).count()
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          val df = SparkEntry.queries(q)(spark, dir)
-          val rows = df.count()
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           (sec, rows)
         }
