@@ -47,4 +47,26 @@ object Tables {
   def dsumSql(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
   def davgSql(expr: String): String =
     s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+
+  /**
+   * round(x, 6) with DuckDB's DOUBLE semantics: multiply by 10^6, round
+   * to the nearest integer (half away from zero), divide back.
+   *
+   * Spark's `round(x, 6)` rounds the EXACT binary expansion of x via
+   * BigDecimal, so the two engines can disagree by 1e-6 on the same
+   * double when x sits at a representation midpoint: observed on q70 at
+   * sf0.001, where mean_rarity's binary value read ...774999 under
+   * BigDecimal but its ×10⁶ product crossed the .5 line, so DuckDB
+   * said ...78 and Spark said ...77. In THIS form every step is
+   * deterministic and identical cross-engine: the ×10⁶ product is one
+   * exactly-rounded IEEE multiply, scale-0 rounding of a double is
+   * unambiguous in both engines (half away from zero on the same binary
+   * value), and the final divide is exactly rounded. Use this — not
+   * round(_, 6) — for every double the oracle compares. drnd is the
+   * same at any digit count (q58's percentiles round at 4). */
+  def r6(c: Column): Column = drnd(c, 6)
+  def drnd(c: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    round(c * p) / p
+  }
 }

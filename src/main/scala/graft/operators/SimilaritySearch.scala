@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Tables.r6
+
 /**
  * Approximate-nearest-neighbor search over an embedding column
  * (Array[Float]).
@@ -52,7 +54,7 @@ object SimilaritySearch {
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6)
+        r6(cosine(col("qv"), col("cv")))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -78,7 +80,7 @@ object SimilaritySearch {
     val scored = broadcast(q)
       .join(c, col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6)
+        r6(cosine(col("qv"), col("cv")))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -117,8 +119,8 @@ object SimilaritySearch {
       .orderBy(col("csim").desc, col("cid"))
     val probes = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cid"),
-        round(dot(col("qv"), col("centroid")) /
-          (l2norm(col("qv")) * l2norm(col("centroid"))), 6).as("csim"))
+        r6(dot(col("qv"), col("centroid")) /
+          (l2norm(col("qv")) * l2norm(col("centroid")))).as("csim"))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
@@ -128,7 +130,7 @@ object SimilaritySearch {
       .join(lists, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        r6(cosine(col("qv"), col("cv"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -156,7 +158,7 @@ object SimilaritySearch {
       col("bucket").as("bb"))
     a.join(b, col("pb") === col("bb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6)
+        r6(cosine(col("va"), col("vb")))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -168,7 +170,7 @@ object SimilaritySearch {
     val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6)
+        r6(cosine(col("va"), col("vb")))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -212,7 +214,7 @@ object SimilaritySearch {
       lit(0L), (acc, v) => acc + v)
 
   /** Top-k by QUANTIZED cosine: both sides coded by [[quantize]], ranked
-    * on round(qdot/(√qdot(a,a)·√qdot(b,b)), 6) with id tie-break. The
+    * on r6(qdot/(√qdot(a,a)·√qdot(b,b))) with id tie-break. The
     * rank arithmetic is integer-exact up to one final double division —
     * deterministic cross-engine — and the corpus side carries ~4× less
     * data than float embeddings. A vector whose codes are all zero has
@@ -233,8 +235,8 @@ object SimilaritySearch {
       .withColumn("nb2", qdot(col("qb"), col("qb")))
       .select(col("query_id"), col("cand_id"),
         when(col("na2") > 0 && col("nb2") > 0,
-          round(qdot(col("qa"), col("qb")) /
-            (sqrt(col("na2")) * sqrt(col("nb2"))), 6))
+          r6(qdot(col("qa"), col("qb")) /
+            (sqrt(col("na2")) * sqrt(col("nb2")))))
           .otherwise(lit(-1.0))
           .as("qcos"))
       .withColumn("rank", row_number().over(w))
@@ -280,12 +282,12 @@ object SimilaritySearch {
         aggregate(col("cents"),
           struct(lit(-1L).as("cid"), lit(-2.0).as("csim")),
           (acc, c) => {
-            val csim = round(
+            val csim = r6(
               aggregate(
                 zip_with(col("embedding"), c.getField("centroid"),
                   (x, y) => x.cast("double") * y),
                 lit(0.0), (a2, v) => a2 + v)
-                / (col("vnrm") * c.getField("cnrm")), 6)
+                / (col("vnrm") * c.getField("cnrm")))
             when(csim > acc.getField("csim"),
               struct(c.getField("cid").as("cid"), csim.as("csim")))
               .otherwise(acc)
@@ -337,7 +339,7 @@ object SimilaritySearch {
       col("embedding").as("vb"))
     val dropped = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .filter(r6(cosine(col("va"), col("vb"))) >= threshold)
       .select(col("id_b")).distinct()
     assigned.join(dropped, assigned("vec_id") === dropped("id_b"), "left_anti")
   }

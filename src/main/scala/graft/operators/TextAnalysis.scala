@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.Tables.r6
+
 /**
  * Text-analysis columns for corpus curation: token counting, quality
  * scoring, n-gram-heuristic language ID, and content fingerprinting. All
@@ -80,18 +82,18 @@ object TextAnalysis {
     val lenScore = least(textLen.cast("double") / 400.0, lit(1.0))
     val wordScore = when(meanWordLen.between(3.0, 9.0), 1.0).otherwise(0.5)
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 5.0)
-    round((lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3), 6)
+    r6((lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3))
   }
 
   /** Punctuation ratio: non-alphanumeric-non-space chars / total. */
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") /
-      greatest(length(text), lit(1)), 6)
+    r6(length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)))
 
   /** Mean word length over whitespace tokens. */
   def meanWordLen(text: Column): Column =
-    round((length(text) - (wsTokenCount(text) - 1)).cast("double") /
-      greatest(wsTokenCount(text), lit(1)), 6)
+    r6((length(text) - (wsTokenCount(text) - 1)).cast("double") /
+      greatest(wsTokenCount(text), lit(1)))
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. The
     * positional rolling-hash variant lives in TextHashing (gramHash) and
@@ -106,8 +108,8 @@ object TextAnalysis {
   /** Fraction of tokens that are repeats of an earlier token:
     * (n - n_distinct) / n. Pure array arithmetic — no shuffle. */
   def dupTokenFraction(toks: Column): Column =
-    round((size(toks) - size(array_distinct(toks))).cast("double") /
-      greatest(size(toks), lit(1)), 6)
+    r6((size(toks) - size(array_distinct(toks))).cast("double") /
+      greatest(size(toks), lit(1)))
 
   /** Adjacent word-bigram strings of a token array (empty below 2 tokens).
     * Kept as an array column so callers choose explode-site and grouping —
@@ -121,8 +123,8 @@ object TextAnalysis {
   /** Fraction of tokens covered by the most frequent bigram (2 tokens per
     * occurrence, capped at 1.0); null top-count (under-2-token docs) → 0. */
   def topBigramFraction(topCnt: Column, nTokens: Column): Column =
-    round(least(lit(1.0),
-      coalesce(topCnt * 2.0 / nTokens, lit(0.0))), 6)
+    r6(least(lit(1.0),
+      coalesce(topCnt * 2.0 / nTokens, lit(0.0))))
 
   // --- PII patterns (portable regex subset: identical semantics in Java
   // regex and RE2, so the DuckDB oracle replays the scrub exactly) ---
@@ -141,7 +143,7 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 
   /** Corpus-statistics quality scoring: mean token RARITY per document,
-    * rarity(t) = round(N / count(t), 6) with N = total corpus tokens — the
+    * rarity(t) = r6(N / count(t)) with N = total corpus tokens — the
     * deterministic stand-in for unigram surprisal (-log p would hang the
     * oracle on last-ulp `ln` library differences; the monotone N/cnt
     * carries the same filtering signal). Docs of common words score low,
@@ -189,12 +191,12 @@ object TextAnalysis {
       if (estBytes <= broadcastBudgetBytes) toks.join(broadcast(vocab), "t")
       else toks.join(vocab.hint("SHUFFLE_HASH"), "t")
     scored
-      .withColumn("rarity", round(lit(total.toDouble) / col("cnt"), 6))
+      .withColumn("rarity", r6(lit(total.toDouble) / col("cnt")))
       .groupBy(col("rid"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("rarity").cast("decimal(28,6)")).as("s"))
       .select(col("rid").as(id), col("n_tokens"),
-        round(col("s").cast("double") / col("n_tokens"), 6).as("mean_rarity"))
+        r6(col("s").cast("double") / col("n_tokens")).as("mean_rarity"))
   }
 
   /** BM25 relevance of every document against a fixed bag of query terms —
@@ -238,7 +240,7 @@ object TextAnalysis {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl))))
     tf.join(broadcast(dfT), "t")
-      .withColumn("term_score", round(idf * sat, 6))
+      .withColumn("term_score", r6(idf * sat))
       .groupBy(col("bid"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("term_score").cast("decimal(28,6)")).as("s"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.EngineContext
-import graft.Tables.{dsum, dsumSql, load}
+import graft.Tables.{dsum, dsumSql, load, r6, drnd}
 
 /**
  * Scalar function / expression surface from SURVEY.md §2.8 (reference token→op
@@ -80,13 +80,13 @@ object ExpressionQueries extends QueryPack {
           floor(col("l_extendedprice")).as("floor_price"),
           ceil(col("l_extendedprice")).as("ceil_price"),
           (col("l_orderkey") % 7).as("mod_key"),
-          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
-          round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
-          round(log(col("l_extendedprice")), 6).as("ln_price"),
-          round(log10(col("l_extendedprice")), 6).as("log10_price"),
-          round(sin(col("l_quantity")), 6).as("sin_qty"),
-          round(cos(col("l_quantity")), 6).as("cos_qty"),
-          round(atan(col("l_discount")), 6).as("atan_disc"),
+          r6(sqrt(col("l_extendedprice"))).as("sqrt_price"),
+          r6(pow(col("l_quantity"), 2.0)).as("qty_sq"),
+          r6(log(col("l_extendedprice"))).as("ln_price"),
+          r6(log10(col("l_extendedprice"))).as("log10_price"),
+          r6(sin(col("l_quantity"))).as("sin_qty"),
+          r6(cos(col("l_quantity"))).as("cos_qty"),
+          r6(atan(col("l_discount"))).as("atan_disc"),
           greatest(col("l_quantity"), col("l_tax") * 100).as("greatest_demo"),
           least(col("l_quantity"), col("l_discount") * 100).as("least_demo"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -216,12 +216,12 @@ object ExpressionQueries extends QueryPack {
             .cast(DoubleType).as("sxx"))
         .select(
           col("l_returnflag"),
-          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
+          drnd((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
             .as("var_samp"),
-          round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 4).as("var_pop"),
-          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          drnd((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 4).as("var_pop"),
+          r6(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
             .as("stddev_samp"),
-          round(col("sx") / col("n"), 6).as("mean"))
+          r6(col("sx") / col("n")).as("mean"))
         .orderBy(col("l_returnflag").asc_nulls_last)
     }),
 

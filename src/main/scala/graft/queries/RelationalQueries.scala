@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{davg, davgSql, dsum, dsumSql, load}
+import graft.Tables.{davg, davgSql, drnd, dsum, dsumSql, load, r6}
 
 /** A named set of driver-checkable queries: Spark implementation + DuckDB
   * oracle SQL (column names must match — the driver sorts columns by name
@@ -329,7 +329,7 @@ object RelationalQueries extends QueryPack {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
         .select(
           col("economy_revenue"), col("total_revenue"),
-          round(col("economy_revenue") / col("total_revenue") * 100.0, 6).as("economy_pct"))
+          r6(col("economy_revenue") / col("total_revenue") * 100.0).as("economy_pct"))
     }),
 
     // ---- TPC-H Q10 shape: returned-item revenue per customer — 4-way
@@ -374,9 +374,9 @@ object RelationalQueries extends QueryPack {
       load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          drnd(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          drnd(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          drnd(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
           min(col("l_extendedprice")).as("p0"),
           max(col("l_extendedprice")).as("p100"))
         .orderBy(col("l_returnflag"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.Tables.load
+import graft.Tables.{load, r6}
 
 /**
  * Window functions from SURVEY.md §2.5 (reference pipeline: Sort →
@@ -102,7 +102,7 @@ object WindowQueries extends QueryPack {
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"))
+          r6(percent_rank().over(w)).as("pct_rank"))
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
     }),
 

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Tables.r6
 import graft.operators.{Decontamination, SimilaritySearch}
 
 /**
@@ -63,7 +64,7 @@ object CurationStreams {
                      threshold: Double): DataFrame =
     SimilaritySearch.assignToCentroids(stream, cents)
       .join(index.select(col("cid"), col("embedding").as("iv")), Seq("cid"))
-      .filter(round(SimilaritySearch.cosine(col("embedding"), col("iv")), 6)
+      .filter(r6(SimilaritySearch.cosine(col("embedding"), col("iv")))
         >= threshold)
       .dropDuplicates("vec_id")
       .select(col("vec_id"), col("cid"))
