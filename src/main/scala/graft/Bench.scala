@@ -96,7 +96,9 @@ object Bench {
     "q92_bm25_score",     // rational-idf BM25 retrieval scoring
     "q93_dup_spans",      // positional-gram exact duplicated substrings
     "q94_span_scrub",     // keep-one-copy span removal (rewritten bytes)
-    "q95_merge_upsert")   // CDC merge: compaction window + one outer join
+    "q95_merge_upsert",   // CDC merge: compaction window + one outer join
+    "q97_source_stats",   // per-source integer-rank percentile report
+    "q98_retention_curve") // quality-cutoff survivor curve
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -720,6 +720,54 @@ object PipelineQueries extends QueryPack {
           substring(col("text"), 11, 60).as("text"))
       Dedup.containmentPairs(docs.unionByName(quotes), "doc_id", "text", 0.9)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Corpus report: per-source EXACT token-length percentiles as
+    // the element at rank ceil(q·n) — integer ranks, integer values, no
+    // interpolation (a double quantile formula is exactly the kind of
+    // cross-engine arithmetic the r6 work showed to be fragile). The
+    // mix-weighting / packing decisions a pipeline makes per source read
+    // off this table.
+    "q97_source_stats" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("nt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("nt"), col("doc_id"))
+      toks
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          min(col("nt")).as("min_tokens"),
+          // ceil(q·n) in pure integer arithmetic: (q_num·n + q_den − 1) div q_den
+          // (Spark `/` on integers is a DOUBLE divide; DIV is integral)
+          max(when(col("rn") === expr("(n + 1) div 2"), col("nt"))).as("p50_tokens"),
+          max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("nt"))).as("p90_tokens"),
+          max(col("nt")).as("max_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Quality-gate tuning curve: docs surviving each 0.1-wide
+    // quality cutoff, as a descending cumulative count — how a pipeline
+    // picks the q82 threshold before committing to it. Bucket floor is
+    // integer; the cumulative sum is a window over ≤11 rows.
+    "q98_retention_curve" -> ((s, dir) => {
+      val scored = load(s, dir, "documents")
+        .select(TextAnalysis.qualityScore(
+          length(col("text")),
+          TextAnalysis.punctRatio(col("text")),
+          TextAnalysis.meanWordLen(col("text"))).as("q"))
+        .select(floor(col("q") * 10).cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      scored
+        .withColumn("n_at_or_above", sum(col("n_docs")).over(w))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1430,6 +1478,46 @@ object PipelineQueries extends QueryPack {
         |  FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id)
         |SELECT doc_id, md5(text) AS text_md5 FROM merged
         |WHERE op IS NULL OR op <> 'delete' ORDER BY doc_id""".stripMargin,
+
+    // Integer-rank percentiles: value at rank ceil(q·n), no interpolation.
+    "q97_source_stats" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+        |ranked AS (
+        |  SELECT source, nt,
+        |         row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM toks)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |       CAST(min(nt) AS INT) AS min_tokens,
+        |       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS INT) AS p50_tokens,
+        |       CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN nt END) AS INT) AS p90_tokens,
+        |       CAST(max(nt) AS INT) AS max_tokens
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    // Descending cumulative survivors per 0.1-wide quality bucket; the
+    // quality chain is q50's, replayed over the full table.
+    "q98_retention_curve" ->
+      """WITH scored AS (
+        |  SELECT round(least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
+        |        + (CASE WHEN mwl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.3
+        |        + greatest(0.0, 1.0 - pr*5.0)*0.3, 6) AS q
+        |  FROM (
+        |    SELECT text,
+        |           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |                 / greatest(length(text), 1), 6) AS pr,
+        |           round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |                 / greatest(len(string_split(text, ' ')), 1), 6) AS mwl
+        |    FROM documents)),
+        |buckets AS (
+        |  SELECT CAST(floor(q * 10) AS INT) AS bucket, count(*) AS n_docs
+        |  FROM scored GROUP BY 1)
+        |SELECT bucket, n_docs,
+        |       CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS n_at_or_above
+        |FROM buckets ORDER BY bucket""".stripMargin,
 
     // Directed containment over documents ∪ planted excerpts; identical
     // shingle chain as q43, asymmetric denominator.
