@@ -140,6 +140,14 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String): Double = {
+      // Drop cached intermediates from PREVIOUS runs before starting the
+      // clock (same hygiene ScalingBench measured as necessary: with the
+      // 45-query sweep, accumulated storage pressure slowed later queries
+      // ~2× via eviction/GC — measurement noise, not operator cost; the
+      // r7 contaminated capture showed q85 at 22-68 s vs 3.1 s clean).
+      // Operators release their own persists in try/finally, so anything
+      // still cached here is stale by definition.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)

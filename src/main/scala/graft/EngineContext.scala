@@ -736,6 +736,12 @@ object EngineContext {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Parquet TIMESTAMP(NANOS) portability: older Spark honors this conf
+      // and reads ns as LongType; the installed 4.1.2 ignores it and reads
+      // TIMESTAMP_NTZ. Tables.normalizeTs lands BOTH modes on the same
+      // UTC-µs TIMESTAMP (integer ns→µs division vs a pure-reinterpret
+      // NTZ cast under this session's pinned UTC zone), so the conf is
+      // kept for back-compat, not correctness.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // reference dialect is non-ANSI: x % 0 and bad casts yield NULL

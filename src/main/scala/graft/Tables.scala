@@ -15,13 +15,36 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType only
-    // under spark.sql.legacy.parquet.nanosAsLong (set in every session this
-    // engine builds); convert ns→µs with integer division (a double divide
-    // would lose precision: epoch-ns exceeds 2^53).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df, "ts") else df
+  }
+
+  /**
+   * Normalize a parquet TIMESTAMP(NANOS) column to Spark's session-tz
+   * TIMESTAMP (µs), whatever type this Spark version read it as. Used by
+   * [[load]], Bench, Verify, and the streaming parity spec so every path
+   * lands on one µs semantics:
+   *
+   *  - `LongType`  — read under `spark.sql.legacy.parquet.nanosAsLong`
+   *    (older 3.x/4.0 behavior; the sessions still set the conf for
+   *    portability). Convert ns→µs with INTEGER division — a double divide
+   *    would lose precision, epoch-ns exceeds 2^53.
+   *  - `TimestampNTZType` — the installed Spark 4.1.2 reads NANOS as NTZ
+   *    (the legacy conf no longer yields LongType). Every session this
+   *    engine builds pins `spark.sql.session.timeZone=UTC`, so the cast to
+   *    TIMESTAMP is a pure reinterpretation: identical micros, and the
+   *    watermark/window operators (which require TIMESTAMP, not NTZ)
+   *    analyze cleanly.
+   *  - `TimestampType` — already what we want; no-op.
+   */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
+    }
   }
 
   /**

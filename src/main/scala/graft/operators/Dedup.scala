@@ -341,6 +341,15 @@ object Dedup {
   def lastDistributedRounds: Int = lastRounds.get()
   private val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Physical plan of the most recent [[incrementalPairs]] result, captured
+    * BEFORE lineage truncation — the returned relation is a checkpoint
+    * scan, so the verify join shape (forced SHUFFLE_HASH, probe-vs-index
+    * equi join, no cartesian branch) is otherwise unauditable from the
+    * outside. Observability in the lastDistributedRounds mold: PlanAuditSpec
+    * pins the shape; diagnostics only, never control flow. */
+  def lastIncrementalPlan: String = lastIncPlan.get()
+  private val lastIncPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** jaccard from the verify tuple (inter, na, nb) — int sums, one double
     * division, identical on both physical strategies. */
   private def jaccardCol: Column =
@@ -610,9 +619,11 @@ object Dedup {
         val intra = pairsFromBands(inBands, threshold, sizeAware = true)
         val verified = minHashVerify(probe.unionByName(intra),
           index.sets.unionByName(inSets), useBroadcastMap = false, threshold)
-        truncateLineage(verified
+        val result = verified
           .select(col("id_a"), col("id_b"), jaccardCol)
-          .filter(col("jaccard") >= threshold))
+          .filter(col("jaccard") >= threshold)
+        lastIncPlan.set(result.queryExecution.executedPlan.toString)
+        truncateLineage(result)
       } finally inBands.unpersist(blocking = false)
     } finally inSets.unpersist(blocking = false)
   }

@@ -223,16 +223,25 @@ object SimilaritySearch {
     * FIRST. Recall vs exact float cosine (q47) is the documented
     * quantization trade. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val coded = quantize(corpus.select(col("vec_id"), col("embedding")))
+    // `coded` feeds BOTH join sides: persisted so the corpus quantization
+    // scan and its 1-row max-abs stats aggregate run once, not twice. The
+    // cache is corpus-sized ints (~4× smaller than the float embeddings);
+    // blocks are reclaimed by the ContextCleaner once the result plan is
+    // unreachable (ManagedPairs doc), and Bench/Verify clearCache per run.
+    val coded = quantize(corpus.select(col("vec_id"), col("embedding"))).persist()
+    // Self-dots are hoisted OUT of the pair loop into per-side
+    // pre-projections: |Q| + |C| norm computations instead of 2·|Q|·|C|.
+    // The ranking expression downstream is bit-identical — same integer
+    // dots, same sqrt·sqrt product, same final double division.
     val q = coded.join(queries.select(col("vec_id")), "vec_id")
-      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
-    val c = coded.select(col("vec_id").as("cand_id"), col("qv").as("qb"))
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        qdot(col("qv"), col("qv")).as("na2"))
+    val c = coded.select(col("vec_id").as("cand_id"), col("qv").as("qb"),
+      qdot(col("qv"), col("qv")).as("nb2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("cand_id"))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("na2", qdot(col("qa"), col("qa")))
-      .withColumn("nb2", qdot(col("qb"), col("qb")))
       .select(col("query_id"), col("cand_id"),
         when(col("na2") > 0 && col("nb2") > 0,
           r6(qdot(col("qa"), col("qb")) /
@@ -313,9 +322,26 @@ object SimilaritySearch {
     * runs against — materialize it once to index a corpus, then assign
     * NEW (batch or streaming) vectors against it without re-clustering. */
   def kmeansCentroids(corpus: DataFrame, bits: Int, iters: Int): DataFrame = {
+    // Each Lloyd iterate is persisted and MATERIALIZED (the count() is the
+    // barrier) before the next step consumes it, then the previous iterate
+    // is released: iteration i costs exactly one corpus scan against a
+    // cached K·dim-row centroid table, instead of re-deriving the whole
+    // init+refinement chain through the nested one-row broadcast of
+    // [[assignToCentroids]] on every downstream execution. The returned
+    // relation stays persisted (tiny: K rows) so the final assignment —
+    // and any caller indexing a corpus against it — reads the cache;
+    // blocks fall to the ContextCleaner when the plan goes unreachable.
     var cents = ivfCentroids(corpus, bits)
-    for (_ <- 0 until iters)
-      cents = refineCentroids(assignToCentroids(corpus, cents))
+    if (iters > 0) {
+      cents = cents.persist()
+      cents.count()
+    }
+    for (_ <- 0 until iters) {
+      val prev = cents
+      cents = refineCentroids(assignToCentroids(corpus, prev)).persist()
+      cents.count()
+      prev.unpersist(blocking = false)
+    }
     cents
   }
 
@@ -332,7 +358,15 @@ object SimilaritySearch {
     * the surviving (vec_id, embedding, cid, csim) rows. */
   def semanticDedup(vectors: DataFrame, bits: Int, iters: Int,
                     threshold: Double): DataFrame = {
-    val assigned = kmeansAssign(vectors, bits, iters)
+    // `assigned` is consumed THREE times (both pair-join sides + the final
+    // left-anti): persisted so the k-means lineage — sign-bucket init,
+    // Lloyd refinement, corpus-wide assignment fold — executes once and
+    // the two extra consumers read cache (r7's unpersisted form replayed
+    // it 3×; at 100 TB that is a triple corpus read). Kept persisted in
+    // the returned plan (the InMemoryRelation a plan audit can pin);
+    // blocks are reclaimed by the ContextCleaner once the result goes
+    // unreachable, and Bench/Verify clearCache around every run.
+    val assigned = kmeansAssign(vectors, bits, iters).persist()
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("id_b"),

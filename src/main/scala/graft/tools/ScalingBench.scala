@@ -144,7 +144,9 @@ object ScalingBench {
       "q72_decontaminate",
       "q72c_decontaminate_bloom",
       "q76_curation_funnel",
+      "q78_dedup_canonical",
       "q85_semantic_dedup",
+      "q88_source_overlap",
       "q93_dup_spans",
       "q94_span_scrub")
 
@@ -176,6 +178,38 @@ object ScalingBench {
           s" rounds=${Dedup.lastDistributedRounds}" else ""
         println(f"[scaling] $q%-28s $dir%-28s median=${median(runs.map(_._1))}%7.2f s" +
           f" rows=${runs.head._2}%-7d$extra")
+      }
+
+      // THE incremental claim (q81 shape): a FIXED batch against a
+      // precomputed index of a 10×-growing corpus — per-batch cost must
+      // stay ~flat, because the probe join ships only colliding bands and
+      // existing×existing candidates are structurally impossible. The
+      // batch is the same 500 docs (10x generator text, ids < 500) at both
+      // scales; the index is each scale's corpus restricted to id ≥ 500
+      // (id uniqueness across index and batch is the operator contract).
+      // Index build/persist happens OUTSIDE the timed region — that is the
+      // point: at 100 TB you index once and pay per-batch forever after.
+      {
+        import spark.implicits._
+        val batch = spark.range(500L).map(id => (id, docText(id, 50000L)))
+          .toDF("doc_id", "text")
+        val existing = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") >= 500L)
+        spark.catalog.clearCache()
+        val index = Dedup.dedupIndex(existing, "doc_id", "text")
+        val bands = index.bands.persist(); bands.count()
+        val sets = index.sets.persist(); sets.count()
+        val idx = Dedup.DedupIndex(bands, sets)
+        val rows = Dedup.incrementalPairs(idx, batch, "doc_id", "text", 0.7).count()
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          Dedup.incrementalPairs(idx, batch, "doc_id", "text", 0.7)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        bands.unpersist(blocking = false); sets.unpersist(blocking = false)
+        println(f"[scaling] q81_incremental_fixedbatch $dir%-28s median=${median(runs)}%7.2f s" +
+          f" rows=$rows%-7d")
       }
     }
     spark.stop()

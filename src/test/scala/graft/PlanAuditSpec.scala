@@ -163,6 +163,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p.take(3000)) // interval → covered-bucket explode
   }
 
+  private val joinOps =
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+
+  test("q78 canonicalize: exactly ONE join — corpus vs the dup-tail cluster relation") {
+    val p = plan("q78_dedup_canonical")
+    // pairs + connected components ran eagerly behind checkpoint barriers;
+    // the returned plan must be a single left join of the corpus against
+    // the (dup-tail-bounded) cluster assignment — nothing pairwise
+    assert(joinOps.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
+
+  test("q81 incremental verify: forced SHUFFLE_HASH on the pair key, never broadcast or cartesian") {
+    plan("q81_dedup_incremental") // building the query captures the pre-checkpoint plan
+    val p = graft.operators.Dedup.lastIncrementalPlan
+    assert(p.nonEmpty)
+    // the verify stage must run the q44b-proven shuffle plan: an
+    // incremental index is big by definition, so the broadcast-map fast
+    // path (a corpus-sized driver collect) must not appear
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
+
+  test("q85 semantic dedup: the k-means lineage is persisted — all three consumers read one cache") {
+    val p = plan("q85_semantic_dedup")
+    // both pair-join sides + the final left-anti scan the SAME
+    // InMemoryRelation; without it the centroid-init + Lloyd + assignment
+    // chain replays per consumer (a triple corpus read at 100 TB)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+  }
+
+  test("q95 merge: compaction window upstream of exactly ONE full-outer join") {
+    val p = plan("q95_merge_upsert")
+    assert(p.contains("Window"), p.take(3000))
+    assert(joinOps.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("FullOuter"), p.take(3000))
+  }
+
   test("q72c bloom decontamination: sketch prefilter sits on the corpus stream, join stays broadcast") {
     val p = plan("q72c_decontaminate_bloom")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

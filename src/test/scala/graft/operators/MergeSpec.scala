@@ -33,6 +33,44 @@ class MergeSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("applyChanges over a bucketed base: the base side joins with NO Exchange") {
+    // The 100 TB deploy shape: the canonical table is written bucketed by
+    // its key, so the daily merge shuffles ONLY the (small) change log —
+    // the base table's scan layout IS the join layout (BucketedJoinSpec's
+    // contract applied to the merge operator).
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_bucket")
+      .toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS merge_base_b")
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text").coalesce(1)
+      .write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"$dir/merge_base_b").saveAsTable("merge_base_b")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = spark.table("merge_base_b")
+      val changes = base.filter($"doc_id" % 500 === 0)
+        .select($"doc_id", org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" v1")).as("text"),
+          org.apache.spark.sql.functions.lit("upsert").as("op"),
+          org.apache.spark.sql.functions.lit(1).as("seq"))
+      val merged = Merge.applyChanges(base, changes, "doc_id", "seq", "op")
+      assert(merged.count() > 0)
+      val p = merged.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(3000))
+      assert(p.contains("Bucketed: true"), p.take(3000))
+      // ONE Exchange total: the change-log side's hash shuffle (its window
+      // compaction partitioning on the key is reused by the join). The
+      // base side — the side whose volume scales with the corpus — reads
+      // straight from the bucketed layout into the merge join.
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"bucketed merge base still shuffles:\n${p.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS merge_base_b")
+    }
+  }
+
   test("containmentPairs: substring doc fully contained, reverse direction absent") {
     val host = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(

@@ -25,12 +25,11 @@ class StreamBatchParitySpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // file stream with the batch schema; same ns->us conversion as
-    // Tables.load (events.ts is parquet TIMESTAMP(NANOS))
+    // file stream with the batch schema; same TIMESTAMP(NANOS) normalization
+    // as Tables.load (LongType under nanosAsLong, NTZ under Spark 4.1.2)
     val rawSchema = spark.read.parquet(dir).schema
-    var stream = spark.readStream.schema(rawSchema).parquet(dir)
-    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream = stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(dir), "ts")
 
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("hourly_parity")
