@@ -124,6 +124,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash32(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_qdot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_qdot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_qdot takes exactly 2 arguments")
+        IntDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_top_bigram_count"),
       new ExpressionInfo(classOf[TopBigramCount].getName, "graft_top_bigram_count"),
       (children: Seq[Expression]) => {

@@ -208,8 +208,17 @@ object SimilaritySearch {
       .drop("gmax")
   }
 
-  /** Exact integer dot product of two quantized code arrays. */
-  def qdot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized code arrays, via the
+    * native codegen'd expression (graft.functions.IntDotProduct,
+    * registered by GraftExtensions) — the pair-loop hot path of
+    * [[quantizedTopK]] stays inside whole-stage codegen instead of
+    * evaluating interpreted higher-order lambdas per candidate.
+    * Value-identical to [[qdotHof]] (IntDotEquivalenceSpec). */
+  def qdot(a: Column, b: Column): Column = call_function("graft_qdot", a, b)
+
+  /** The composable higher-order-function form of [[qdot]] — the
+    * equivalence oracle (and the spelling a DuckDB oracle mirrors). */
+  def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 
