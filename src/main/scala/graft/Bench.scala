@@ -98,7 +98,9 @@ object Bench {
     "q94_span_scrub",     // keep-one-copy span removal (rewritten bytes)
     "q95_merge_upsert",   // CDC merge: compaction window + one outer join
     "q97_source_stats",   // per-source integer-rank percentile report
-    "q98_retention_curve") // quality-cutoff survivor curve
+    "q98_retention_curve", // quality-cutoff survivor curve
+    "q99_chunk_overlap",  // stride-overlap window chunking (row-local)
+    "q100_hll_distinct")  // portable HLL distinct-token sketch
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

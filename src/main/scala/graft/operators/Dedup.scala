@@ -350,6 +350,12 @@ object Dedup {
   def lastIncrementalPlan: String = lastIncPlan.get()
   private val lastIncPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** Candidate-id ceiling for [[incrementalPairs]]' driver-collected isin
+    * prune (~8 MB of longs at the cap — the q70-style budget); above it
+    * the prune flips to a distributed left-semi join. */
+  val InPruneMaxIds: Int = 1 << 20
+
+
   /** jaccard from the verify tuple (inter, na, nb) — int sums, one double
     * division, identical on both physical strategies. */
   private def jaccardCol: Column =
@@ -597,9 +603,20 @@ object Dedup {
     * fast path would collect index+batch gram sets, and an incremental
     * index is big by definition — the shuffle plan is the one that runs
     * at scale (the q44b-proven strategy), so it is also the one proven
-    * here (q81 oracle). */
+    * here (q81 oracle). The sets side is first pruned to candidate ids by
+    * a broadcast semi join, so the verify exchange moves batch-sized data
+    * regardless of index size (SCALING.md's fixed-batch curve). */
   def incrementalPairs(index: DedupIndex, incoming: DataFrame, id: String,
-                       text: String, threshold: Double): DataFrame = {
+                       text: String, threshold: Double): DataFrame =
+    incrementalPairs(index, incoming, id, text, threshold,
+      forceSemiPrune = false)
+
+  /** forceSemiPrune=true pins the over-budget semi-join prune regardless
+    * of candidate-id count — the forced-variant doctrine (q44b/q70b/
+    * q72b): q81b proves the fallback on the same oracle as q81. */
+  def incrementalPairs(index: DedupIndex, incoming: DataFrame, id: String,
+                       text: String, threshold: Double,
+                       forceSemiPrune: Boolean): DataFrame = {
     val inSets = gramSets(incoming, id, text).persist()
     try {
       // Persisted for the same reason as the main pipeline's band relation:
@@ -617,13 +634,45 @@ object Dedup {
           .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
           .distinct()
         val intra = pairsFromBands(inBands, threshold, sizeAware = true)
-        val verified = minHashVerify(probe.unionByName(intra),
-          index.sets.unionByName(inSets), useBroadcastMap = false, threshold)
-        val result = verified
-          .select(col("id_a"), col("id_b"), jaccardCol)
-          .filter(col("jaccard") >= threshold)
-        lastIncPlan.set(result.queryExecution.executedPlan.toString)
-        truncateLineage(result)
+        val cand = probe.unionByName(intra).persist()
+        try {
+          // The verify join must NOT shuffle the whole index: candidates
+          // touch only batch ids plus their few index collisions, so the
+          // sets side is pruned to exactly those ids first — the verify
+          // exchange then carries batch-sized data however big the corpus
+          // index grows (measured, SCALING.md fixed-batch curve: without
+          // pruning the per-batch cost grew 2.4× for a 10× index; the
+          // residual corpus term is the index SCAN, which a sid-bucketed
+          // index store prunes further). Two physical prunes, gated the
+          // byte-budget way (q70/q72 doctrine):
+          //  - id list ≤ InPruneMaxIds: a bounded driver collect into an
+          //    isin scan filter — zero extra exchanges, and the limit+1
+          //    probe bounds driver memory BEFORE collecting;
+          //  - bigger: a left-semi join (no broadcast hint — an id set
+          //    this size should hash-join distributively). Same results
+          //    by construction; q81b forces this path under the q81
+          //    oracle.
+          val candIds = cand.select(col("id_a").as("sid"))
+            .unionByName(cand.select(col("id_b").as("sid"))).distinct()
+          val allSets = index.sets.unionByName(inSets)
+          def semiPruned = allSets.join(candIds, Seq("sid"), "left_semi")
+          val neededSets =
+            if (forceSemiPrune) semiPruned
+            else {
+              val probed = candIds.limit(InPruneMaxIds + 1).collect()
+              if (probed.length <= InPruneMaxIds)
+                allSets.filter(col("sid")
+                  .isInCollection(probed.map(_.getLong(0)).toIndexedSeq))
+              else semiPruned
+            }
+          val verified = minHashVerify(cand, neededSets,
+            useBroadcastMap = false, threshold)
+          val result = verified
+            .select(col("id_a"), col("id_b"), jaccardCol)
+            .filter(col("jaccard") >= threshold)
+          lastIncPlan.set(result.queryExecution.executedPlan.toString)
+          truncateLineage(result)
+        } finally cand.unpersist(blocking = false)
       } finally inBands.unpersist(blocking = false)
     } finally inSets.unpersist(blocking = false)
   }

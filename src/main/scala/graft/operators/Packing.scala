@@ -91,6 +91,45 @@ object Packing {
         md5(concat_ws(" ", transform(col("_ps"), s => s.getField("p")))).as("text_md5"))
   }
 
+  /** Sliding-window chunking of long documents into OVERLAPPING
+    * `maxTokens`-token windows advancing `stride` tokens at a time
+    * (overlap = maxTokens − stride) — the long-context training prep that
+    * [[emitChunks]]' disjoint packing is not: each window re-reads the
+    * tail of its predecessor, so no span of ≤ overlap tokens is ever cut
+    * by a chunk boundary (the standard stride-chunking recipe for
+    * fine-tuning on documents longer than the context window).
+    *
+    * Windows start at token offsets 0, stride, 2·stride, …; the last
+    * window is the first whose span reaches the document's final token
+    * (`k_max = ceil((n − maxTokens)/stride)`, 0 when the doc fits in one
+    * window), so every token appears in ≥ 1 chunk and trailing windows
+    * shorter than `stride` are never emitted empty.
+    *
+    * Scale shape: entirely ROW-LOCAL — one split of the text, one
+    * sequence-explode over the chunk range (factor ≈ n/stride), one
+    * array slice per chunk; no shuffle at any corpus size, and the
+    * integer chunk arithmetic (`div`, not a double divide) is exact
+    * cross-engine. Output: (id, chunk_idx, chunk_start, n_tokens,
+    * chunk_text). */
+  def chunkWithOverlap(docs: DataFrame, id: Column, text: Column,
+                       maxTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens]; got stride=$stride maxTokens=$maxTokens")
+    docs
+      .select(id.as("id"), split(text, " ").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(lit(0L),
+          expr(s"(_n - $maxTokens + $stride - 1) div $stride").cast("long")))))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("_toks"), (col("chunk_start") + 1).cast("int"),
+          lit(maxTokens))))
+      .select(col("id"), col("chunk_idx"), col("chunk_start"),
+        least(lit(maxTokens.toLong), col("_n") - col("chunk_start")).as("n_tokens"),
+        col("chunk_text"))
+  }
+
   /** Per-chunk summary over an assignment: how many docs START in each
     * chunk and how many tokens those docs carry — the sequence-emission
     * work list (chunk k's writer reads docs starting in k plus the tail

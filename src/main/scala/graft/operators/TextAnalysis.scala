@@ -306,4 +306,98 @@ object TextAnalysis {
       .withColumn(text, coalesce(col("_clean"), lit("")))
       .drop("_sid", "_clean")
   }
+
+  // --------------------------------------------------------------------
+  // HyperLogLog distinct-token sketch (Flajolet et al. 2007) — the
+  // 100 TB answer to per-group COUNT(DISTINCT token): an exact distinct
+  // shuffles every (group, token) pair; the sketch reduces each group to
+  // 256 max-registers via map-side partial aggregation, so the exchange
+  // carries ≤ 256 narrow rows per group no matter the corpus size.
+  //
+  // Spark's approx_count_distinct is the production form but its HLL++
+  // registers are engine-private — unverifiable against an oracle. This
+  // implementation keeps the whole sketch in PORTABLE column arithmetic
+  // (md5 → hex-digit ascii polynomial → integer div/mod → max/sum), the
+  // TextHashing doctrine: DuckDB rebuilds the registers bit-for-bit and
+  // the estimate to the last double, so the DISTRIBUTED MECHANICS are
+  // hash-gate verified; accuracy (±1.04/√256 ≈ 6.5%) is the documented
+  // HLL property, visible in the output next to the exact count. The raw
+  // estimator is used deliberately — no small-range linear-counting
+  // branch (it needs a transcendental ln whose last bits differ across
+  // engines); callers below the ~2.5·m regime use exact counting anyway.
+
+  /** Number of HLL buckets (2^8). */
+  val HllBuckets = 256
+
+  /** Value of one hex digit of an md5 string: '0'-'9' → 0-9,
+    * 'a'-'f' → 10-15, via ascii arithmetic both engines share. */
+  private def hexVal(c: Column): Column =
+    ascii(c) - 48 - when(ascii(c) >= 97, 39).otherwise(0)
+  private def hexValSql(c: String): String =
+    s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 97 THEN 39 ELSE 0 END)"
+
+  /** 48-bit integer from the first 12 hex digits of md5(token) — md5 is
+    * the strong mixer; the polynomial is just a portable hex parse. */
+  def md5Hash48(t: Column): Column =
+    (1 to 12).map(i =>
+      hexVal(substring(md5(t), i, 1)) * lit(1L << (4 * (12 - i))))
+      .reduce(_ + _).cast("long")
+  def md5Hash48Sql(t: String): String =
+    (1 to 12).map(i =>
+      s"${hexValSql(s"substr(md5($t),$i,1)")} * CAST(${1L << (4 * (12 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  /** Rank of the first set bit of the 40-bit value `w` (1 = highest bit
+    * set, 41 = w is zero) — the HLL register update, as an exact integer
+    * comparison chain (no float log2, whose boundary rounding could
+    * disagree cross-engine). */
+  def hllRho(w: Column): Column =
+    (1 to 40).foldRight(lit(41): Column) { (r, rest) =>
+      when(w >= lit(1L << (40 - r)), lit(r)).otherwise(rest)
+    }
+  def hllRhoSql(w: String): String =
+    "(CASE " + (1 to 40).map(r =>
+      s"WHEN $w >= ${1L << (40 - r)} THEN $r").mkString(" ") + " ELSE 41 END)"
+
+  /** The raw-estimator numerator alpha_256 · m² · 2^41 as ONE double
+    * constant (estimate = this / S, where S = Σ_b 2^(41 − M_b) is EXACT
+    * long arithmetic — register M_b ≤ 41, absent buckets contribute
+    * 2^41). Folding the constant in Scala and embedding the same 17-digit
+    * literal in both spellings sidesteps engine literal-typing rules
+    * (both Spark and DuckDB would parse `0.7213` as DECIMAL and apply
+    * different scale arithmetic); the only runtime float op left is one
+    * division of two exactly-parsed doubles. */
+  val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllBuckets) * (HllBuckets.toLong * HllBuckets) *
+      (1L << 41).toDouble
+  /** The literal both engines parse to the identical double. */
+  val HllNumeratorSql: String = f"$HllNumerator%.17e"
+
+  /** Per-group HLL distinct estimate over a token column, next to the
+    * exact distinct-hash count (the accuracy evidence; md5-48 collisions
+    * are ~n²/2^49 — negligible, and the oracle computes the identical
+    * quantity). The ESTIMATE branch is the scale path: its (group,
+    * bucket) partial max is the map-side combine that bounds the shuffle
+    * at 256 rows per group regardless of corpus size. The exact branch
+    * is the one that stops scaling — it ships every distinct (group,
+    * hash) pair — and rides along here as report evidence only. */
+  def hllDistinctTokens(df: org.apache.spark.sql.DataFrame, group: Column,
+                        token: Column): org.apache.spark.sql.DataFrame = {
+    val hashed = df.select(group.as("g"), md5Hash48(token).as("h"))
+    val regs = hashed
+      .withColumn("bucket", col("h") % HllBuckets)
+      .withColumn("rho", hllRho(expr(s"h div $HllBuckets")))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val est = regs.groupBy(col("g"))
+      .agg((sum(expr("shiftleft(cast(1 as bigint), 41 - m)")) +
+        (lit(HllBuckets.toLong) - count(lit(1))) * lit(1L << 41)).as("s"))
+      .select(col("g"),
+        graft.Tables.r6(lit(HllNumerator) / col("s").cast("double"))
+          .as("hll_estimate"))
+    val exact = hashed.groupBy(col("g"))
+      .agg(countDistinct(col("h")).as("n_exact"))
+    est.join(exact, Seq("g"))
+      .select(col("g").as("group_key"), col("n_exact"), col("hll_estimate"))
+  }
 }

@@ -620,6 +620,22 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- q81's over-budget prune path, FORCED: candidate-id pruning of
+    // the verify sets via the distributed left-semi join instead of the
+    // driver-collected isin filter (the path a web-scale batch whose id
+    // set blows InPruneMaxIds takes). Same oracle as q81 — the prune
+    // strategy cannot change answers.
+    "q81b_dedup_incremental_semi" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val existing = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400).unionByName(
+        docs.filter(col("doc_id") < 30).withColumn("doc_id", col("doc_id") + 300000L))
+      Dedup.incrementalPairs(
+          Dedup.dedupIndex(existing, "doc_id", "text"), batch, "doc_id", "text",
+          0.7, forceSemiPrune = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- Quality-percentile gate: top 25% per source by the q50 quality
     // score, as exact ranks (integer-exact cross-engine where a double
     // quantile boundary can flip membership by an ulp). The per-source
@@ -768,6 +784,34 @@ object PipelineQueries extends QueryPack {
       scored
         .withColumn("n_at_or_above", sum(col("n_docs")).over(w))
         .orderBy(col("bucket"))
+    }),
+
+    // ---- Sliding-window chunking with OVERLAP (stride < window): the
+    // long-context fine-tuning prep q74/q77's disjoint packing is not —
+    // every 32-token window advances 24 tokens, so an 8-token overlap
+    // carries boundary context. md5 of every emitted window pins the
+    // slice arithmetic (start offsets, tail windows, short docs) exactly.
+    "q99_chunk_overlap" -> ((s, dir) => {
+      Packing.chunkWithOverlap(load(s, dir, "documents"),
+          col("doc_id"), col("text"), 32, 24)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- HLL distinct-token report: per-source vocabulary size as a
+    // 256-register HyperLogLog estimate next to the exact count. The
+    // registers are portable column arithmetic (md5 hex parse + integer
+    // shifts), so DuckDB rebuilds the sketch bit-for-bit — the verified
+    // analog of approx_count_distinct, whose HLL++ registers no oracle
+    // can reproduce. Estimate error vs n_exact is the documented
+    // ±1.04/√256 HLL property, visible in the output.
+    "q100_hll_distinct" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      TextAnalysis.hllDistinctTokens(toks, col("source"), col("tok"))
+        .select(col("group_key").as("source"), col("n_exact"), col("hll_estimate"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1344,6 +1388,16 @@ object PipelineQueries extends QueryPack {
          |SELECT id_a, id_b, jaccard FROM pr WHERE id_b >= 400
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Forced semi-join prune — identical answer by construction.
+    "q81b_dedup_incremental_semi" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id < 30),
+         |${minhashPairsCtesOver("corpus")}
+         |SELECT id_a, id_b, jaccard FROM pr WHERE id_b >= 400
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // Independent ranking: same q50 score formula, DESC + md5 tie-break,
     // exact ceil cutoff per source.
     "q82_quality_gate" ->
@@ -1535,7 +1589,46 @@ object PipelineQueries extends QueryPack {
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id_a, id_b, inter*1.0/sa.n AS containment
          |FROM inter JOIN sizes sa ON sa.doc_id = id_a
-         |WHERE inter*1.0/sa.n >= 0.9 ORDER BY id_a, id_b""".stripMargin
+         |WHERE inter*1.0/sa.n >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // Same window arithmetic as Packing.chunkWithOverlap(32, 24): integer
+    // ceil-div for the last window index (negative numerators clamp to 0
+    // on both engines, floor-vs-trunc notwithstanding), 1-based inclusive
+    // list slice = Spark's slice(toks, start+1, 32).
+    "q99_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(generate_series(0, greatest(0, (n - 32 + 24 - 1) // 24))) AS k
+        |      FROM tn)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |       CAST(k * 24 AS BIGINT) AS chunk_start,
+        |       CAST(least(32, n - k * 24) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(toks[k*24+1 : k*24+32], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // The identical HLL sketch: md5-hex-parse hash, 256 buckets, exact
+    // integer register sum (S = Σ 2^(41-M) with absent buckets at 2^41),
+    // one shared float constant and one final multiply-divide — see
+    // TextAnalysis.hllDistinctTokens.
+    "q100_hll_distinct" ->
+      (s"""WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT source, CAST(${TextAnalysis.md5Hash48Sql("tok")} AS BIGINT) AS h
+        |      FROM toks),
+        |regs AS (SELECT source, h % 256 AS bucket,
+        |                max(${TextAnalysis.hllRhoSql("(h // 256)")}) AS m
+        |         FROM h GROUP BY source, h % 256),
+        |s AS (SELECT source,
+        |             CAST(sum(CAST(1 AS BIGINT) << (41 - m)) +
+        |                  (256 - count(*)) * (CAST(1 AS BIGINT) << 41) AS DOUBLE) AS sd
+        |      FROM regs GROUP BY source),
+        |ex AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source)
+        |SELECT s.source, ex.n_exact,
+        |       round(${TextAnalysis.HllNumeratorSql} / sd * 1000000.0)
+        |         / 1000000.0 AS hll_estimate
+        |FROM s JOIN ex ON s.source = ex.source
+        |ORDER BY s.source""".stripMargin)
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

@@ -186,6 +186,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(3000))
+    // under-budget default: the sets side is pruned by the collected-id
+    // scan filter, not a join (no extra exchange in the prune)
+    assert(p.contains("insetsortedinlist") || p.contains(" IN ") ||
+      p.contains("INSET"), p.take(3000))
+  }
+
+  test("q81b forced semi prune: left-semi pruning of the verify sets, same SHUFFLE_HASH verify") {
+    plan("q81b_dedup_incremental_semi")
+    val p = graft.operators.Dedup.lastIncrementalPlan
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
   }
 
   test("q85 semantic dedup: the k-means lineage is persisted — all three consumers read one cache") {
