@@ -100,7 +100,17 @@ object Bench {
     "q97_source_stats",   // per-source integer-rank percentile report
     "q98_retention_curve", // quality-cutoff survivor curve
     "q99_chunk_overlap",  // stride-overlap window chunking (row-local)
-    "q100_hll_distinct")  // portable HLL distinct-token sketch
+    "q100_hll_distinct",  // portable HLL distinct-token sketch
+    "q101_kmv_source_sim", // KMV bottom-k sketch source-pair Jaccard
+    "q102_scd2_history",  // SCD2 versions: one union + one lead() window
+    "q103_inverted_index", // df-banded phrase posting lists
+    "q104_lm_surprisal",  // integer floor-log2 LM code-length filter
+    "q105_pmi_collocations", // rational-lift PMI over adjacent bigrams
+    "q106_priority_sample", // weighted top-k + τ estimator
+    "q107_session_window",  // native session_window sessionization
+    "q108_histogram_quantiles", // bounded-state percentile synopsis
+    "q109_media_resize",    // real BMP pixel-level downsample + reparse
+    "q110_audio_frames")    // real WAV PCM frame sampling
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

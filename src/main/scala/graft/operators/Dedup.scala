@@ -188,13 +188,33 @@ object Dedup {
     * computation — so the managed pipeline persists it: the self-join
     * below consumes it on both sides, and an unmaterialized plan would run
     * the signature projection twice. */
-  private def bandRelation(signatures: DataFrame, sizeAware: Boolean): DataFrame = {
+  private[graft] def bandRelation(signatures: DataFrame, sizeAware: Boolean): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       xxhash64(lit(b) +: cols: _*)
     }
     val keep = if (sizeAware) Seq(col("sid"), col("gn")) else Seq(col("sid"))
     signatures.select(keep :+ explode(array(bands: _*)).as("sig"): _*)
+  }
+
+  /** Band relation that KEEPS each doc's gram set on its band rows —
+    * the streaming-probe shape (graft.streaming.CurationStreams): joining
+    * the sets back post-explode would be a stream-stream SELF-join under
+    * streaming analysis, while carrying the array is a pure stateless
+    * projection (4× duplication of one batch's arrays, bounded by the
+    * micro-batch). Batch callers should prefer [[bandRelation]], whose
+    * rows stay narrow through the band self-join. */
+  private[graft] def bandRelationWithSets(sets: DataFrame): DataFrame = {
+    val sigs = sets.select(col("sid"), col("gs"), size(col("gs")).as("gn"),
+        call_function("graft_minhash_sig", col("gs")).as("_s"))
+      .select(col("sid") +: col("gs") +: col("gn") +:
+        MinHashParams.indices.map(j => element_at(col("_s"), j + 1).as(s"m$j")): _*)
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: cols: _*)
+    }
+    sigs.select(col("sid"), col("gs"), col("gn"),
+      explode(array(bands: _*)).as("sig"))
   }
 
   private def pairsFromBands(exploded: DataFrame, minSizeRatio: Double,

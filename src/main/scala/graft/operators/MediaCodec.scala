@@ -20,8 +20,15 @@ import java.nio.{ByteBuffer, ByteOrder}
 object MediaCodec {
 
   /** Minimal well-formed 24bpp BMP: 14-byte file header +
-    * 40-byte BITMAPINFOHEADER + zeroed pixel array (rows padded to 4). */
-  def bmp(width: Int, height: Int): Array[Byte] = {
+    * 40-byte BITMAPINFOHEADER + pixel array (rows padded to 4). Pixels
+    * are a deterministic pattern of the unpadded byte index i (= x·3+c),
+    * storage row y, and `seed`: (i + 7y + seed) mod 251 — simple enough
+    * that the q109 resize oracle recomputes the expected DOWNSAMPLED
+    * pixel sum in SQL from (doc_id, w, h) alone, so a byte-offset /
+    * padding / stride bug in either the writer or the resizer breaks the
+    * hash. seed=0 keeps the historical zero-seed layout (byte lengths
+    * and headers are unchanged from the zero-filled original). */
+  def bmp(width: Int, height: Int, seed: Long = 0L): Array[Byte] = {
     val rowSize = ((width * 3 + 3) / 4) * 4
     val dataSize = rowSize * height
     val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -38,11 +45,26 @@ object MediaCodec {
     buf.putInt(dataSize)
     buf.putInt(2835).putInt(2835) // 72 dpi
     buf.putInt(0).putInt(0)   // palette
-    buf.array()               // remaining pixel bytes stay zero
+    val a = buf.array()
+    var y = 0
+    while (y < height) {
+      var i = 0
+      while (i < width * 3) {
+        a(54 + y * rowSize + i) = ((i + 7L * y + seed) % 251).toByte
+        i += 1
+      }
+      y += 1 // padding bytes stay zero
+    }
+    a
   }
 
-  /** Minimal PCM WAV: 44-byte RIFF header + zeroed 16-bit samples. */
-  def wav(channels: Int, sampleRate: Int, nSamples: Int): Array[Byte] = {
+  /** Minimal PCM WAV: 44-byte RIFF header + 16-bit samples filled with
+    * the deterministic pattern v(j) = ((j·37 + seed) mod 2048) − 1024
+    * over the global interleaved slot index j — the q110 frame-sampling
+    * oracle recomputes per-frame mean |v| from (doc_id, channels,
+    * nSamples) alone, pinning the reader's byte offsets and endianness. */
+  def wav(channels: Int, sampleRate: Int, nSamples: Int,
+          seed: Long = 0L): Array[Byte] = {
     val dataSize = nSamples * channels * 2
     val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII"))
@@ -58,7 +80,103 @@ object MediaCodec {
     buf.putShort(16)                       // bits per sample
     buf.put("data".getBytes("US-ASCII"))
     buf.putInt(dataSize)
+    var j = 0
+    while (j < nSamples * channels) {
+      buf.putShort((((j * 37L + seed) % 2048) - 1024).toShort)
+      j += 1
+    }
     buf.array()
+  }
+
+  /** Nearest-neighbor integer-factor downsample of a 24bpp BMP payload:
+    * output pixel (nx, ny) = input pixel (nx·f, ny·f) in STORAGE row
+    * order, new dims = ceil(dim/f), emitted as a fresh well-formed BMP
+    * (the seed-0 header with the sampled pixel array — the output
+    * re-parses under parseHeader, which q109 does). None if the payload
+    * is not a BMP this module wrote (same full-header validation as
+    * parseHeader). Row padding is recomputed for the new width. */
+  def resizeBmp(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, "resize factor must be >= 1")
+    parseHeader(payload) match {
+      case Some((w, h, _)) if payload.length >= 54 &&
+          payload(0) == 'B'.toByte && payload(1) == 'M'.toByte =>
+        val srcRow = ((w * 3 + 3) / 4) * 4
+        val nw = (w + factor - 1) / factor
+        val nh = (h + factor - 1) / factor
+        val out = bmp(nw, nh) // header + pattern, pixels overwritten below
+        val dstRow = ((nw * 3 + 3) / 4) * 4
+        var ny = 0
+        while (ny < nh) {
+          var nx = 0
+          while (nx < nw) {
+            var c = 0
+            while (c < 3) {
+              out(54 + ny * dstRow + nx * 3 + c) =
+                payload(54 + (ny * factor) * srcRow + (nx * factor) * 3 + c)
+              c += 1
+            }
+            nx += 1
+          }
+          // zero the padding the bmp() pattern may have left non-zero
+          var p = nw * 3
+          while (p < dstRow) { out(54 + ny * dstRow + p) = 0; p += 1 }
+          ny += 1
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** Sum of the pixel bytes of a BMP payload (padding excluded, bytes
+    * unsigned) — the roundtrip evidence column of q109: computed from
+    * the RESIZED bytes, matched against the oracle's formula-recomputed
+    * expectation. */
+  def bmpPixelSum(payload: Array[Byte]): Option[Long] =
+    parseHeader(payload).collect {
+      case (w, h, _) if payload(0) == 'B'.toByte =>
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var i = 0
+          while (i < w * 3) {
+            s += payload(54 + y * rowSize + i) & 0xff
+            i += 1
+          }
+          y += 1
+        }
+        s
+    }
+
+  /** Frame sampling over a PCM WAV payload: consecutive frames of
+    * `frameSamples` sample-frames (all channels interleaved), every
+    * `stride`-th frame kept, trailing partial frame dropped. Per kept
+    * frame: (frameIdx, nSlots, mean |sample|) with an integral-division
+    * mean — exact cross-engine arithmetic, genuinely decoded from the
+    * little-endian 16-bit data chunk. None for non-WAV payloads. */
+  def wavFrameMeans(payload: Array[Byte], frameSamples: Int, stride: Int)
+    : Option[Seq[(Int, Int, Long)]] = {
+    require(frameSamples >= 1 && stride >= 1)
+    def tag(off: Int, s: String): Boolean =
+      payload.length >= off + s.length &&
+        s.indices.forall(i => payload(off + i) == s.charAt(i))
+    if (!(payload.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && tag(36, "data"))) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val channels = buf.getShort(22).toInt
+    if (channels <= 0) return None
+    val dataSize = buf.getInt(40)
+    val nFrames = (dataSize / (channels * 2)) / frameSamples
+    val slotsPerFrame = frameSamples * channels
+    Some((0 until nFrames by stride).map { k =>
+      var s = 0L
+      var j = 0
+      while (j < slotsPerFrame) {
+        s += math.abs(buf.getShort(44 + (k * slotsPerFrame + j) * 2).toLong)
+        j += 1
+      }
+      (k, slotsPerFrame, s / slotsPerFrame)
+    })
   }
 
   /** PNG signature: \x89 P N G \r \n \x1a \n. */

@@ -54,4 +54,45 @@ object Merge {
       .filter(col("_op").isNull || col("_op") =!= deleteOp)
       .select(resolved: _*)
   }
+
+  /**
+   * Type-2 slowly-changing-dimension history: instead of applyChanges'
+   * latest-wins snapshot, keep EVERY version of every key with its
+   * validity interval — the form an audit/"as the corpus stood at seq s"
+   * query needs (composes with Temporal.asOfJoin on valid_from).
+   *
+   * Event model: the base rows are the version at `baseSeq`; every change
+   * (upsert or delete) at `seq` supersedes the key's previous version.
+   * Upserts open a new version; deletes only CLOSE the previous one (a
+   * tombstone emits no row of its own). `valid_to` = the superseding
+   * event's seq, null while current; `is_current` = last event for the
+   * key is a live upsert.
+   *
+   * Scale shape: ONE union (no join at all — full-outer merge logic is
+   * subsumed by the per-key event order) and one lead() window over each
+   * key's events — partition size = versions per key, bounded by change
+   * frequency, never by corpus size. `seq` must be unique per key and
+   * > `baseSeq` for changes, as in applyChanges.
+   */
+  def scd2History(base: DataFrame, changes: DataFrame, key: String,
+                  seq: String, op: String, deleteOp: String = "delete",
+                  baseSeq: Long = 0L): DataFrame = {
+    val payload = base.columns.filterNot(_ == key)
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry every base column; missing ${payload.filterNot(changes.columns.contains).mkString(",")}")
+    val evs = base
+      .select(col(key) +: payload.map(col) :+
+        lit(baseSeq).cast("long").as("_seq") :+ lit(false).as("_del"): _*)
+      .unionByName(changes
+        .select(col(key) +: payload.map(col) :+
+          col(seq).cast("long").as("_seq") :+
+          (col(op) === deleteOp).as("_del"): _*))
+    val w = Window.partitionBy(col(key)).orderBy(col("_seq"))
+    evs
+      .withColumn("_to", lead(col("_seq"), 1).over(w))
+      .filter(!col("_del"))
+      .select(col(key) +: payload.map(col) :+
+        col("_seq").as("valid_from") :+ col("_to").as("valid_to") :+
+        col("_to").isNull.as("is_current"): _*)
+  }
 }

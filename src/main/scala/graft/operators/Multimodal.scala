@@ -27,6 +27,17 @@ object Multimodal {
       media_id: Long, kind: String, source: String,
       byte_len: Int, width: Int, height: Int, frames: Int)
 
+  /** A resized image: original + new dims re-PARSED from the output
+    * payload, its byte length, and the unsigned pixel-byte sum (padding
+    * excluded) — the roundtrip evidence the q109 oracle recomputes. */
+  final case class ResizedImage(
+      media_id: Long, orig_w: Int, orig_h: Int,
+      new_w: Int, new_h: Int, out_bytes: Int, pixel_sum: Long)
+
+  /** One sampled audio frame: index, slot count, integral mean |sample|. */
+  final case class AudioFrame(
+      media_id: Long, frame_idx: Int, n_slots: Int, mean_abs: Long)
+
   /** Deterministic fake decode: dimensions derived from payload length.
     * Swap this body for a real codec (JNI/ffmpeg/ImageIO) without touching
     * the pipeline — the signature is the contract. */
@@ -96,12 +107,17 @@ object Multimodal {
         case "image" =>
           val w = (16 + (id * 13) % 48).toInt
           val h = (16 + (id * 29) % 32).toInt
-          r.copy(payload = if (id % 2 == 0) MediaCodec.bmp(w, h) else MediaCodec.png(w, h))
+          // seed = id: the pixel/sample patterns become per-row functions
+          // of doc_id, which is what lets the q109/q110 oracles recompute
+          // resized-pixel sums and frame means from the id alone
+          r.copy(payload =
+            if (id % 2 == 0) MediaCodec.bmp(w, h, id) else MediaCodec.png(w, h))
         case "audio" =>
           r.copy(payload = MediaCodec.wav(
             channels = (1 + id % 2).toInt,
             sampleRate = (8000 + (id % 5) * 2000).toInt,
-            nSamples = (100 + id % 400).toInt))
+            nSamples = (100 + id % 400).toInt,
+            seed = id))
         case _ => r
       }
     }
@@ -121,6 +137,53 @@ object Multimodal {
     * guarantee that, the declared modality can. parseHeader additionally
     * validates the full fixed header, so a mislabeled image row degrades
     * to the stub rather than a garbage parse. */
+  /** REAL pixel-level image resize: nearest-neighbor integer-factor
+    * downsample of every BMP payload (MediaCodec.resizeBmp — actual byte
+    * slicing with row-padding arithmetic), emitting dims RE-PARSED from
+    * the resized output plus its pixel-byte sum. Non-BMP rows (PNG would
+    * need inflate; video is codec-bound) are skipped — the honest
+    * boundary, same doctrine as decodeStub. Partition-batched like every
+    * media stage: the payload never leaves the executor, only the tiny
+    * feature row comes back. */
+  def resizeImages(media: Dataset[MediaRow], factor: Int, numPartitions: Int)
+    : Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(numPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.kind != "image") None
+          else for {
+            (w, h, _) <- MediaCodec.parseHeader(r.payload)
+            if r.payload.length >= 2 && r.payload(0) == 'B'.toByte
+            out <- MediaCodec.resizeBmp(r.payload, factor)
+            (nw, nh, _) <- MediaCodec.parseHeader(out)
+            ps <- MediaCodec.bmpPixelSum(out)
+          } yield ResizedImage(r.media_id, w, h, nw, nh, out.length, ps)
+        }
+      }
+  }
+
+  /** REAL audio frame sampling: every `stride`-th frame of
+    * `frameSamples` sample-frames from each WAV payload's PCM data
+    * chunk, with the exact integral mean |sample| per frame
+    * (MediaCodec.wavFrameMeans — genuine little-endian 16-bit decode).
+    * Non-WAV rows are skipped. */
+  def audioFrameMeans(media: Dataset[MediaRow], frameSamples: Int,
+                      stride: Int, numPartitions: Int): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(numPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.kind != "audio") Iterator.empty
+          else MediaCodec.wavFrameMeans(r.payload, frameSamples, stride)
+            .toSeq.flatten
+            .map { case (k, n, m) => AudioFrame(r.media_id, k, n, m) }
+        }
+      }
+  }
+
   def decodeHeaderFeatures(media: Dataset[MediaRow], numPartitions: Int)
     : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

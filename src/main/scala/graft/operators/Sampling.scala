@@ -260,4 +260,47 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(1L), whole + extra)))
       .drop("_b", "_s", "n_total", "rate_per10k")
   }
+
+  /** Priority sampling (Duffield-Lund-Thorup, JACM 2007): a weighted
+    * without-replacement sample of k rows whose Horvitz-Thompson
+    * estimator weight max(w, τ) gives unbiased subset-sum estimates —
+    * THE way to keep a fixed-budget audit sample of a 100 TB corpus that
+    * still answers "how many tokens does slice X hold" without rescanning.
+    *
+    * Chosen over the better-known A-ES/A-ExpJ (Efraimidis-Spirakis)
+    * family deliberately: A-ES keys are u^(1/w) — a transcendental pow
+    * whose last-ulp behavior differs across engines (the `ln` problem of
+    * bm25Scores/tokenRarity again) — while the priority q = w/u is ONE
+    * exactly-rounded divide, so the oracle reproduces every priority,
+    * the top-k cut, and τ bit-for-bit. Determinism: u is the md5-48
+    * content hash mapped to (0,1], so the sample is stable across runs,
+    * engines, and cluster sizes (the splitBucket doctrine).
+    *
+    * τ = the (k+1)-th largest priority (0 when the population is ≤ k —
+    * then every row is sampled and est_weight = w exactly). Scale shape:
+    * priorities are a row-local projection; top-(k+1) is a rank window
+    * without PARTITION BY — Spark plans a per-partition TopK before the
+    * single-partition final sort, so the exchange carries k+1 rows per
+    * input partition, never the corpus. */
+  def prioritySample(df: org.apache.spark.sql.DataFrame, key: Column,
+                     weight: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "prioritySample needs k >= 1")
+    // u ∈ (0,1]: (h+1)/2^48 as one exact bigint→double convert per side
+    // and one exactly-rounded divide; priority = w/u, the same rules.
+    val u = (TextAnalysis.md5Hash48(key) + lit(1L)).cast("double") /
+      lit((1L << 48).toDouble)
+    val withQ = df.withColumn("_q", weight.cast("double") / u)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_q").desc, key)
+    val ranked = withQ.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k + 1)
+    // 1-row τ aggregate: the (k+1)-th priority, or 0 when the population
+    // is ≤ k (no such row — max over none is null, coalesced)
+    val tau = ranked.agg(coalesce(
+      max(when(col("_rn") === k + 1, col("_q"))), lit(0.0)).as("_tau"))
+    ranked.filter(col("_rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight", greatest(weight.cast("double"), col("_tau")))
+      .drop("_q", "_rn", "_tau")
+  }
 }

@@ -336,16 +336,23 @@ object TextAnalysis {
   private def hexValSql(c: String): String =
     s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 97 THEN 39 ELSE 0 END)"
 
+  /** 48-bit integer from the first 12 hex digits of an ALREADY-hex
+    * string (e.g. an md5 fingerprint column) — the parse half of
+    * md5Hash48, for callers whose input is hex to begin with (one md5
+    * instead of two). */
+  def hex48(h: Column): Column =
+    (1 to 12).map(i =>
+      hexVal(substring(h, i, 1)) * lit(1L << (4 * (12 - i))))
+      .reduce(_ + _).cast("long")
+  def hex48Sql(h: String): String =
+    (1 to 12).map(i =>
+      s"${hexValSql(s"substr($h,$i,1)")} * CAST(${1L << (4 * (12 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
   /** 48-bit integer from the first 12 hex digits of md5(token) — md5 is
     * the strong mixer; the polynomial is just a portable hex parse. */
-  def md5Hash48(t: Column): Column =
-    (1 to 12).map(i =>
-      hexVal(substring(md5(t), i, 1)) * lit(1L << (4 * (12 - i))))
-      .reduce(_ + _).cast("long")
-  def md5Hash48Sql(t: String): String =
-    (1 to 12).map(i =>
-      s"${hexValSql(s"substr(md5($t),$i,1)")} * CAST(${1L << (4 * (12 - i))} AS BIGINT)")
-      .mkString("(", " + ", ")")
+  def md5Hash48(t: Column): Column = hex48(md5(t))
+  def md5Hash48Sql(t: String): String = hex48Sql(s"md5($t)")
 
   /** Rank of the first set bit of the 40-bit value `w` (1 = highest bit
     * set, 41 = w is zero) — the HLL register update, as an exact integer
@@ -399,5 +406,136 @@ object TextAnalysis {
       .agg(countDistinct(col("h")).as("n_exact"))
     est.join(exact, Seq("g"))
       .select(col("g").as("group_key"), col("n_exact"), col("hll_estimate"))
+  }
+
+  // --------------------------------------------------------------------
+  // Retrieval-infrastructure and LM-statistics operators
+  // --------------------------------------------------------------------
+
+  /** Exact integer floor(log2 x) for x ≥ 1, as a comparison chain (the
+    * hllRho doctrine: no float log2, whose boundary rounding can disagree
+    * cross-engine). x ≤ 2^maxBits+1; x < 1 yields 0. */
+  def floorLog2(x: Column, maxBits: Int = 48): Column =
+    (0 to maxBits).foldLeft(lit(0): Column) { (acc, p) =>
+      when(x >= lit(1L << p), p).otherwise(acc)
+    }
+  def floorLog2Sql(x: String, maxBits: Int = 48): String =
+    "(CASE " + (maxBits to 0 by -1).map(p =>
+      s"WHEN $x >= ${1L << p} THEN $p").mkString(" ") + " ELSE 0 END)"
+
+  /** Quantized unigram surprisal per document: mean over the doc's tokens
+    * of floor(log2 N) − floor(log2 cnt(t)) — log2(N/cnt(t)) to within one
+    * bit, in EXACT integer arithmetic. This is the LM-filtering signal
+    * proper (CCNet/KenLM rank documents by mean token log-probability);
+    * tokenRarity's N/cnt carries the same ordering only per-token —
+    * averaged over a document the linear form is dominated by its rarest
+    * token, while the log form (this one) is the additive code-length a
+    * real LM perplexity filter uses. The quantization is what makes it
+    * oracle-exact: per-token bits are integers, the per-doc sum is an
+    * integer (no DECIMAL workaround needed), and the only float op is the
+    * final mean division.
+    *
+    * Scale shape = tokenRarity exactly: one vocabulary groupBy, byte-gated
+    * broadcast (under budget) or SHUFFLE_HASH (over) back onto the token
+    * stream, one per-doc aggregation. */
+  def unigramSurprisal(docs: org.apache.spark.sql.DataFrame, id: String,
+                       text: String,
+                       broadcastBudgetBytes: Long = 256L * 1024 * 1024)
+    : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(id).as("uid"), explode(split(col(text), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    // one 1-row agg: N for the score AND the byte-gate sizing (the
+    // tokenRarity pattern — sanctioned driver pull)
+    val sizing = toks.agg(count(lit(1)),
+      approx_count_distinct(col("t")), avg(length(col("t")))).collect()(0)
+    val total = sizing.getLong(0)
+    val nVocab = sizing.getLong(1)
+    val avgLen = if (sizing.isNullAt(2)) 0.0 else sizing.getDouble(2)
+    val estBytes = (nVocab * (avgLen * 2.0 + 48.0)).toLong
+    val nBits = if (total < 1) 0 else 63 - java.lang.Long.numberOfLeadingZeros(total)
+    val scored =
+      if (estBytes <= broadcastBudgetBytes) toks.join(broadcast(vocab), "t")
+      else toks.join(vocab.hint("SHUFFLE_HASH"), "t")
+    scored
+      .withColumn("bits", lit(nBits) - floorLog2(col("cnt")))
+      .groupBy(col("uid"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .select(col("uid").as(id), col("n_tokens"),
+        r6(col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_surprisal_bits"))
+  }
+
+  /** Inverted index (token → document posting list) with a document-
+    * frequency band as BOTH the signal filter and the skew guard: tokens
+    * below `minDf` are hapax noise, tokens above `maxDf` are stopwords —
+    * and at 100 TB a stopword's posting list is the unboundedly-skewed
+    * key that would hot-spot the shuffle and produce a useless
+    * gigabyte-long row. Inside the band every posting list is ≤ maxDf
+    * entries by construction (the q88 crossSourceOverlap cap argument).
+    * Postings are doc-ids sorted ascending, comma-joined — the
+    * deterministic serialized form both engines produce identically. */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, id: String,
+                    text: String, minDf: Int = 2, maxDf: Int = 100)
+    : org.apache.spark.sql.DataFrame =
+    invertedIndexTerms(docs, id, split(col(text), " "), minDf, maxDf)
+
+  /** invertedIndex over a caller-supplied term array (e.g. wordBigrams
+    * for a phrase index, tokenGramFingerprints for a shingle index). */
+  def invertedIndexTerms(docs: org.apache.spark.sql.DataFrame, id: String,
+                         terms: Column, minDf: Int = 2, maxDf: Int = 100)
+    : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(id).as("pid"), explode(terms).as("t"))
+      .filter(length(col("t")) > 0)
+      .distinct()
+    toks.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(array_sort(collect_list(col("pid"))), _.cast("string")),
+          ",").as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+      .select(col("t").as("token"), col("df"), col("postings"))
+  }
+
+  /** PMI collocations over adjacent word bigrams, scored as LIFT —
+    * c_xy · N_uni² / (N_bi · c_x · c_y), the exponential of PMI. Keeping
+    * the score in its rational form is the bm25Scores/tokenRarity
+    * doctrine: one exactly-rounded divide of two exactly-converted
+    * integer products instead of a cross-engine `ln`, with the identical
+    * ranking (exp is monotone). `minCount` kills one-off pairings (PMI's
+    * known low-count pathology) and bounds the output; integer products
+    * stay under 2^63 for corpora to ~10¹² tokens (beyond that the score
+    * moves to log space and becomes a ranking, not an oracle-exact
+    * value — documented limit). */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, text: String,
+                      minCount: Int = 5): org.apache.spark.sql.DataFrame = {
+    val toksArr = docs.select(split(col(text), " ").as("ts"))
+    val uni = toksArr.select(explode(col("ts")).as("t"))
+      .filter(length(col("t")) > 0)
+    val uniCnt = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = toksArr.select(explode(wordBigrams(col("ts"))).as("bg"))
+    // totals in ONE 1-row aggregate each side; joined in as broadcast
+    // 1-row cross products — no driver pull on the answer path
+    val nUni = uni.agg(count(lit(1)).as("n_uni"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val biCnt = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("tok_x", split(col("bg"), " ").getItem(0))
+      .withColumn("tok_y", split(col("bg"), " ").getItem(1))
+    // uniCnt is vocabulary-sized — potentially unbounded, so NOT force-
+    // broadcast (the q70 rule); AQE picks broadcast when it fits, else
+    // both sides hash-shuffle on the token key they were grouped by.
+    biCnt
+      .join(uniCnt.select(col("t"), col("c").as("c_x")),
+        col("tok_x") === col("t")).drop("t")
+      .join(uniCnt.select(col("t"), col("c").as("c_y")),
+        col("tok_y") === col("t")).drop("t")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .select(col("tok_x"), col("tok_y"), col("c_xy"), col("c_x"), col("c_y"),
+        r6((col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("n_bi") * col("c_x") * col("c_y")).cast("double")).as("lift"))
   }
 }

@@ -82,6 +82,22 @@ object EventQueries extends QueryPack {
         .groupBy((col("k_val") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), max(col("k_val")).as("max_k"))
         .orderBy(col("k_bucket"))
+    }),
+
+    // ---- Native session_window sessionization (batch execution of the
+    // SAME definition the streaming parity spec runs): the oracle is the
+    // hand-rolled lag/cumsum islands SQL with session_window's merge rule
+    // (a new session starts at ts ≥ prev + gap — the [start, end)
+    // convention; q39's islands use strict >, a boundary distinction the
+    // oracle spells explicitly). Session bounds compare as exact epoch
+    // microseconds — integer, no timestamp-formatting ambiguity.
+    "q107_session_window" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionWindowCounts(load(s, dir, "events"))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
     })
   )
 
@@ -132,6 +148,28 @@ object EventQueries extends QueryPack {
         |  SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) % 10 AS k_bucket,
         |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k_val
         |  FROM events)
-        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+    // session_window merge rule as islands: new session at ts >= prev+gap
+    // (equal-boundary events do NOT merge — [start, end) windows touch
+    // without overlapping); end = last event + gap.
+    "q107_session_window" ->
+      """WITH w AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, ts,
+        |             CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS ns
+        |      FROM w),
+        |g AS (SELECT user_id, ts,
+        |             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin
   )
 }

@@ -812,6 +812,129 @@ object PipelineQueries extends QueryPack {
       TextAnalysis.hllDistinctTokens(toks, col("source"), col("tok"))
         .select(col("group_key").as("source"), col("n_exact"), col("hll_estimate"))
         .orderBy(col("source"))
+    }),
+
+    // ---- KMV bottom-k sketch similarity matrix: every source pair's
+    // Jaccard over token-bigram fingerprints, ESTIMATED from two k=64
+    // sketches (row-local array math over fixed-size synopses — the scale
+    // path q88's exact matrix lacks), next to the exact Jaccard
+    // (evidence, the q100 pattern). Bottom-k and the estimate are pure
+    // integer arithmetic + one divide, rebuilt bit-for-bit by the oracle.
+    "q101_kmv_source_sim" -> ((s, dir) => {
+      Sketches.kmvSourceSimilarity(load(s, dir, "documents"), "source", "text",
+          n = 2, k = 64)
+        .select(col("src_a"), col("src_b"),
+          col("k_union").cast("long").as("k_union"),
+          col("k_inter").cast("long").as("k_inter"),
+          col("jaccard_est"), col("jaccard_exact"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // ---- SCD type-2 history: q95's exact change log replayed as KEPT
+    // versions with validity intervals instead of a latest-wins snapshot —
+    // the audit/"corpus as of seq s" form. One union + one lead() window,
+    // no join at all; md5 per version pins every payload byte-exactly.
+    "q102_scd2_history" -> ((s, dir) => {
+      val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val up1 = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v1")).as("text"),
+          lit("upsert").as("op"), lit(1).as("seq"))
+      val up2 = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit("upsert").as("op"), lit(2).as("seq"))
+      val del = base.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op"), lit(3).as("seq"))
+      val ins = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit("upsert").as("op"), lit(1).as("seq"))
+      Merge.scd2History(base,
+          up1.unionByName(up2).unionByName(del).unionByName(ins),
+          "doc_id", "seq", "op")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("doc_id"), col("valid_from"))
+    }),
+
+    // ---- Inverted PHRASE index: word-bigram terms → sorted doc-id
+    // posting lists, df-banded [2, 50] — the band is the skew guard (a
+    // stopword phrase's posting list is the unbounded hot key at 100 TB)
+    // and bounds every emitted list at maxDf entries by construction.
+    "q103_inverted_index" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      TextAnalysis.invertedIndexTerms(docs, "doc_id",
+          TextAnalysis.wordBigrams(split(col("text"), " ")), minDf = 2, maxDf = 50)
+        .orderBy(col("token"))
+    }),
+
+    // ---- Quantized unigram surprisal: per-doc mean of
+    // floor(log2 N) − floor(log2 cnt(t)) — the LM code-length filter
+    // (CCNet-style) in exact integer arithmetic; the per-doc sum is an
+    // integer, so no cross-engine float summation exists at all.
+    "q104_lm_surprisal" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PMI collocations as rational LIFT (exp of PMI — same ranking,
+    // no cross-engine ln): adjacent word bigrams with ≥5 occurrences,
+    // scored c_xy·N_uni²/(N_bi·c_x·c_y).
+    "q105_pmi_collocations" -> ((s, dir) => {
+      TextAnalysis.pmiCollocations(load(s, dir, "documents"), "text", minCount = 5)
+        .orderBy(col("tok_x"), col("tok_y"))
+    }),
+
+    // ---- Priority sampling (Duffield-Lund-Thorup): k=25 docs weighted
+    // by n_chars, with the Horvitz-Thompson estimator weight max(w, τ).
+    // Content-keyed u ⇒ the sample is run- and engine-stable; priorities
+    // are one exact divide, so the oracle reproduces the top-k cut and τ
+    // bit-for-bit.
+    "q106_priority_sample" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      Sampling.prioritySample(docs, col("text"), col("n_chars"), 25)
+        .select(col("doc_id"), col("n_chars"),
+          graft.Tables.r6(col("est_weight")).as("est_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Histogram-synopsis percentiles: per-source p50/p90 token
+    // counts from a 32-bin equi-width histogram — the bounded-state,
+    // map-side-combinable scale path next to q97's exact rank windows
+    // (error ≤ one bin width; all-integer arithmetic, q97's ceil-div
+    // convention, estimate = lower edge of the first bin reaching the
+    // rank). Compare with q97's exact values to see the error.
+    "q108_histogram_quantiles" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("nt"))
+      Sketches.histogramQuantiles(toks, col("source"), col("nt"), 32)
+        .select(col("g").as("source"), col("n_rows"), col("bin_width"),
+          col("p50_est"), col("p90_est"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- REAL image resize (factor-2 nearest-neighbor over actual BMP
+    // pixel bytes): output dims come from RE-PARSING the resized payload
+    // and pixel_sum from walking its pixel array — the oracle recomputes
+    // both from (doc_id, w, h) and the deterministic fill pattern, so a
+    // padding/stride/offset bug in the writer OR the resizer breaks the
+    // hash. PNG (inflate-bound) and video (codec-bound) rows are skipped
+    // by the operator's documented boundary.
+    "q109_media_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(s, load(s, dir, "documents"))
+      Multimodal.resizeImages(media, 2, 32).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- REAL audio frame sampling: every 2nd 64-sample-frame window of
+    // each WAV's PCM data, mean |sample| decoded from the little-endian
+    // bytes with an integral mean; the oracle replays the sample formula
+    // v(j) = ((j·37 + id) mod 2048) − 1024 in SQL.
+    "q110_audio_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(s, load(s, dir, "documents"))
+      Multimodal.audioFrameMeans(media, 64, 2, 32).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -1628,7 +1751,209 @@ object PipelineQueries extends QueryPack {
         |       round(${TextAnalysis.HllNumeratorSql} / sd * 1000000.0)
         |         / 1000000.0 AS hll_estimate
         |FROM s JOIN ex ON s.source = ex.source
-        |ORDER BY s.source""".stripMargin)
+        |ORDER BY s.source""".stripMargin),
+
+    // The identical KMV pipeline: token-bigram md5 fingerprints, hex-48
+    // parse, bottom-64 per source by row_number, union/intersection over
+    // the sketches relationally, exact Jaccard from the full hash sets.
+    "q101_kmv_source_sim" ->
+      (s"""WITH ct AS (SELECT source AS src, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT DISTINCT src, md5(array_to_string(toks[i:i+1], ' ')) AS fp
+         |      FROM ct, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+         |h AS (SELECT DISTINCT src, CAST(${TextAnalysis.hex48Sql("fp")} AS BIGINT) AS h FROM g),
+         |sk AS (SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn FROM h),
+         |skk AS (SELECT src, h FROM sk WHERE rn <= 64),
+         |srcs AS (SELECT DISTINCT src FROM h),
+         |pairs AS (SELECT a.src AS sa, b.src AS sb FROM srcs a JOIN srcs b ON a.src < b.src),
+         |uh AS (SELECT p.sa, p.sb, s.h FROM pairs p JOIN skk s ON s.src = p.sa
+         |       UNION SELECT p.sa, p.sb, s.h FROM pairs p JOIN skk s ON s.src = p.sb),
+         |un AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uh),
+         |unk AS (SELECT sa, sb, h FROM un WHERE rn <= 64),
+         |ku AS (SELECT sa, sb, count(*) AS k_union FROM unk GROUP BY sa, sb),
+         |ki AS (SELECT u.sa, u.sb, count(*) AS k_inter FROM unk u
+         |       JOIN skk x ON x.src = u.sa AND x.h = u.h
+         |       JOIN skk y ON y.src = u.sb AND y.h = u.h
+         |       GROUP BY u.sa, u.sb),
+         |sizes AS (SELECT src, count(*) AS n FROM h GROUP BY src),
+         |iex AS (SELECT a.src AS sa, b.src AS sb, count(*) AS ni
+         |        FROM h a JOIN h b ON a.h = b.h AND a.src < b.src
+         |        GROUP BY a.src, b.src)
+         |SELECT ku.sa AS src_a, ku.sb AS src_b, ku.k_union,
+         |       COALESCE(ki.k_inter, 0) AS k_inter,
+         |       round(CAST(COALESCE(ki.k_inter, 0) AS DOUBLE) / CAST(ku.k_union AS DOUBLE)
+         |             * 1000000.0) / 1000000.0 AS jaccard_est,
+         |       round(CAST(COALESCE(iex.ni, 0) AS DOUBLE)
+         |             / CAST(sa.n + sb.n - COALESCE(iex.ni, 0) AS DOUBLE)
+         |             * 1000000.0) / 1000000.0 AS jaccard_exact
+         |FROM ku
+         |LEFT JOIN ki ON ki.sa = ku.sa AND ki.sb = ku.sb
+         |LEFT JOIN iex ON iex.sa = ku.sa AND iex.sb = ku.sb
+         |JOIN sizes sa ON sa.src = ku.sa
+         |JOIN sizes sb ON sb.src = ku.sb
+         |ORDER BY src_a, src_b""".stripMargin),
+
+    // q95's change log, kept as type-2 versions: base at seq 0, lead()
+    // closes each version, deletes close without emitting.
+    "q102_scd2_history" ->
+      """WITH changes AS (
+        |  SELECT doc_id, text || ' v1' AS text, 'upsert' AS op, 1 AS seq
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text || ' v2', 'upsert', 2
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL SELECT doc_id, NULL, 'delete', 3
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 500000, 'new doc ' || doc_id, 'upsert', 1
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |evs AS (
+        |  SELECT doc_id, text, CAST(0 AS BIGINT) AS s, FALSE AS del FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, CAST(seq AS BIGINT), op = 'delete' FROM changes),
+        |v AS (SELECT doc_id, text, s, del,
+        |             lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS t
+        |      FROM evs)
+        |SELECT doc_id, md5(text) AS text_md5, s AS valid_from, t AS valid_to,
+        |       t IS NULL AS is_current
+        |FROM v WHERE NOT del ORDER BY doc_id, valid_from""".stripMargin,
+
+    // Phrase posting lists: distinct (doc, bigram), df band [2, 50],
+    // doc-ids ascending comma-joined.
+    "q103_inverted_index" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS term
+        |       FROM x, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+        |t AS (SELECT doc_id, term FROM bg WHERE length(term) > 0),
+        |a AS (SELECT term AS token, count(*) AS df,
+        |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |      FROM t GROUP BY term)
+        |SELECT token, df, postings FROM a
+        |WHERE df BETWEEN 2 AND 50 ORDER BY token""".stripMargin,
+
+    // The identical integer floor-log2 chains over corpus total and
+    // per-token counts; the per-doc sum is integer, the mean is the one
+    // float op.
+    "q104_lm_surprisal" ->
+      (s"""WITH x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |toks AS (SELECT doc_id, t FROM x WHERE length(t) > 0),
+         |vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         |tot0 AS (SELECT count(*) AS n FROM toks),
+         |tot AS (SELECT ${TextAnalysis.floorLog2Sql("n")} AS nbits FROM tot0),
+         |sc AS (SELECT doc_id, nbits - ${TextAnalysis.floorLog2Sql("cnt")} AS bits
+         |       FROM toks JOIN vocab USING (t), tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |             * 1000000.0) / 1000000.0 AS mean_surprisal_bits
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Rational lift with the identical integer products and single divide.
+    "q105_pmi_collocations" ->
+      """WITH x AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |uni AS (SELECT t FROM (SELECT unnest(toks) AS t FROM x) WHERE length(t) > 0),
+        |ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+        |nu AS (SELECT count(*) AS n_uni FROM uni),
+        |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bg
+        |       FROM x, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+        |nb AS (SELECT count(*) AS n_bi FROM bg),
+        |bcnt AS (SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg HAVING count(*) >= 5),
+        |sp AS (SELECT string_split(bg, ' ')[1] AS tok_x, string_split(bg, ' ')[2] AS tok_y,
+        |              c_xy FROM bcnt)
+        |SELECT tok_x, tok_y, c_xy, cx.c AS c_x, cy.c AS c_y,
+        |       round(CAST(c_xy * n_uni * n_uni AS DOUBLE)
+        |             / CAST(n_bi * cx.c * cy.c AS DOUBLE)
+        |             * 1000000.0) / 1000000.0 AS lift
+        |FROM sp JOIN ucnt cx ON cx.t = sp.tok_x
+        |        JOIN ucnt cy ON cy.t = sp.tok_y, nu, nb
+        |ORDER BY tok_x, tok_y""".stripMargin,
+
+    // The identical priorities (exact hash→(0,1] divide by 2^48, one w/u
+    // divide), top-25 cut, and τ = the 26th priority (0 if none).
+    "q106_priority_sample" ->
+      (s"""WITH d AS (SELECT doc_id, text, n_chars,
+         |           CAST(${TextAnalysis.md5Hash48Sql("text")} AS BIGINT) AS h
+         |      FROM documents),
+         |q AS (SELECT doc_id, text, n_chars,
+         |             CAST(n_chars AS DOUBLE) /
+         |             (CAST(h + 1 AS DOUBLE) / 281474976710656.0) AS pq
+         |      FROM d),
+         |r AS (SELECT doc_id, text, n_chars, pq,
+         |             row_number() OVER (ORDER BY pq DESC, text) AS rn
+         |      FROM q),
+         |tau AS (SELECT COALESCE(max(CASE WHEN rn = 26 THEN pq END), 0.0) AS tau
+         |        FROM r WHERE rn <= 26)
+         |SELECT doc_id, n_chars,
+         |       round(greatest(CAST(n_chars AS DOUBLE), tau) * 1000000.0)
+         |         / 1000000.0 AS est_weight
+         |FROM r, tau WHERE rn <= 25 ORDER BY doc_id""".stripMargin),
+
+    // The identical integer histogram: width = (max−min) div 32 + 1, bin
+    // = (v−min) div width, estimate = lower edge of the first bin whose
+    // cumulative count reaches the q97 ceil-div rank.
+    "q108_histogram_quantiles" ->
+      """WITH vals AS (
+        |  SELECT source AS g, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |st AS (SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n
+        |       FROM vals GROUP BY g),
+        |stw AS (SELECT g, mn, mx, n, (mx - mn) // 32 + 1 AS width FROM st),
+        |h AS (SELECT v.g, (v.v - s.mn) // s.width AS bin, count(*) AS c
+        |      FROM vals v JOIN stw s ON v.g = s.g
+        |      GROUP BY v.g, (v.v - s.mn) // s.width),
+        |cum AS (SELECT g, bin, c,
+        |               sum(c) OVER (PARTITION BY g ORDER BY bin
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM h)
+        |SELECT s.g AS source, s.n AS n_rows, s.width AS bin_width,
+        |       s.mn + s.width * min(CASE WHEN cum >= (s.n + 1) // 2 THEN bin END) AS p50_est,
+        |       s.mn + s.width * min(CASE WHEN cum >= (s.n * 9 + 9) // 10 THEN bin END) AS p90_est
+        |FROM cum JOIN stw s USING (g)
+        |GROUP BY s.g, s.n, s.width, s.mn ORDER BY source""".stripMargin,
+
+    // Resized-BMP expectation from the generation rule: even-id image
+    // docs (doc_id % 6 = 0), dims 16+(13id)%48 × 16+(29id)%32, factor-2
+    // ceil-div downsample; pixel (nx,ny) channel c carries
+    // (6nx + c + 14ny + id) mod 251, summed over the new pixel array.
+    "q109_media_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS INT) AS w,
+        |         CAST(16 + (doc_id*29) % 32 AS INT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |dims AS (SELECT doc_id, w, h,
+        |                (w + 1) // 2 AS nw, (h + 1) // 2 AS nh FROM imgs),
+        |py AS (SELECT doc_id, w, h, nw, nh,
+        |              unnest(generate_series(0, nh - 1)) AS ny FROM dims),
+        |pyx AS (SELECT *, unnest(generate_series(0, nw - 1)) AS nx FROM py),
+        |pyxc AS (SELECT *, unnest(generate_series(0, 2)) AS c FROM pyx),
+        |ps AS (SELECT doc_id,
+        |              CAST(sum((6*nx + c + 14*ny + doc_id) % 251) AS BIGINT) AS pixel_sum
+        |       FROM pyxc GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, d.w AS orig_w, d.h AS orig_h,
+        |       CAST(d.nw AS INT) AS new_w, CAST(d.nh AS INT) AS new_h,
+        |       CAST(54 + ((d.nw*3 + 3) - (d.nw*3 + 3) % 4) * d.nh AS INT) AS out_bytes,
+        |       ps.pixel_sum
+        |FROM dims d JOIN ps ON ps.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // WAV frame means from the sample formula: audio docs (doc_id % 3 =
+    // 1), ch = 1 + id % 2, ns = 100 + id % 400, full 64-sample-frame
+    // windows only, every 2nd frame; slot j carries
+    // ((37j + id) mod 2048) − 1024.
+    "q110_audio_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |         CAST(100 + doc_id % 400 AS BIGINT) AS ns
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (SELECT doc_id, ch,
+        |              unnest(generate_series(0, ns // 64 - 1)) AS k FROM a),
+        |sel AS (SELECT doc_id, ch, k FROM fr WHERE k % 2 = 0),
+        |slots AS (SELECT doc_id, ch, k,
+        |                 unnest(generate_series(k*64*ch, (k+1)*64*ch - 1)) AS j
+        |          FROM sel)
+        |SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+        |       CAST(64 * ch AS INT) AS n_slots,
+        |       CAST(sum(abs((j*37 + doc_id) % 2048 - 1024)) // (64 * ch) AS BIGINT)
+        |         AS mean_abs
+        |FROM slots GROUP BY doc_id, k, ch
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables.r6
-import graft.operators.{Decontamination, SimilaritySearch}
+import graft.operators.{Decontamination, Dedup, SimilaritySearch}
 
 /**
  * Streaming curation built on STREAM-STATIC joins: an ingest stream of
@@ -68,4 +68,43 @@ object CurationStreams {
         >= threshold)
       .dropDuplicates("vec_id")
       .select(col("vec_id"), col("cid"))
+
+  /** Near-duplicate pairs between a STREAMING doc source and a static
+    * MinHash-LSH [[graft.operators.Dedup.DedupIndex]] — the streaming
+    * form of the q81 incremental arrival path (check a landing crawl
+    * against the corpus as it streams in, no corpus re-scan per batch).
+    *
+    * Same detection semantics as Dedup.incrementalPairs' PROBE side —
+    * band-signature equi collision, size-ratio prefilter, exact-Jaccard
+    * verify at the same threshold, identical inter/(na+nb−inter)
+    * arithmetic — re-shaped for what append-mode streaming allows: the
+    * batch verify's mapPartitions-over-pruned-sets needs per-batch
+    * collects/persists, so the stream instead CARRIES each incoming
+    * doc's gram set on its band rows (4× array duplication, bounded by
+    * the batch) and verifies row-locally with array_intersect after the
+    * two stream-static equi joins (bands, then the matched index doc's
+    * gram set). Within-batch pairs are not emitted — that is a
+    * stream-stream self-join; run the batch operator over the landed
+    * files for intra-crawl dups (StreamNearDupSpec pins the probe-side
+    * parity). Persist both index relations for long streams. */
+  def nearDupPairs(stream: DataFrame, index: Dedup.DedupIndex, id: String,
+                   text: String, threshold: Double): DataFrame = {
+    // band rows carry the doc's gram set (stateless projection — joining
+    // sets back post-explode would be a stream-stream self-join)
+    val inBands = Dedup.bandRelationWithSets(Dedup.gramSets(stream, id, text))
+    inBands.as("y")
+      .join(index.bands.as("x"),
+        col("x.sig") === col("y.sig") &&
+          least(col("x.gn"), col("y.gn")).cast("double") >=
+            lit(threshold) * greatest(col("x.gn"), col("y.gn")))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"), col("y.gs"))
+      .dropDuplicates("id_a", "id_b")
+      .join(index.sets.select(col("sid").as("id_a"), col("gs").as("xgs")),
+        Seq("id_a"))
+      .withColumn("inter", size(array_intersect(col("gs"), col("xgs"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("xgs")) + size(col("gs")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

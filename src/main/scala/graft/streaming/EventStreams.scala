@@ -82,6 +82,48 @@ object EventStreams {
       }
   }
 
+  /** Native gap-based sessionization via `session_window` — the
+    * DECLARATIVE form of [[sessionize]]'s custom state machine (Catalyst
+    * merges overlapping [ts, ts+gap) windows per key; state eviction
+    * rides the watermark, which batch execution ignores). One definition
+    * serves three proofs: the q107 DuckDB oracle (batch, against the
+    * islands SQL — pinning that the native operator's merge rule equals
+    * the hand-rolled lag/cumsum sessionization), the streaming parity
+    * spec, and the flatMapGroupsWithState comparison. Session end =
+    * last event + gap, the [start, end) convention. */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Stream-STREAM interval join (the one join class CurationStreams'
+    * stream-static shapes don't cover): purchases attributed to the same
+    * user's views within the preceding hour. Both sides carry a 2-hour
+    * watermark and the join condition bounds event time on BOTH ends, so
+    * Spark can evict join state — the requirement for an append-mode
+    * stream-stream join to run unbounded (without the time bound, state
+    * grows forever; the analysis rejects it). The SAME function on a
+    * batch DataFrame is the parity oracle (StreamStreamJoinSpec). */
+  def viewPurchaseAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** File-source stream over a directory of parquet event files → hourly
     * counts → parquet sink. The deploy-shaped entry point: at scale this
     * is the ingest half of the pipeline (maxFilesPerTrigger bounds batch

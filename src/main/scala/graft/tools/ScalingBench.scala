@@ -148,7 +148,11 @@ object ScalingBench {
       "q85_semantic_dedup",
       "q88_source_overlap",
       "q93_dup_spans",
-      "q94_span_scrub")
+      "q94_span_scrub",
+      "q101_kmv_source_sim",
+      "q103_inverted_index",
+      "q104_lm_surprisal",
+      "q105_pmi_collocations")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

@@ -224,4 +224,44 @@ class PlanAuditSpec extends AnyFunSuite {
     // already-exploded gram stream, before the exchange/join
     assert(p.contains("UDF"), p.take(3000))
   }
+
+  test("q101 kmv: sketch-pair stage is all broadcast — nothing corpus-sized crosses it") {
+    val p = plan("q101_kmv_source_sim")
+    // the |sources|-row sketch relations join by broadcast (pair matrix +
+    // exact-evidence joins); the only shuffles are the distinct-hash
+    // aggregation and the per-source rank window
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+  }
+
+  test("q103 inverted index: no join, bounded exchange count") {
+    val p = plan("q103_inverted_index")
+    assert(joinOps.findAllIn(p).isEmpty, p.take(3000))
+    // distinct (doc, term) + groupBy(term) + output sort — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+  }
+
+  test("q104 surprisal: vocabulary under budget broadcasts — corpus token stream never shuffles for the join") {
+    val p = plan("q104_lm_surprisal")
+    // q70's byte-gate doctrine: the sf-test vocab is far under 256 MB, so
+    // the join MUST be broadcast here (the over-budget SHUFFLE_HASH leg is
+    // exercised by q70b's forced variant, same gate code)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q106 priority sample: rank-limit becomes a distributed top-k — the corpus never single-partitions") {
+    val p = plan("q106_priority_sample")
+    // the row_number ≤ k+1 filter must not execute as a full
+    // single-partition window sort: Spark rewrites it either to
+    // TakeOrderedAndProject (per-partition top-k + driver merge — what
+    // 4.1 plans here) or to a Partial WindowGroupLimit below the
+    // exchange; both ship k+1 rows per partition, never the corpus
+    assert(p.contains("TakeOrderedAndProject") ||
+      (p.contains("WindowGroupLimit") && p.contains("Partial")), p.take(3000))
+  }
 }

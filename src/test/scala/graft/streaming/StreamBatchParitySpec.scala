@@ -46,4 +46,28 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("sessionWindowCounts over a bounded file stream equals the batch result") {
+    val batchRaw = graft.Tables.load(spark, TestSpark.sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val rawSchema = spark.read.parquet(dir).schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(dir), "ts")
+
+    val q = EventStreams.sessionWindowCounts(stream)
+      .writeStream.format("memory").queryName("session_parity")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))
+      val streamed = spark.table("session_parity").collect().map(key).toSet
+      val batch = EventStreams.sessionWindowCounts(batchRaw).collect().map(key).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
