@@ -110,7 +110,10 @@ object Bench {
     "q107_session_window",  // native session_window sessionization
     "q108_histogram_quantiles", // bounded-state percentile synopsis
     "q109_media_resize",    // real BMP pixel-level downsample + reparse
-    "q110_audio_frames")    // real WAV PCM frame sampling
+    "q110_audio_frames",    // real WAV PCM frame sampling
+    "q111_cms_heavy_hitters", // Count-Min frequency synopsis + top-k probe
+    "q112_media_jpeg",      // real JPEG marker-walk dimension decode
+    "q113_hashed_classifier") // hashing-trick linear quality classifier
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -210,9 +210,73 @@ object MediaCodec {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Minimal well-formed baseline JPEG (ITU-T T.81): SOI, a COM segment
+    * of `commentLen` bytes (variable — it MOVES the SOF, so parsing by
+    * fixed offset is impossible by construction), DQT (65-byte table),
+    * SOF0 with big-endian height/width, a 1-symbol DHT, SOS, `16 +
+    * (w*h) % 64` entropy bytes (values mod 255 — never a 0xFF that
+    * could fake a marker), EOI. Total bytes: 122 + commentLen + nData. */
+  def jpeg(width: Int, height: Int, commentLen: Int = 0): Array[Byte] = {
+    require(width > 0 && width <= 0xFFFF && height > 0 && height <= 0xFFFF,
+      "jpeg: dims must fit unsigned 16-bit")
+    require(commentLen >= 0 && commentLen <= 0xFFFD, "jpeg: bad comment length")
+    val nData = 16 + (width * height) % 64
+    val out = ByteBuffer.allocate(122 + commentLen + nData).order(ByteOrder.BIG_ENDIAN)
+    def marker(m: Int): Unit = { out.put(0xFF.toByte); out.put(m.toByte) }
+    marker(0xD8)                                        // SOI
+    marker(0xFE); out.putShort((2 + commentLen).toShort) // COM
+    (0 until commentLen).foreach(i => out.put(((i * 31 + 7) % 127).toByte))
+    marker(0xDB); out.putShort(67); out.put(0.toByte)   // DQT, table 0
+    (0 until 64).foreach(i => out.put((1 + (i * 3) % 255).toByte))
+    marker(0xC0); out.putShort(11)                      // SOF0
+    out.put(8.toByte)                                   // precision
+    out.putShort(height.toShort); out.putShort(width.toShort)
+    out.put(1.toByte)                                   // 1 component
+    out.put(1.toByte); out.put(0x11.toByte); out.put(0.toByte)
+    marker(0xC4); out.putShort(20); out.put(0.toByte)   // DHT: one 1-bit code
+    out.put(1.toByte); (1 until 16).foreach(_ => out.put(0.toByte))
+    out.put(0.toByte)                                   // the symbol
+    marker(0xDA); out.putShort(8)                       // SOS
+    out.put(1.toByte); out.put(1.toByte); out.put(0.toByte)
+    out.put(0.toByte); out.put(0x3F.toByte); out.put(0.toByte)
+    (0 until nData).foreach(i => out.put(((i * 31 + 7) % 255).toByte))
+    marker(0xD9)                                        // EOI
+    out.array()
+  }
+
+  /** Real JPEG dimension parse: walk the marker stream from SOI, skipping
+    * each variable-length segment by its OWN length field, until a SOF
+    * marker (C0–CF minus DHT C4 / JPG C8 / DAC CC) yields big-endian
+    * height/width — the walk every real JPEG reader does, since nothing
+    * in the format sits at a fixed offset past SOI. None for truncated
+    * streams, non-FF garbage between segments, out-of-range lengths, or
+    * streams that reach SOS/EOI without a frame header. */
+  def parseJpegDims(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = payload(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (payload.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var pos = 2
+    while (pos + 4 <= payload.length) {
+      if (u8(pos) != 0xFF) return None
+      val m = u8(pos + 1)
+      if (m == 0xD9 || m == 0xDA) return None // SOS/EOI before any SOF
+      val segLen = u16(pos + 2)
+      if (segLen < 2 || pos + 2 + segLen > payload.length) return None
+      val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+      if (isSof) {
+        if (segLen < 9) return None
+        val h = u16(pos + 5); val w = u16(pos + 7)
+        return if (w > 0 && h > 0) Some((w, h, 1)) else None
+      }
+      pos += 2 + segLen
+    }
+    None
+  }
+
   /** Parse a payload's header if it is a format we really decode:
     *  - BMP → (width, height, 1)
     *  - PNG → (width, height, 1)
+    *  - JPEG → (width, height, 1) via the real marker walk (parseJpegDims)
     *  - WAV → (channels, sampleRate, nSamples)
     * None for anything else (caller falls back to the documented stub).
     * Each branch validates the full fixed header, not just the leading
@@ -234,6 +298,9 @@ object MediaCodec {
       val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
       val w = buf.getInt(16); val h = buf.getInt(20)
       if (w > 0 && h > 0) Some((w, h, 1)) else None
+    } else if (payload.length >= 4 && (payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xFF) == 0xD8) {
+      parseJpegDims(payload)
     } else if (payload.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
         tag(12, "fmt ") && tag(36, "data")) {
       val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)

@@ -123,6 +123,26 @@ object Multimodal {
     }
   }
 
+  /** Media table whose image rows are REAL baseline JPEGs with a
+    * per-row-length COM segment ahead of the frame header — the SOF
+    * marker lands at a DIFFERENT offset in every payload, so the decode
+    * stage can only recover dimensions by walking the marker stream the
+    * way a real JPEG reader does (MediaCodec.parseJpegDims). Dimension
+    * formulas are the q71 family's; audio/video rows pass through
+    * untouched (q112 reads only the image rows). */
+  def mediaJpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).map { r =>
+      if (r.kind != "image") r
+      else {
+        val id = r.media_id
+        val w = (16 + (id * 13) % 48).toInt
+        val h = (16 + (id * 29) % 32).toInt
+        r.copy(payload = MediaCodec.jpeg(w, h, commentLen = (id % 23).toInt))
+      }
+    }
+  }
+
   /** Batched decode that REALLY parses headerable containers (BMP/PNG/WAV
     * via MediaCodec) and falls back to the documented stub for codec-bound
     * payloads. Output packing per modality: image → (width, height, 1);

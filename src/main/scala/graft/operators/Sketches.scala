@@ -109,6 +109,55 @@ object Sketches {
           min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("bin")))).as("p90_est"))
   }
 
+  /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) over
+    * a token stream: `depth` hash rows × `width` counters, built as ONE
+    * (row, cell) grouped count — mergeable, map-side combinable, so the
+    * exchange carries ≤ depth·width rows no matter the corpus (the
+    * q100/q108 bounded-state argument, this time for FREQUENCY rather
+    * than cardinality). Point estimate for a token = min over its depth
+    * cells — an overestimate only (one-sided error ≤ εN with ε = e/width
+    * at the usual depth=⌈ln 1/δ⌉), which is the property that makes CMS
+    * the standard vocabulary / stopword / heavy-hitter pass over a
+    * 100 TB token stream.
+    *
+    * Hash family: the 32 hex chars of ONE md5 are four disjoint 8-char
+    * slices, each parsed as a 32-bit integer (hexParse) and reduced
+    * mod width — independent-enough rows from a single strong mixer,
+    * and bit-reproducible in DuckDB, so the oracle rebuilds every
+    * counter and every min. The EXACT top-k candidate list (full token
+    * groupBy + one global rank window) is the evidence branch that
+    * stops scaling — at 100 TB candidates come from per-partition local
+    * top-k or a prior round's sketch instead; the sketch build and the
+    * min-estimate probe are the branches that ship. */
+  def cmsHeavyHitters(df: DataFrame, token: Column, depth: Int = 4,
+                      width: Int = 512, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 4, "cmsHeavyHitters: depth must be 1..4 (md5 has 4 slices)")
+    require(width >= 2, "cmsHeavyHitters: width must be >= 2")
+    def cellsOf(hx: Column): Column = array((0 until depth).map(j =>
+      TextAnalysis.hexParse(hx, 1 + 8 * j, 8) % width): _*)
+
+    val toks = df.select(token.as("tok"), md5(token).as("hx"))
+    val sketch = toks
+      .select(posexplode(cellsOf(col("hx"))).as(Seq("j", "cell")))
+      .groupBy(col("j"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val w = Window.orderBy(col("n_exact").desc, col("tok"))
+    val cand = exact
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+
+    // candidate side is ≤ topK rows after the rank filter — broadcast by
+    // construction; the sketch side is ≤ depth·width rows, also tiny.
+    cand
+      .select(col("tok"), col("n_exact"), col("rank"),
+        posexplode(cellsOf(md5(col("tok")))).as(Seq("j", "cell")))
+      .join(sketch, Seq("j", "cell"))
+      .groupBy(col("tok"), col("n_exact"), col("rank"))
+      .agg(min(col("c")).as("cms_estimate"))
+  }
+
   /** Cross-source similarity matrix from KMV sketches: for every source
     * pair, the bottom-k union sketch K, the members of K present in BOTH
     * source sketches K∩, and the Jaccard estimate K∩/|K| — next to the

@@ -85,6 +85,30 @@ object TextAnalysis {
     r6((lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3))
   }
 
+  /** fastText-architecture linear text classifier via the hashing trick
+    * (Joulin et al. 2016 "Bag of Tricks for Efficient Text
+    * Classification" / Weinberger et al. 2009 feature hashing): each
+    * token is hashed straight to a weight — no vocabulary table, no
+    * lookup join, which is the property that makes the architecture the
+    * standard quality-classifier pass over a 100 TB corpus (model
+    * application is one row-local fold; the weight "table" costs zero
+    * bytes of broadcast). Expressed as pure Column HOFs
+    * (transform+aggregate over the token array), so it stays inside
+    * whole-stage codegen and never shuffles.
+    *
+    * The weights here are a deterministic surrogate (md5-48 % 17 − 8 ∈
+    * [−8, 8]) because no pretrained model ships in-sandbox — the
+    * ARCHITECTURE (hash → weight → sum → threshold) is the real,
+    * oracle-checked part; swapping in trained weights means replacing
+    * one pure function of the hash. Integer-only arithmetic end to end,
+    * so DuckDB rebuilds every score bit-for-bit (no sigmoid: the gate
+    * compares the raw margin to 0, which is the same decision). */
+  def hashedLinearScore(text: Column): Column =
+    aggregate(
+      transform(split(text, " "), t => (md5Hash48(t) % 17) - 8),
+      lit(0L),
+      (acc, x) => acc + x)
+
   /** Punctuation ratio: non-alphanumeric-non-space chars / total. */
   def punctRatio(text: Column): Column =
     r6(length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") /
@@ -340,14 +364,26 @@ object TextAnalysis {
     * string (e.g. an md5 fingerprint column) — the parse half of
     * md5Hash48, for callers whose input is hex to begin with (one md5
     * instead of two). */
-  def hex48(h: Column): Column =
-    (1 to 12).map(i =>
-      hexVal(substring(h, i, 1)) * lit(1L << (4 * (12 - i))))
+  def hex48(h: Column): Column = hexParse(h, 1, 12)
+  def hex48Sql(h: String): String = hexParseSql(h, 1, 12)
+
+  /** Integer from `digits` hex chars of `h` starting at 1-based `start`
+    * (≤ 15 digits so the polynomial stays inside a signed 64-bit long) —
+    * the generalized form of hex48, for callers that need SEVERAL
+    * independent hashes from one md5 (e.g. the Count-Min rows: an md5 is
+    * 32 hex chars = four disjoint 8-char slices, each a 32-bit hash). */
+  def hexParse(h: Column, start: Int, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, "hexParse supports 1..15 digits")
+    (0 until digits).map(i =>
+      hexVal(substring(h, start + i, 1)) * lit(1L << (4 * (digits - 1 - i))))
       .reduce(_ + _).cast("long")
-  def hex48Sql(h: String): String =
-    (1 to 12).map(i =>
-      s"${hexValSql(s"substr($h,$i,1)")} * CAST(${1L << (4 * (12 - i))} AS BIGINT)")
+  }
+  def hexParseSql(h: String, start: Int, digits: Int): String = {
+    require(digits >= 1 && digits <= 15, "hexParseSql supports 1..15 digits")
+    (0 until digits).map(i =>
+      s"${hexValSql(s"substr($h,${start + i},1)")} * CAST(${1L << (4 * (digits - 1 - i))} AS BIGINT)")
       .mkString("(", " + ", ")")
+  }
 
   /** 48-bit integer from the first 12 hex digits of md5(token) — md5 is
     * the strong mixer; the polynomial is just a portable hex parse. */

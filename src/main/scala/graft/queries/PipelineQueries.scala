@@ -935,6 +935,56 @@ object PipelineQueries extends QueryPack {
       val media = Multimodal.mediaWithHeaders(s, load(s, dir, "documents"))
       Multimodal.audioFrameMeans(media, 64, 2, 32).toDF()
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ---- Count-Min heavy hitters: the FREQUENCY synopsis next to
+    // q100's cardinality HLL and q108's quantile histogram — a 4×512
+    // counter grid whose grouped-count build is map-side combinable
+    // (≤2048 rows reach the exchange regardless of corpus size), probed
+    // by min-of-cells for the top-20 exact tokens (the evidence branch).
+    // The oracle rebuilds all four hash rows from the same md5 slices
+    // and every min — an estimate below the exact count anywhere would
+    // break both the CMS overestimate guarantee and the hash.
+    "q111_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      Sketches.cmsHeavyHitters(toks, col("tok"), 4, 512, 20)
+        .select(col("rank"), col("tok"), col("n_exact"), col("cms_estimate"))
+        .orderBy(col("rank"))
+    }),
+
+    // ---- REAL JPEG decode: every image payload is a valid baseline
+    // JPEG whose SOF offset varies per row (id-dependent COM segment),
+    // so dimensions are recoverable ONLY by walking the marker stream —
+    // segment-length hops, SOF-vs-DHT/JPG/DAC discrimination, big-endian
+    // height-before-width. The oracle recomputes dims and total byte
+    // length (122 + comment + entropy bytes) from the id formulas; a
+    // wrong hop or a fixed-offset shortcut breaks the hash.
+    "q112_media_jpeg" -> ((s, dir) => {
+      val media = Multimodal.mediaJpeg(s, load(s, dir, "documents"))
+        .filter(col("kind") === "image")
+      Multimodal.decodeHeaderFeatures(media, 32).toDF()
+        .select(col("media_id"), col("byte_len"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- Hashing-trick linear quality classifier (the fastText shape):
+    // token → weight by hash (no vocab table, no broadcast, no join),
+    // margin = row-local integer fold, gate = margin ≥ 0. The whole
+    // "model application" is one codegen'd projection — the property
+    // that makes this the classifier architecture for a 100 TB corpus
+    // pass. Per-doc margins and the per-source keep rates are both
+    // pinned (integer-exact in both engines).
+    "q113_hashed_classifier" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.hashedLinearScore(col("text")).as("score"))
+        .withColumn("kept", (col("score") >= 0).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          sum(col("score")).as("sum_score"),
+          sum(col("doc_id") * col("kept")).as("kept_id_sum"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1953,7 +2003,62 @@ object PipelineQueries extends QueryPack {
         |       CAST(sum(abs((j*37 + doc_id) % 2048 - 1024)) // (64 * ch) AS BIGINT)
         |         AS mean_abs
         |FROM slots GROUP BY doc_id, k, ch
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // CMS rebuilt counter-for-counter: the same four md5 slices hash
+    // every token occurrence into the same 4×512 grid, candidates are
+    // the same exact top-20, and the estimate is the same min-of-cells.
+    "q111_cms_heavy_hitters" ->
+      (s"""WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT tok, md5(tok) AS hx FROM toks),
+        |cells AS (
+        |  SELECT tok, j,
+        |         (${TextAnalysis.hexParseSql("substr(hx, 1 + 8*j, 8)", 1, 8)}) % 512 AS cell
+        |  FROM h, unnest(generate_series(0, 3)) AS t(j)),
+        |sketch AS (SELECT j, cell, count(*) AS c FROM cells GROUP BY j, cell),
+        |exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok),
+        |cand AS (SELECT * FROM (
+        |    SELECT tok, n_exact,
+        |           row_number() OVER (ORDER BY n_exact DESC, tok) AS rank
+        |    FROM exact) WHERE rank <= 20),
+        |cc AS (
+        |  SELECT tok, n_exact, rank, j,
+        |         (${TextAnalysis.hexParseSql("substr(md5(tok), 1 + 8*j, 8)", 1, 8)}) % 512 AS cell
+        |  FROM cand, unnest(generate_series(0, 3)) AS t(j))
+        |SELECT CAST(rank AS INT) AS rank, cc.tok, any_value(cc.n_exact) AS n_exact,
+        |       min(s.c) AS cms_estimate
+        |FROM cc JOIN sketch s ON s.j = cc.j AND s.cell = cc.cell
+        |GROUP BY cc.tok, rank ORDER BY rank""".stripMargin),
+
+    // JPEG byte-length arithmetic: 2 SOI + (4 + comment) COM + 69 DQT +
+    // 13 SOF0 + 22 DHT + 10 SOS + (16 + (w·h) % 64) entropy + 2 EOI =
+    // 122 + comment + entropy; dims are the q71 image formulas.
+    "q112_media_jpeg" ->
+      """WITH im AS (
+        |  SELECT doc_id, 16 + (doc_id*13) % 48 AS w, 16 + (doc_id*29) % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id AS media_id,
+        |       CAST(122 + (doc_id % 23) + 16 + (w*h) % 64 AS INT) AS byte_len,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height
+        |FROM im ORDER BY media_id""".stripMargin,
+
+    // The classifier replayed weight-for-weight: same md5-48 hash, same
+    // % 17 − 8 surrogate weights, same integer margins and ≥0 gate; the
+    // per-source kept_id_sum pins WHICH docs pass, not just how many.
+    "q113_hashed_classifier" ->
+      (s"""WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |w AS (SELECT doc_id, source,
+        |             (${TextAnalysis.md5Hash48Sql("tok")}) % 17 - 8 AS wgt FROM t),
+        |d AS (SELECT doc_id, source, CAST(sum(wgt) AS BIGINT) AS score,
+        |             CASE WHEN sum(wgt) >= 0 THEN 1 ELSE 0 END AS kept
+        |      FROM w GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       CAST(sum(score) AS BIGINT) AS sum_score,
+        |       CAST(sum(doc_id * kept) AS BIGINT) AS kept_id_sum
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

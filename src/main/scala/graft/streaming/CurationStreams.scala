@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables.r6
-import graft.operators.{Decontamination, Dedup, SimilaritySearch}
+import graft.operators.{Decontamination, Dedup, SimilaritySearch, TextAnalysis}
 
 /**
  * Streaming curation built on STREAM-STATIC joins: an ingest stream of
@@ -46,6 +46,28 @@ object CurationStreams {
         Decontamination.tokenGramFingerprints(col(text), n)).as("g"))
       .join(evalGrams, Seq("g"), "left_semi")
       .dropDuplicates(id)
+
+  /** Exact streaming dedup with WATERMARK-BOUNDED state: one surviving
+    * row per content fingerprint, duplicates dropped across micro-batch
+    * boundaries, via `dropDuplicatesWithinWatermark` — the primitive
+    * whose per-key state EXPIRES once the watermark passes the key's
+    * event time. Plain dropDuplicates holds every fingerprint ever seen
+    * (state grows with the corpus — the thing that kills a long-running
+    * 100 TB ingest); the watermark form holds only the fingerprints of
+    * the trailing `delay` window, which is the right contract for crawl
+    * ingest where byte-identical re-fetches cluster in time. Batch
+    * parity is the exact-dedup keeper semantics (one row per
+    * fingerprint) for any stream whose duplicates arrive within the
+    * delay; re-fetches farther apart than the delay are the documented
+    * trade for bounded state — catch them with the batch operator
+    * (q42 shape) over the landed files. */
+  def dedupedDocs(docs: DataFrame, ts: String, id: String, text: String,
+                  delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.contentFingerprint(col(text)))
+      .withWatermark(ts, delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col(id), col(ts), col("fp"))
 
   /** Ids of STREAMING vectors that semantically duplicate a member of a
     * static, pre-clustered corpus — the incremental form of

@@ -254,6 +254,29 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("q111 cms: counter build is map-side combined; probe joins stay broadcast") {
+    val p = plan("q111_cms_heavy_hitters")
+    // the (j, cell) grouped count MUST partial-aggregate below its
+    // exchange — that is the whole mergeability claim (≤ depth·width
+    // rows cross the wire regardless of corpus size)
+    assert(p.contains("partial_count"), p.take(3000))
+    // sketch (≤2048 rows) and candidates (≤ topK) join by broadcast —
+    // a corpus-sized SMJ here would mean the synopsis isn't one
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q113 classifier: model application is join-free — one exchange for the source rollup") {
+    val p = plan("q113_hashed_classifier")
+    // the hashing trick's plan-shape signature: NO weight-table join
+    // anywhere (the 'model' is a projection), map-side partial agg, and
+    // the only exchanges are the source rollup + output sort
+    assert(joinOps.findAllIn(p).isEmpty, p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("q106 priority sample: rank-limit becomes a distributed top-k — the corpus never single-partitions") {
     val p = plan("q106_priority_sample")
     // the row_number ≤ k+1 filter must not execute as a full
