@@ -113,7 +113,10 @@ object Bench {
     "q110_audio_frames",    // real WAV PCM frame sampling
     "q111_cms_heavy_hitters", // Count-Min frequency synopsis + top-k probe
     "q112_media_jpeg",      // real JPEG marker-walk dimension decode
-    "q113_hashed_classifier") // hashing-trick linear quality classifier
+    "q113_hashed_classifier", // hashing-trick linear quality classifier
+    "q114_pagerank",        // 5-round integer PageRank over the click graph
+    "q115_paragraph_dedup", // Dolma-style global keep-first paragraph dedup
+    "q116_profile")         // one-pass column profiler report
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -20,7 +20,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (builder tooling; the driver never sets it):
+    // SPARK_GRAFT_ONLY=q114,q115 dumps just the named queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       // stale persisted intermediates from earlier queries are measurement/
       // memory pressure, not part of this query (same hygiene as Bench)
       spark.catalog.clearCache()

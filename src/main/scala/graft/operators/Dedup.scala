@@ -897,4 +897,51 @@ object Dedup {
         (max(col("run")) + (n - 1)).as("max_span_tokens"))
       .select(col("sid").as(id), col("n_dup_positions"), col("max_span_tokens"))
   }
+
+  /** Global paragraph-level keep-first dedup (the Dolma pipeline's
+    * paragraph dedup stage, Soldaini et al. 2024 §4.1): every sentence/
+    * paragraph that appears anywhere earlier in the corpus (earlier =
+    * smaller (doc_id, position), the stable crawl order) is removed;
+    * ONLY the first occurrence survives. Distinct from
+    * TextAnalysis.stripBoilerplate (df ≥ threshold — a second copy
+    * below the threshold survives there, never here) and from
+    * removeDuplicatedSpans (token-8-gram granularity vs whole units
+    * here, and spans keep one copy per DOCUMENT pair, not one global).
+    *
+    * Returns (id, text, n_kept) with the rewritten text reassembled in
+    * original order — byte-exact, so the query pins md5(text).
+    *
+    * Scale shape: one sentence explode, ONE shuffle keyed on the
+    * sentence (the global argmin — min struct(doc,pos) is an ordinary
+    * map-side-combining aggregate, no window over a skewed key), one
+    * per-doc reassembly aggregate, one id join back. A sentence
+    * duplicated a million times still costs one combiner cell per
+    * partition — the argmin does not materialize the occurrence list. */
+  def dedupParagraphsKeepFirst(docs: DataFrame, id: String, text: String): DataFrame = {
+    val pieces = docs
+      .select(col(id).as("_sid"),
+        posexplode(TextAnalysis.sentenceSplit(col(text))).as(Seq("_pos", "_sent")))
+      .filter(length(col("_sent")) > 0)
+    // Global first occurrence: min (doc, pos) per sentence — an aggregate,
+    // not a row_number window, so combiners shrink skewed sentences before
+    // the exchange.
+    val firsts = pieces.groupBy(col("_sent"))
+      .agg(min(struct(col("_sid").as("d"), col("_pos").as("p"))).as("f"))
+      .select(col("_sent").as("_fs"), col("f.d").as("_fd"), col("f.p").as("_fp"))
+    val kept = pieces
+      .join(firsts, pieces("_sent") === col("_fs") &&
+        pieces("_sid") === col("_fd") && pieces("_pos") === col("_fp"))
+      .groupBy(col("_sid"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos").as("o"), col("_sent").as("p")))),
+            s => s.getField("p")),
+          ". ").as("_clean"),
+        count(lit(1)).as("_nk"))
+    docs.join(kept, docs(id) === col("_sid"), "left")
+      .select(docs(id),
+        coalesce(col("_clean"), lit("")).as(text),
+        coalesce(col("_nk"), lit(0L)).as("n_kept"))
+  }
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph centrality over a navigation graph — the web-curation analog of
+ * ranking crawl domains by link structure (Common Crawl publishes exactly
+ * this as its domain-rank artifact; curation pipelines weight sources by
+ * it). The reference has no graph operator (SURVEY §2 — OLAP only); this
+ * is part of the training-data-pipeline superset, built from the same
+ * primitives as the distributed connected-components pass
+ * (Dedup.connectedComponents): per-round keyed shuffles, persisted
+ * iterates, lineage truncation.
+ *
+ * Determinism contract: PageRank is computed in SCALED INTEGER arithmetic
+ * (rank × 10^12) with floor division at the two places a quotient appears
+ * (per-edge contribution `rank div deg`, damping `(15·base + 85·S) div
+ * 100`). Every intermediate is an exact BIGINT, so Spark and the DuckDB
+ * oracle agree bit-for-bit — no float summation-order hazard. All
+ * operands are nonnegative, so Spark's `div` (truncate toward zero) and
+ * DuckDB's `//` (floor) coincide.
+ *
+ * Scale shape (100 TB story): edge construction is ONE window pass over
+ * events (consecutive-event transitions — linear, no per-user pair
+ * explosion) + one groupBy; each PageRank round is one join keyed on the
+ * rank vertex + one groupBy on dst — two hash shuffles of edge-sized
+ * data, nothing driver-side but the vertex COUNT (a 1-row agg, the
+ * sanctioned sizing pattern). Iterates go through the same
+ * truncateLineage barrier as connectedComponents' rounds (localCheckpoint
+ * or reliable checkpoint under `graft.dedup.reliableCheckpoint`), so the
+ * plan tree does not double per round and the previous iterate's blocks
+ * are droppable as soon as the next materializes.
+ */
+object GraphRank {
+
+  /** Fixed-point scale for exact integer rank arithmetic. */
+  val Scale: Long = 1000000000000L
+
+  /** Damping as a rational: d = DampNum/DampDen = 0.85. */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Transition ("click") graph from an event stream: one weighted edge
+    * per consecutive (item → next item) pair within a user's timeline.
+    * Linear in |events| — one window pass, no per-user cross product —
+    * which is the construction that survives a 1000-executor crawl log.
+    * Self-loops dropped (they only dilute the damping mass). */
+  def transitionEdges(events: DataFrame, itemCol: String, userCol: String,
+                      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+    events
+      .select(col(itemCol).as("src"), lead(col(itemCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Number of rounds the last pageRank call executed (spec hook, same
+    * pattern as Dedup.lastDistributedRounds). */
+  @volatile var lastRounds: Int = 0
+
+  /** Weighted PageRank over (src, dst, w) edges, `iters` synchronous
+    * rounds, returning (v, rank) with rank an exact BIGINT in Scale
+    * units. Dangling mass (vertices with out-degree zero) is dropped
+    * rather than redistributed — the standard simplification; the oracle
+    * implements the identical rule, so ranks still match exactly. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = Dedup.truncateLineage(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))).persist()
+    val verts = Dedup.truncateLineage(
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct()).persist()
+    // Pre-join each edge with its source's out-degree ONCE — the loop then
+    // touches a single persisted relation per round.
+    val outd = e.groupBy("src").agg(sum("w").as("deg"))
+    val ew = Dedup.truncateLineage(e.join(outd, "src")).persist()
+    try {
+      // 1-row sizing action: the vertex COUNT, never the vertex set.
+      val n = math.max(verts.count(), 1L)
+      val base = Scale / n
+
+      var ranks = verts.select(col("v"), lit(base).as("rank"))
+      var it = 0
+      while (it < iters) {
+        val contrib = ew.join(ranks, ew("src") === ranks("v"))
+          .select(ew("dst").as("dst"), expr("(rank div deg) * w").as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        // truncateLineage materializes the round eagerly, so the plan tree
+        // stays one-round deep and the join above never replays history.
+        ranks = Dedup.truncateLineage(
+          verts.join(contrib, verts("v") === contrib("dst"), "left")
+            .select(verts("v"),
+              expr(s"(${DampDen - DampNum} * CAST($base AS BIGINT) + " +
+                s"$DampNum * coalesce(s, CAST(0 AS BIGINT))) div $DampDen").as("rank")))
+        it += 1
+      }
+      lastRounds = it
+      ranks
+    } finally {
+      ew.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
+  }
+}

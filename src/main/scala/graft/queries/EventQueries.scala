@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{davg, davgSql, dsum, dsumSql, load}
+import graft.operators.GraphRank
 
 /**
  * Event/time-series batch analytics over the `events` table: time bucketing,
@@ -98,8 +99,36 @@ object EventQueries extends QueryPack {
           unix_micros(col("session_end")).as("session_end_us"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
+    // ---- PageRank over the item-transition graph (the Common Crawl
+    // domain-rank pattern): exact scaled-integer arithmetic, 5 synchronous
+    // rounds, so the iterative distributed computation is DuckDB-hash-
+    // exact — the oracle unrolls the identical recurrence as CTEs.
+    "q114_pagerank" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("item"))
+      val edges = GraphRank.transitionEdges(ev, "item", "user_id", Seq("ts", "event_id"))
+      GraphRank.pageRank(edges, 5)
+        .select(col("v").as("item"), col("rank"))
+        .orderBy(col("rank").desc, col("item"))
     })
   )
+
+  // One PageRank round as a DuckDB CTE: the same scaled-integer recurrence
+  // pageRank executes — floor division at the contribution and damping
+  // steps, vertices with no in-edges land on the (15·base)//100 floor.
+  private def prIterSql(k: Int): String =
+    s"""r$k AS (
+       |  SELECT verts.v,
+       |         CAST((15 * (SELECT b FROM base) +
+       |               85 * COALESCE(sum((pr.r // o.deg) * e.w), 0)) // 100 AS BIGINT) AS r
+       |  FROM verts
+       |  LEFT JOIN edges e ON e.dst = verts.v
+       |  LEFT JOIN outd o ON o.src = e.src
+       |  LEFT JOIN r${k - 1} pr ON pr.v = e.src
+       |  GROUP BY verts.v)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q38_events_hourly" ->
@@ -170,6 +199,25 @@ object EventQueries extends QueryPack {
         |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q114_pagerank" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS item
+         |  FROM events),
+         |seq AS (
+         |  SELECT item AS src,
+         |         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |edges AS (SELECT src, dst, count(*) AS w FROM seq
+         |          WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst),
+         |outd AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+         |base AS (SELECT ${GraphRank.Scale} // count(*) AS b FROM verts),
+         |r0 AS (SELECT v, (SELECT b FROM base) AS r FROM verts),
+         |${(1 to 5).map(prIterSql).mkString(",\n")}
+         |SELECT v AS item, r AS rank
+         |FROM r5 ORDER BY rank DESC, item""".stripMargin
   )
 }

@@ -985,6 +985,33 @@ object PipelineQueries extends QueryPack {
           sum(col("score")).as("sum_score"),
           sum(col("doc_id") * col("kept")).as("kept_id_sum"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Global paragraph-level keep-first dedup (Dolma §4.1): a planted
+    // second copy of doc<30's sentences (appended to doc_id+200000 rows)
+    // must vanish — ONLY the first (smallest (doc_id, pos)) occurrence of
+    // every sentence survives, corpus-wide. Rewritten text is byte-pinned
+    // by md5. Distinct from q79 (df-threshold boilerplate) and q94
+    // (8-gram span granularity): here df=2 already removes the later copy.
+    "q115_paragraph_dedup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("fresh lead for copy "), col("doc_id").cast("string"),
+            lit(". "), col("text")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      Dedup.dedupParagraphsKeepFirst(corpus, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Column-level corpus profiler (the ANALYZE/data-quality report):
+    // one aggregation pass over documents → per-column null counts, exact
+    // cardinalities, native-typed min/max rendered as strings.
+    "q116_profile" -> ((s, dir) => {
+      Profile.columnProfile(load(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -2058,7 +2085,55 @@ object PipelineQueries extends QueryPack {
         |SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
         |       CAST(sum(score) AS BIGINT) AS sum_score,
         |       CAST(sum(doc_id * kept) AS BIGINT) AS kept_id_sum
-        |FROM d GROUP BY source ORDER BY source""".stripMargin)
+        |FROM d GROUP BY source ORDER BY source""".stripMargin),
+
+    // Keep-first selection re-derived with an encoded (doc,pos) argmin:
+    // min(doc*1e6 + pos) orders identically to the struct min (positions
+    // are 1-based here vs 0-based in Spark — a within-doc shift that
+    // cannot reorder (doc, pos) tuples). Reassembly byte-pinned via md5.
+    "q115_paragraph_dedup" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         'fresh lead for copy ' || doc_id || '. ' || text
+        |  FROM documents WHERE doc_id < 30),
+        |p AS (
+        |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS arr FROM d2)),
+        |s AS (SELECT doc_id, pos, arr[pos] AS sent FROM p WHERE length(arr[pos]) > 0),
+        |f AS (SELECT sent, min(doc_id * 1000000 + pos) AS fkey FROM s GROUP BY sent),
+        |kept AS (
+        |  SELECT s.doc_id, s.pos, s.sent
+        |  FROM s JOIN f ON s.sent = f.sent AND s.doc_id * 1000000 + s.pos = f.fkey),
+        |k AS (SELECT doc_id, string_agg(sent, '. ' ORDER BY pos) AS clean,
+        |             count(*) AS n_kept
+        |      FROM kept GROUP BY doc_id)
+        |SELECT d2.doc_id, md5(coalesce(k.clean, '')) AS clean_md5,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
+        |ORDER BY d2.doc_id""".stripMargin,
+
+    "q116_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |         count(*) - count(doc_id) AS n_null,
+        |         count(DISTINCT doc_id) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_str,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+        |         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |ORDER BY col_name""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

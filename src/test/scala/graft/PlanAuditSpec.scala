@@ -287,4 +287,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") ||
       (p.contains("WindowGroupLimit") && p.contains("Partial")), p.take(3000))
   }
+
+  test("q115 paragraph dedup: keep-first is an AGGREGATE argmin — no window over the sentence key") {
+    val p = plan("q115_paragraph_dedup")
+    // a row_number window partitioned by sentence would sort every
+    // occurrence list (skew magnet: a million-way duplicated sentence
+    // lands on one task); the min-struct aggregate combines map-side
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("partial_"), p.take(3000))
+  }
+
+  test("q116 profiler: every metric for every column from ONE scan of the table") {
+    val p = plan("q116_profile")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("Expand"), p.take(3000)) // the multi-DISTINCT rewrite
+    assert(!p.contains("Join"), p.take(3000))
+  }
 }

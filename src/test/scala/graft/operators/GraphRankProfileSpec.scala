@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** GraphRank (integer PageRank), paragraph keep-first dedup, and the
+  * column profiler: model-checked semantics on corpora small enough to
+  * verify by hand or against an independent in-memory reference. */
+class GraphRankProfileSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // Independent single-threaded model of the EXACT recurrence pageRank
+  // distributes: same scaled-integer floor divisions, same dangling rule.
+  private def modelRank(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = GraphRank.Scale / verts.size
+    var r = verts.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (u, _, w) => (r(u) / deg(u)) * w }.sum
+      }
+      r = verts.map(v => v -> (15 * base + 85 * s.getOrElse(v, 0L)) / 100).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer model on a graph with a dangling sink") {
+    import spark.implicits._
+    // 1→2 (×2), 2→1, 1→3, 2→3; 3 dangles (no out-edges).
+    val edges = Seq((1L, 2L, 2L), (2L, 1L, 1L), (1L, 3L, 1L), (2L, 3L, 1L))
+    val got = GraphRank.pageRank(edges.toDF("src", "dst", "w"), 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got === modelRank(edges, 5))
+    assert(GraphRank.lastRounds === 5)
+  }
+
+  test("pageRank: a hub receiving every edge outranks its spokes") {
+    import spark.implicits._
+    val edges = (1L to 20L).map(i => (i, 100L, 1L)) ++ Seq((100L, 1L, 1L))
+    val r = GraphRank.pageRank(edges.toDF("src", "dst", "w"), 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(100L) > r(1L))
+    assert((2L to 20L).forall(i => r(100L) > r(i)))
+    assert(r === modelRank(edges, 5))
+  }
+
+  test("transitionEdges is the consecutive-pair graph, self-loops dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 2L, 30L), (1L, 3L, 40L), // u1: 1→2, 2→2(drop), 2→3
+      (2L, 3L, 10L), (2L, 1L, 20L) // u2: 3→1
+    ).toDF("user_id", "item", "ts_ord")
+    val e = GraphRank.transitionEdges(ev, "item", "user_id", Seq("ts_ord"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e === Set((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("paragraph keep-first dedup keeps exactly the first occurrence, corpus-wide and intra-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha. beta. gamma"),
+      (2L, "beta. delta"),
+      (3L, "alpha. zeta. beta"),
+      (4L, "alpha. beta"), // fully duplicated → empty
+      (5L, "eta. eta. theta") // intra-doc duplicate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("alpha. beta. gamma", 3L)))
+    assert(out(2L) === (("delta", 1L)))
+    assert(out(3L) === (("zeta", 1L)))
+    assert(out(4L) === (("", 0L)))
+    assert(out(5L) === (("eta. theta", 2L)))
+  }
+
+  test("paragraph dedup preserves within-doc order of survivors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x. q"),
+      (2L, "a. x. b. q. c")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(2L) === "a. b. c")
+  }
+
+  test("columnProfile reports exact nulls, cardinality, and native-typed min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(10L), Some("b")), (Some(2L), None), (None, Some("a")), (Some(10L), Some("a"))
+    ).toDF("num", "s")
+    val rows = Profile.columnProfile(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val num = rows("num")
+    assert(num.getLong(1) === 4L) // n_rows
+    assert(num.getLong(2) === 1L) // n_null
+    assert(num.getLong(3) === 2L) // n_distinct
+    // native numeric min/max (2 < 10 numerically; "10" < "2" lexically)
+    assert(num.getString(4) === "2" && num.getString(5) === "10")
+    val sc = rows("s")
+    assert(sc.getLong(2) === 1L && sc.getLong(3) === 2L)
+    assert(sc.getString(4) === "a" && sc.getString(5) === "b")
+  }
+}
