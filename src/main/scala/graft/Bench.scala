@@ -116,7 +116,8 @@ object Bench {
     "q113_hashed_classifier", // hashing-trick linear quality classifier
     "q114_pagerank",        // 5-round integer PageRank over the click graph
     "q115_paragraph_dedup", // Dolma-style global keep-first paragraph dedup
-    "q116_profile")         // one-pass column profiler report
+    "q116_profile",         // one-pass column profiler report
+    "q117_ann_rerank")      // quantized shortlist + exact float rerank
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

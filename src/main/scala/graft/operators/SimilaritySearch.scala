@@ -261,6 +261,38 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage retrieval: QUANTIZED shortlist, then EXACT float rerank —
+    * the production ANN shape (a cheap coarse scorer over the whole
+    * corpus, the expensive exact scorer over `shortlist` survivors only).
+    * Stage 1 is [[quantizedTopK]] (int8 codes, ~4× less data moved, the
+    * codegen'd graft_qdot kernel); stage 2 joins the |Q|·shortlist
+    * survivors — NOT the corpus — back to their float embeddings and
+    * ranks by the same r6 exact cosine as the brute-force baseline
+    * (q47). Exactly-reproducible: the shortlist membership is pinned by
+    * the deterministic (qcos DESC, cand_id) rank, the rerank by
+    * (cosine DESC, cand_id), so the oracle re-derives both stages.
+    *
+    * Scale shape: exact-scoring cost falls from |Q|·|C| to |Q|·S float
+    * dots; the two embedding joins probe with a shortlist-sized relation
+    * (AQE broadcasts it). Recall vs pure-exact equals the probability the
+    * true top-k survives the quantized shortlist — the documented
+    * quantization trade, now amortized over S instead of deciding final
+    * ranks directly (AnnRecallSpec pins both gaps). */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val short = quantizedTopK(queries, corpus, shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("_qemb"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("_cemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    short.join(qe, "query_id").join(ce, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        r6(cosine(col("_qemb"), col("_cemb"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Recompute centroids as the per-dimension mean of each assigned
     * cluster's members — one Lloyd "update" step. Same order-independent
     * DECIMAL-mean construction as [[ivfCentroids]] (the oracle rebuilds it

@@ -1012,6 +1012,17 @@ object PipelineQueries extends QueryPack {
       Profile.columnProfile(load(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy(col("col_name"))
+    }),
+
+    // ---- Two-stage retrieval: int8-quantized shortlist (top-10 by q86's
+    // coarse scorer) reranked by the EXACT float cosine of q47 — the
+    // production ANN shape. Both stages' tie-breaks are pinned, so the
+    // oracle re-derives shortlist membership and final ranks exactly.
+    "q117_ann_rerank" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.rerankTopK(emb.filter(col("vec_id") < 20), emb, 10, 3)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -2133,7 +2144,62 @@ object PipelineQueries extends QueryPack {
         |  UNION ALL
         |  SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
         |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    // Stage 1 is q86's quantized chain cut at rank ≤ 10; stage 2 is q47's
+    // exact-cosine chain over the shortlist survivors only.
+    "q117_ann_rerank" ->
+      """WITH stats AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS gmax
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+        |coded AS (
+        |  SELECT e.vec_id,
+        |         array_agg(CASE WHEN s.gmax > 0
+        |                        THEN CAST(floor(CAST(e.embedding[t.j+1] AS DOUBLE)
+        |                                        / s.gmax * 127.0 + 0.5) AS BIGINT)
+        |                        ELSE 0 END ORDER BY t.j) AS qv
+        |  FROM embeddings e, stats s, unnest(generate_series(0, 63)) AS t(j)
+        |  GROUP BY e.vec_id),
+        |qpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.qv AS qa, c.qv AS qb
+        |  FROM coded q JOIN coded c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |qdots AS (
+        |  SELECT query_id, cand_id,
+        |         sum(x1*x2) AS dot, sum(x1*x1) AS na2, sum(x2*x2) AS nb2
+        |  FROM (SELECT query_id, cand_id, unnest(qa) AS x1, unnest(qb) AS x2 FROM qpairs)
+        |  GROUP BY query_id, cand_id),
+        |qscored AS (
+        |  SELECT query_id, cand_id,
+        |         CASE WHEN na2 > 0 AND nb2 > 0
+        |              THEN round(CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS DOUBLE))), 6)
+        |              ELSE -1.0 END AS qcos
+        |  FROM qdots),
+        |short AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id) AS srank
+        |    FROM qscored)
+        |  WHERE srank <= 10),
+        |norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT s.query_id, s.cand_id, q.embedding qv, c.embedding cv, q.nrm nq, c.nrm nc
+        |  FROM short s
+        |  JOIN norms q ON q.vec_id = s.query_id
+        |  JOIN norms c ON c.vec_id = s.cand_id),
+        |dots AS (
+        |  SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |         any_value(nq) AS nq, any_value(nc) AS nc
+        |  FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
+        |  GROUP BY query_id, cand_id),
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |SELECT query_id, rank, cand_id, cosine FROM (
+        |  SELECT query_id, cand_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB

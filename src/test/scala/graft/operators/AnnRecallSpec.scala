@@ -70,4 +70,22 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"worst true-cosine gap of a quantized pick vs the exact k-th best: $worstGap%.4f")
     assert(worstGap <= 0.005, f"quantized substitution gap $worstGap%.4f") // measured 0.0001
   }
+
+  test("two-stage rerank: exact scoring over the quantized shortlist recovers at least quantized-only recall") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 3
+    val exact = topkPairs(SimilaritySearch.bruteForceTopK(queries, emb, k))
+    val quantOnly = topkPairs(SimilaritySearch.quantizedTopK(queries, emb, k))
+    val reranked = topkPairs(SimilaritySearch.rerankTopK(queries, emb, 10, k))
+    val qRecall = (quantOnly & exact).size.toDouble / exact.size
+    val rRecall = (reranked & exact).size.toDouble / exact.size
+    info(f"recall@$k: quantized-only $qRecall%.3f, shortlist-10 rerank $rRecall%.3f")
+    // The rerank's misses are exactly the true neighbors the shortlist
+    // dropped; with S=10 ≫ k=3 the coarse scorer only has to get the
+    // top-3 into its top-10 — a far weaker ask than ranking them 1-2-3.
+    assert(rRecall >= qRecall,
+      f"rerank recall $rRecall%.3f below quantized-only $qRecall%.3f")
+    assert(rRecall >= 0.95, f"rerank recall $rRecall%.3f") // measured at sf0.001
+  }
 }
