@@ -92,6 +92,7 @@ object Bench {
     "q86_ann_quantized",  // int8 symmetric-scale ANN (exact integer dots)
     "q88_source_overlap", // cross-source shared-gram matrix (no self-join)
     "q90_asof_attrib",    // as-of join via union + one keyed window pass
+    "q90b_asof_native",   // as-of via the native plan operator (AsofJoinExec)
     "q72c_decontaminate_bloom", // bloom-pruned gram stream + exact verify
     "q92_bm25_score",     // rational-idf BM25 retrieval scoring
     "q93_dup_spans",      // positional-gram exact duplicated substrings
@@ -117,7 +118,8 @@ object Bench {
     "q114_pagerank",        // 5-round integer PageRank over the click graph
     "q115_paragraph_dedup", // Dolma-style global keep-first paragraph dedup
     "q116_profile",         // one-pass column profiler report
-    "q117_ann_rerank")      // quantized shortlist + exact float rerank
+    "q117_ann_rerank",      // quantized shortlist + exact float rerank
+    "q118_triangles")       // degree-oriented distributed triangle count
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

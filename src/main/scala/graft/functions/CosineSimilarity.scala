@@ -137,5 +137,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_top_bigram_count takes exactly 1 argument")
         TopBigramCount(children.head)
       }))
+    // The whole-operator extension ladder: graft's as-of join is a real
+    // logical node planned by a real strategy into a real physical
+    // operator (graft.plans.AsofJoin*) — EnsureRequirements supplies the
+    // co-partitioning exchanges and sorts from its declared requirements.
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -60,6 +60,70 @@ object GraphRank {
     * pattern as Dedup.lastDistributedRounds). */
   @volatile var lastRounds: Int = 0
 
+  /** Per-vertex triangle counts over the UNDIRECTED simplification of a
+    * (src, dst[, w]) edge list — the clustering-structure metric next to
+    * PageRank's centrality (triangle density separates organic link
+    * neighborhoods from spam farms in web-graph curation).
+    *
+    * Algorithm: degree-ordered edge orientation (the "compact-forward" /
+    * node-iterator++ scheme, Latapy 2008): orient every edge from the
+    * endpoint with smaller (degree, id) rank to the larger, form wedges
+    * by joining oriented edges on their source with the two targets
+    * rank-ordered, then close each wedge with one more equi join. Under
+    * this orientation every out-degree is O(√m), so the wedge fan-out —
+    * the term that explodes on skewed graphs under a naive neighbor
+    * join — is bounded: a celebrity vertex of degree 10^6 contributes
+    * wedges only through its (few) HIGHER-ranked neighbors. Each
+    * triangle is counted exactly once as (a→b, a→c, b→c) with
+    * rank(a) < rank(b) < rank(c). All-integer, so the DuckDB oracle
+    * re-derives identical counts.
+    *
+    * Returns (v, n_tri): the number of triangles each vertex belongs to
+    * (every triangle increments all three corners). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // Orient low-rank → high-rank, rank = (degree, id); carry the
+    // target's rank so wedge targets can be rank-ordered without a
+    // third degree join.
+    val oriented = Dedup.truncateLineage(
+      und
+        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("a"), col("v").as("b"),
+              col("dv").as("db")))
+            .otherwise(struct(col("v").as("a"), col("u").as("b"),
+              col("du").as("db"))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db")))
+      .persist()
+    try {
+      val e1 = oriented.select(col("a"), col("b").as("b1"), col("db").as("r1"))
+      val e2 = oriented.select(col("a"), col("b").as("b2"), col("db").as("r2"))
+      val wedges = e1.join(e2, "a")
+        .filter(col("r1") < col("r2") ||
+          (col("r1") === col("r2") && col("b1") < col("b2")))
+      val closing = oriented.select(col("a").as("b1"), col("b").as("b2"))
+      val tris = wedges.join(closing, Seq("b1", "b2"))
+        .select(col("a"), col("b1").as("b"), col("b2").as("c"))
+      val perVertex = tris.select(col("a").as("v"))
+        .union(tris.select(col("b").as("v")))
+        .union(tris.select(col("c").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      // materialize before releasing the oriented cache
+      Dedup.truncateLineage(perVertex)
+    } finally {
+      oriented.unpersist(blocking = false)
+    }
+  }
+
   /** Weighted PageRank over (src, dst, w) edges, `iters` synchronous
     * rounds, returning (v, rank) with rank an exact BIGINT in Scale
     * units. Dangling mass (vertices with out-degree zero) is dropped

@@ -89,6 +89,47 @@ object Temporal {
   }
 
   /**
+   * [[asOfJoin]]'s semantics through the NATIVE plan operator
+   * (graft.plans.AsofJoinPlan → AsofJoinStrategy → AsofJoinExec, the
+   * full SparkSessionExtensions ladder): each left row picks the right
+   * row with the greatest (rightTime, tieBreak) at-or-before
+   * (`inclusive`) its leftTime, equi-matched on the key; left-outer.
+   * Same oracle as the union+window rewrite (q90/q90b), different plan:
+   * two key exchanges + two sorts + ONE streaming merge walk — no
+   * unioned relation, no window buffer, left+right never concatenated.
+   *
+   * `payload` names right-side COLUMNS to carry (the physical operator
+   * streams attributes, not expressions — project beforehand for
+   * computed payloads). The right side is re-aliased first so a shared
+   * lineage with `left` (e.g. two filters of one table) cannot produce
+   * duplicate attribute ids in the custom node, which bypasses the
+   * analyzer's DeduplicateRelations.
+   */
+  def asOfJoinNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String], tieBreak: String,
+                     inclusive: Boolean = true): DataFrame = {
+    val badNames = payload.toSet.intersect(left.columns.toSet)
+    require(badNames.isEmpty, s"payload collides with left columns: $badNames")
+    // fresh exprIds on the right via aliasing every column
+    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsofJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      attr(rPlan, tieBreak),
+      payload.map(attr(rPlan, _)), inclusive)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession, node)
+  }
+
+  /**
    * Interval (range) join with no equi key: all (left, right) pairs with
    * `leftTime` in the half-open window [`rightLo`, `rightHi`). Output =
    * left columns + right columns (names must be disjoint).

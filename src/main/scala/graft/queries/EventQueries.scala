@@ -113,6 +113,19 @@ object EventQueries extends QueryPack {
       GraphRank.pageRank(edges, 5)
         .select(col("v").as("item"), col("rank"))
         .orderBy(col("rank").desc, col("item"))
+    }),
+
+    // ---- Per-vertex triangle counts over the undirected transition
+    // graph (degree-ordered orientation bounds every wedge fan-out by
+    // O(√m) — the skew guard a naive neighborhood join lacks).
+    "q118_triangles" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("item"))
+      val edges = GraphRank.transitionEdges(ev, "item", "user_id", Seq("ts", "event_id"))
+      GraphRank.triangleCounts(edges)
+        .select(col("v").as("item"), col("n_tri"))
+        .orderBy(col("n_tri").desc, col("item"))
     })
   )
 
@@ -218,6 +231,43 @@ object EventQueries extends QueryPack {
          |r0 AS (SELECT v, (SELECT b FROM base) AS r FROM verts),
          |${(1 to 5).map(prIterSql).mkString(",\n")}
          |SELECT v AS item, r AS rank
-         |FROM r5 ORDER BY rank DESC, item""".stripMargin
+         |FROM r5 ORDER BY rank DESC, item""".stripMargin,
+
+    // Same degree-ordered orientation: every triangle counted once as
+    // rank(a) < rank(b) < rank(c), then each corner credited.
+    "q118_triangles" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS item
+         |  FROM events),
+         |seq AS (
+         |  SELECT item AS src,
+         |         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |edges AS (SELECT src, dst FROM seq
+         |          WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM edges),
+         |deg AS (SELECT x, count(*) AS d FROM (
+         |          SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x),
+         |o AS (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.u < und.v)
+         |              THEN und.u ELSE und.v END AS a,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND und.u < und.v)
+         |              THEN und.v ELSE und.u END AS b,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND und.u < und.v)
+         |              THEN db.d ELSE da.d END AS db
+         |  FROM und JOIN deg da ON da.x = und.u JOIN deg db ON db.x = und.v),
+         |w AS (
+         |  SELECT e1.a, e1.b AS b1, e2.b AS b2
+         |  FROM o e1 JOIN o e2 ON e1.a = e2.a
+         |  WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+         |t AS (
+         |  SELECT w.a, w.b1 AS b, w.b2 AS c
+         |  FROM w JOIN o e3 ON e3.a = w.b1 AND e3.b = w.b2),
+         |pv AS (SELECT v, count(*) AS n_tri FROM (
+         |         SELECT a AS v FROM t UNION ALL SELECT b FROM t
+         |         UNION ALL SELECT c FROM t) GROUP BY v)
+         |SELECT v AS item, n_tri FROM pv ORDER BY n_tri DESC, item""".stripMargin
   )
 }

@@ -43,6 +43,27 @@ object TemporalQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // ---- The SAME as-of semantics through the native plan operator
+    // (AsofJoinPlan → AsofJoinStrategy → AsofJoinExec): shares q90's
+    // oracle, so the custom physical operator's streaming merge walk is
+    // held to the identical tie/boundary contract as the rewrite.
+    "q90b_asof_native" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("v_event_id"), col("value").as("v_value"))
+      Temporal.asOfJoinNative(
+          purchases, views,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("v_event_id", "v_value"),
+          tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("v_event_id"), col("v_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- Keyless interval join: lineitems shipped within 7 days of ANY
     // order's placement (no join key at all — the naive Spark plan is a
     // BroadcastNestedLoopJoin; the binned rewrite is an equi join on a
@@ -67,6 +88,17 @@ object TemporalQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q90_asof_attrib" ->
+      """SELECT event_id, user_id, v_event_id, v_value FROM (
+        |  SELECT p.event_id, p.user_id, v.event_id AS v_event_id, v.value AS v_value,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // q90's oracle verbatim: one correlated-top-1 contract, two plans.
+    "q90b_asof_native" ->
       """SELECT event_id, user_id, v_event_id, v_value FROM (
         |  SELECT p.event_id, p.user_id, v.event_id AS v_event_id, v.value AS v_value,
         |         row_number() OVER (PARTITION BY p.event_id

@@ -152,7 +152,9 @@ object ScalingBench {
       "q101_kmv_source_sim",
       "q103_inverted_index",
       "q104_lm_surprisal",
-      "q105_pmi_collocations")
+      "q105_pmi_collocations",
+      "q115_paragraph_dedup",
+      "q117_ann_rerank")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
@@ -215,6 +217,33 @@ object ScalingBench {
         println(f"[scaling] q81_incremental_fixedbatch $dir%-28s median=${median(runs)}%7.2f s" +
           f" rows=$rows%-7d")
       }
+    }
+
+    // PageRank (q114) scales over the REAL event tables (10k → 100k
+    // events, sf0.01 → sf0.1): the structural claim is that per-round
+    // cost is EDGE-bound, and the transition edge set saturates at
+    // |V|² long before events stop growing — so the only events-linear
+    // stage is the one window pass that builds the edges. Edge count is
+    // printed to pin the saturation.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      spark.catalog.clearCache()
+      val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+      val q = SparkEntry.queries("q114_pagerank")
+      val edges = {
+        import graft.operators.GraphRank
+        val ev = graft.Tables.load(spark, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            org.apache.spark.sql.functions.regexp_extract(
+              col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("item"))
+        GraphRank.transitionEdges(ev, "item", "user_id", Seq("ts", "event_id")).count()
+      }
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scaling] q114_pagerank $dir%-28s median=${median(runs)}%7.2f s" +
+        f" events=$nEv%-8d edges=$edges%-7d")
     }
     spark.stop()
   }

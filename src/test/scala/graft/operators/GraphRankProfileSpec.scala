@@ -57,6 +57,30 @@ class GraphRankProfileSpec extends AnyFunSuite {
     assert(e === Set((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)))
   }
 
+  test("triangleCounts: K4 has 4 triangles with every corner in 3; squares have none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (each edge once, arbitrary direction/duplicates),
+    // plus a 4-cycle {10,11,12,13} (no triangles), plus a dangling edge.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L), (2L, 1L))
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val edges = (k4 ++ square ++ Seq((20L, 21L)))
+      .toDF("src", "dst").withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val got = GraphRank.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: star + one chord yields exactly one triangle despite hub skew") {
+    import spark.implicits._
+    // hub 0 connected to 1..40 (degree-41 skew magnet) + chord (1,2):
+    // the only triangle is (0,1,2); counted once, credited to all three.
+    val edges = ((1L to 40L).map(i => (0L, i)) ++ Seq((1L, 2L)))
+      .toDF("src", "dst")
+    val got = GraphRank.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("paragraph keep-first dedup keeps exactly the first occurrence, corpus-wide and intra-doc") {
     import spark.implicits._
     val docs = Seq(
