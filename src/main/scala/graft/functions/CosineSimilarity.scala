@@ -142,5 +142,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator (graft.plans.AsofJoin*) — EnsureRequirements supplies the
     // co-partitioning exchanges and sorts from its declared requirements.
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // Rule[LogicalPlan] rung: teach the optimizer what it cannot infer
+    // about the custom node — left-filter commutation and column pruning
+    // (both feed the STOCK rules, e.g. a pushed filter continues to the
+    // parquet scan's PushedFilters).
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsof)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsofColumns)
   }
 }

@@ -84,6 +84,12 @@ case class AsofJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lRdd = left.execute()
     val rRdd = right.execute()
@@ -99,6 +105,8 @@ case class AsofJoinExec(
     val payloadAttrs = payload
     val incl = inclusive
     val outAttrs = output
+    val outRowsMetric = longMetric("numOutputRows")
+    val matchedMetric = longMetric("numMatchedRows")
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -146,9 +154,10 @@ case class AsofJoinExec(
             }
           }
         }
-        val p: InternalRow =
-          if (candKey != null && keyOrd.compare(candKey, lk) == 0) candPayload
-          else nullPayload
+        val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
+        val p: InternalRow = if (matched) candPayload else nullPayload
+        outRowsMetric += 1
+        if (matched) matchedMetric += 1
         resultProj(joined(l, p))
       }
     }

@@ -64,6 +64,30 @@ object TemporalQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // ---- Filter ABOVE the native as-of node: the injected optimizer
+    // rule (PushFilterThroughAsof) must commute it below the operator,
+    // after which Catalyst's stock pushdown carries it into the parquet
+    // scan — at scale that is "filter before the key shuffle", the
+    // difference between moving 1/4 of the rows and all of them.
+    // AsofRulesSpec pins the plan; this query pins the answer.
+    "q90c_asof_filtered" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("v_event_id"), col("value").as("v_value"))
+      Temporal.asOfJoinNative(
+          purchases, views,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("v_event_id", "v_value"),
+          tieBreak = "event_id")
+        .filter(col("user_id") < 25)
+        .select(col("event_id"), col("user_id"), col("v_event_id"), col("v_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- Keyless interval join: lineitems shipped within 7 days of ANY
     // order's placement (no join key at all — the naive Spark plan is a
     // BroadcastNestedLoopJoin; the binned rewrite is an equi join on a
@@ -104,6 +128,19 @@ object TemporalQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY p.event_id
         |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // q90's contract restricted to user_id < 25 — the filter the
+    // optimizer rule pushes below the operator must not change WHAT is
+    // computed, only WHERE it runs.
+    "q90c_asof_filtered" ->
+      """SELECT event_id, user_id, v_event_id, v_value FROM (
+        |  SELECT p.event_id, p.user_id, v.event_id AS v_event_id, v.value AS v_value,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 25) p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |    ON v.user_id = p.user_id AND v.ts <= p.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
