@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{davg, davgSql, drnd, dsum, dsumSql, load, r6}
+import graft.operators.Skew
 
 /** A named set of driver-checkable queries: Spark implementation + DuckDB
   * oracle SQL (column names must match — the driver sorts columns by name
@@ -380,6 +381,41 @@ object RelationalQueries extends QueryPack {
           min(col("l_extendedprice")).as("p0"),
           max(col("l_extendedprice")).as("p100"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- Explicit salted join (operators.Skew): orders salted into 8
+    // deterministic sub-keys per custkey, customer replicated 8× — the
+    // manual hot-key fix AQE can't apply inside a hash join. Salt is
+    // routing only; the oracle is the PLAIN join, so the rewrite must be
+    // answer-invisible. Aggregated to segment revenue for a stable hash.
+    "q119_salted_join" -> ((s, dir) => {
+      import graft.Tables.dsum
+      graft.operators.Skew.saltedJoin(
+          load(s, dir, "orders"), load(s, dir, "customer"),
+          bigKey = "o_custkey", smallKey = "c_custkey",
+          salts = 8, saltSource = col("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- Salted partition total (operators.Skew): each document's
+    // share of its source's bytes — sum(n_chars) OVER (PARTITION BY
+    // source) with NO WindowExec and NO big-side shuffle: (source,salt)
+    // partials → per-source totals → broadcast back. A hot source is
+    // split across 8 reducers instead of serializing one window task.
+    "q120_salted_window" -> ((s, dir) => {
+      Skew.saltedPartitionSum(
+          load(s, dir, "documents"),
+          key = col("source"), value = col("n_chars"),
+          salts = 8, saltSource = col("doc_id"),
+          totalName = "source_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("source_chars"),
+          graft.Tables.r6(col("n_chars").cast("double") /
+            col("source_chars").cast("double")).as("share"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -602,6 +638,24 @@ object RelationalQueries extends QueryPack {
         |round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         |min(l_extendedprice) AS p0,
         |max(l_extendedprice) AS p100
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The PLAIN join: the salt must be answer-invisible.
+    "q119_salted_join" ->
+      s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS revenue,
+         |       count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The PLAIN window: salted partials + broadcast-back must equal
+    // sum() OVER (PARTITION BY source) exactly (integer addition).
+    "q120_salted_window" ->
+      """SELECT doc_id, source, n_chars,
+        |       CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT)
+        |         AS source_chars,
+        |       round(CAST(n_chars AS DOUBLE)
+        |             / sum(n_chars) OVER (PARTITION BY source)
+        |             * 1000000.0) / 1000000.0 AS share
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
