@@ -791,6 +791,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** simHashPairs generalized to a 64-bit fingerprint carried as two
+    * non-negative 32-bit halves (the cross-engine-safe form
+    * MediaCodec.bmpAHash emits) — same pigeonhole banding: maxDist+1
+    * disjoint bands, equi self-join on (band, bits), exact
+    * popcount-of-xor check on candidates only. A band may straddle the
+    * hi/lo boundary; its bits are assembled with shifts (all
+    * non-negative, so `>>` is well-defined). */
+  def hammingPairs64(hashes: DataFrame, id: String, hi: String, lo: String,
+                     maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    def bandBits(b: Int): Column = {
+      val p = b * width
+      val w = if (b == nBands - 1) 64 - p else width
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      val full = // bits [p, p+w) of the logical 64-bit hash
+        if (p + w <= 32) shiftright(col(lo), p)
+        else if (p >= 32) shiftright(col(hi), p - 32)
+        else shiftright(col(lo), p)
+          .bitwiseOR(shiftleft(col(hi), 32 - p))
+      full.bitwiseAND(lit(mask))
+    }
+    val bands = (0 until nBands).map(b =>
+      struct(lit(b).as("band"), bandBits(b).as("bits")))
+    val exploded = hashes
+      .select(col(id).as("sid"), col(hi).as("fhi"), col(lo).as("flo"),
+        explode(array(bands: _*)).as("bb"))
+      .select(col("sid"), col("fhi"), col("flo"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
+        col("a.fhi").as("ha"), col("a.flo").as("la"),
+        col("b.fhi").as("hb"), col("b.flo").as("lb"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact duplicated SPANS: for each document, the positions covered by
     * token n-gram runs that also appear in at least one OTHER document —
     * the position-level exact-substring signal of Lee et al. 2022

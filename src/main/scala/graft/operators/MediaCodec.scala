@@ -148,6 +148,63 @@ object MediaCodec {
         s
     }
 
+  /** Perceptual average-hash (aHash) of a 24bpp BMP payload — the
+    * classic 64-bit fingerprint (downsample to an 8×8 grid, one bit per
+    * cell: is the cell brighter than the image mean?), in an
+    * ALL-INTEGER formulation so the oracle replays it exactly:
+    *
+    *  - gray(x, y)   = Σ_c pixelByte(x, y, c)   (no luma weights — an
+    *    integer sum, not a float dot)
+    *  - cell of (x, y) = (x·grid div w, y·grid div h) — floor mapping,
+    *    exact for dims not divisible by `grid`
+    *  - bit_k = cellSum_k · nPixels > totalSum · cellCount_k  — the
+    *    "cell mean > image mean" compare cross-multiplied so no
+    *    division ever happens
+    *
+    * The hash is returned as two non-negative 32-bit halves (hi = bits
+    * 32..63) — a single signed 64-bit value would go negative at bit 63
+    * and HUGEINT/BIGINT behavior diverges across engines. Returns
+    * (w, h, hashHi, hashLo, nBitsSet); None for non-BMP payloads. */
+  def bmpAHash(payload: Array[Byte], grid: Int = 8)
+    : Option[(Int, Int, Long, Long, Int)] = {
+    require(grid >= 2 && grid * grid <= 64, "grid² must fit 64 bits")
+    parseHeader(payload).collect {
+      case (w, h, _) if payload(0) == 'B'.toByte && w >= grid && h >= grid =>
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val cellSum = new Array[Long](grid * grid)
+        val cellN = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val by = y * grid / h
+          var x = 0
+          while (x < w) {
+            val k = by * grid + x * grid / w
+            var g = 0L
+            var c = 0
+            while (c < 3) { g += payload(54 + y * rowSize + x * 3 + c) & 0xff; c += 1 }
+            cellSum(k) += g
+            cellN(k) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val total = cellSum.sum
+        val n = w.toLong * h
+        var hi = 0L
+        var lo = 0L
+        var nBits = 0
+        var k = 0
+        while (k < grid * grid) {
+          if (cellSum(k) * n > total * cellN(k)) {
+            nBits += 1
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (w, h, hi, lo, nBits)
+    }
+  }
+
   /** Frame sampling over a PCM WAV payload: consecutive frames of
     * `frameSamples` sample-frames (all channels interleaved), every
     * `stride`-th frame kept, trailing partial frame dropped. Per kept

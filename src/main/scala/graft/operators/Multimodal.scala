@@ -38,6 +38,12 @@ object Multimodal {
   final case class AudioFrame(
       media_id: Long, frame_idx: Int, n_slots: Int, mean_abs: Long)
 
+  /** A perceptual image fingerprint: 64-bit aHash as two non-negative
+    * 32-bit halves + popcount (MediaCodec.bmpAHash's contract). */
+  final case class ImageHash(
+      media_id: Long, w: Int, h: Int,
+      hash_hi: Long, hash_lo: Long, n_bits: Int)
+
   /** Deterministic fake decode: dimensions derived from payload length.
     * Swap this body for a real codec (JNI/ffmpeg/ImageIO) without touching
     * the pipeline — the signature is the contract. */
@@ -180,6 +186,29 @@ object Multimodal {
             (nw, nh, _) <- MediaCodec.parseHeader(out)
             ps <- MediaCodec.bmpPixelSum(out)
           } yield ResizedImage(r.media_id, w, h, nw, nh, out.length, ps)
+        }
+      }
+  }
+
+  /** REAL perceptual hashing: MediaCodec.bmpAHash over every BMP
+    * payload — the image-side analog of text SimHash (q45): a row-local
+    * 64-bit fingerprint whose Hamming distance tracks visual
+    * similarity, computed from the actual pixel bytes with padding /
+    * stride arithmetic the oracle re-derives. Non-BMP rows skipped
+    * (same documented boundary as resizeImages). The corpus never
+    * shuffles for hashing; downstream near-dup joins band the 64 bits
+    * exactly like the text path. */
+  def imageAHashes(media: Dataset[MediaRow], numPartitions: Int)
+    : Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(numPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.kind != "image") None
+          else MediaCodec.bmpAHash(r.payload).map {
+            case (w, h, hi, lo, nb) => ImageHash(r.media_id, w, h, hi, lo, nb)
+          }
         }
       }
   }

@@ -968,6 +968,32 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // ---- REAL perceptual image hashing (aHash): the image-side SimHash
+    // — 64-bit fingerprint from an 8×8 block-mean threshold over the
+    // actual BMP pixel bytes, all-integer (cross-multiplied mean
+    // compares, no division), hash split into two 32-bit halves so both
+    // engines stay in exact BIGINT range. The oracle replays the pixel
+    // formula, the floor grid mapping, the padding-aware byte walk, and
+    // every threshold bit — one wrong stride and 84 hashes change.
+    "q121_image_ahash" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(s, load(s, dir, "documents"))
+      Multimodal.imageAHashes(media, 32).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- Image NEAR-DUP pairs over those fingerprints: Hamming ≤ 3 via
+    // 4×16-bit pigeonhole banding (Dedup.hammingPairs64) — an equi
+    // self-join on (band, bits), NEVER an all-pairs compare; the exact
+    // popcount check runs on band candidates only. The image-corpus
+    // analog of q45's text SimHash dedup, end-to-end from real pixels.
+    "q121b_image_neardup" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(s, load(s, dir, "documents"))
+      val hashes = Multimodal.imageAHashes(media, 32).toDF()
+      graft.operators.Dedup
+        .hammingPairs64(hashes, "media_id", "hash_hi", "hash_lo", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- Hashing-trick linear quality classifier (the fastText shape):
     // token → weight by hash (no vocab table, no broadcast, no join),
     // margin = row-local integer fold, gate = margin ≥ 0. The whole
@@ -2080,6 +2106,85 @@ object PipelineQueries extends QueryPack {
         |       CAST(122 + (doc_id % 23) + 16 + (w*h) % 64 AS INT) AS byte_len,
         |       CAST(w AS INT) AS width, CAST(h AS INT) AS height
         |FROM im ORDER BY media_id""".stripMargin,
+
+    // aHash replayed bit-for-bit from the BMP fill pattern: pixel
+    // (x,y,c) carries (3x+c+7y+id) mod 251, gray = channel sum, cell =
+    // floor grid mapping, bit = cellSum·(w·h) > totalSum·cellCount, hash
+    // assembled as two 32-bit halves.
+    "q121_image_ahash" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id*29) % 32 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |py AS (SELECT doc_id, w, h,
+        |              unnest(generate_series(0, h - 1)) AS y FROM imgs),
+        |pyx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM py),
+        |g AS (SELECT doc_id, w, h,
+        |             (y * 8) // h * 8 + (x * 8) // w AS k,
+        |             (3*x + 7*y + doc_id) % 251
+        |             + (3*x + 1 + 7*y + doc_id) % 251
+        |             + (3*x + 2 + 7*y + doc_id) % 251 AS gval
+        |      FROM pyx),
+        |cells AS (SELECT doc_id, w, h, k, CAST(sum(gval) AS BIGINT) AS cs,
+        |                 CAST(count(*) AS BIGINT) AS cn
+        |          FROM g GROUP BY doc_id, w, h, k),
+        |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+        |        FROM cells GROUP BY doc_id),
+        |bits AS (SELECT c.doc_id, c.w, c.h, c.k,
+        |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn
+        |                     THEN 1 ELSE 0 END AS bit
+        |         FROM cells c JOIN tot t ON t.doc_id = c.doc_id)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+        |       CAST(sum(CASE WHEN k >= 32
+        |                     THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+        |            AS BIGINT) AS hash_hi,
+        |       CAST(sum(CASE WHEN k < 32
+        |                     THEN bit * (1::BIGINT << k) ELSE 0 END)
+        |            AS BIGINT) AS hash_lo,
+        |       CAST(sum(bit) AS INT) AS n_bits
+        |FROM bits GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    // Near-dup pairs from the oracle-side hashes: all-pairs xor+popcount
+    // is fine at oracle scale; the Spark side must reach the same set
+    // through banding (a complete cover at maxDist 3 — pigeonhole).
+    "q121b_image_neardup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id*29) % 32 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |py AS (SELECT doc_id, w, h,
+        |              unnest(generate_series(0, h - 1)) AS y FROM imgs),
+        |pyx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM py),
+        |g AS (SELECT doc_id, w, h,
+        |             (y * 8) // h * 8 + (x * 8) // w AS k,
+        |             (3*x + 7*y + doc_id) % 251
+        |             + (3*x + 1 + 7*y + doc_id) % 251
+        |             + (3*x + 2 + 7*y + doc_id) % 251 AS gval
+        |      FROM pyx),
+        |cells AS (SELECT doc_id, w, h, k, CAST(sum(gval) AS BIGINT) AS cs,
+        |                 CAST(count(*) AS BIGINT) AS cn
+        |          FROM g GROUP BY doc_id, w, h, k),
+        |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+        |        FROM cells GROUP BY doc_id),
+        |bits AS (SELECT c.doc_id, c.k,
+        |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn
+        |                     THEN 1 ELSE 0 END AS bit
+        |         FROM cells c JOIN tot t ON t.doc_id = c.doc_id),
+        |hs AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN k >= 32
+        |                   THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+        |                   AS BIGINT) AS hash_hi,
+        |              CAST(sum(CASE WHEN k < 32
+        |                   THEN bit * (1::BIGINT << k) ELSE 0 END)
+        |                   AS BIGINT) AS hash_lo
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+        |            + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // The classifier replayed weight-for-weight: same md5-48 hash, same
     // % 17 − 8 surrogate weights, same integer margins and ≥0 gate; the
