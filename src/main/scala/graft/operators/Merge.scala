@@ -95,4 +95,33 @@ object Merge {
         col("_seq").as("valid_from") :+ col("_to").as("valid_to") :+
         col("_to").isNull.as("is_current"): _*)
   }
+
+  /**
+   * Snapshot DIFF — the inverse of applyChanges: derive the change set
+   * between two corpus versions. Each side is first projected to
+   * (key, md5-of-payload) — the diff join ships 16-byte fingerprints,
+   * never document bodies, which is what makes "diff two 100 TB
+   * snapshots" a narrow-column full-outer join instead of a
+   * payload-wide one. Output: (key, status) for every key whose state
+   * changed — `added` (new only), `removed` (old only), `changed`
+   * (both, different fingerprint); unchanged keys are dropped. md5 over
+   * a separator-joined payload (U+0001 between columns keeps
+   * ("ab","c") and ("a","bc") distinct) is the portable fingerprint
+   * doctrine (TextAnalysis hashes); the oracle compares payloads
+   * directly — same answer.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                   payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "diff needs at least one payload column")
+    def fp(df: DataFrame, side: String) = df.select(col(key),
+      md5(concat_ws("\u0001", payload.map(c => col(c).cast("string")): _*))
+        .as(side))
+    fp(oldDf, "_old").join(fp(newDf, "_new"), Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("_old").isNull, "added")
+          .when(col("_new").isNull, "removed")
+          .when(col("_old") =!= col("_new"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+  }
 }

@@ -994,6 +994,40 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Record linkage by multi-pass blocking (operators.Linkage):
+    // candidate pairs ONLY from equi-joins on blocking keys (last token,
+    // first token), the edit-distance scorer on candidates only —
+    // entity resolution's standard scale shape; all-pairs comparison is
+    // structurally impossible in the operator.
+    "q122_record_linkage" -> ((s, dir) => {
+      val parts = load(s, dir, "part").filter(col("p_partkey") < 200)
+      graft.operators.Linkage.blockedLinkage(parts, "p_partkey", "p_name",
+          blockers = Seq(
+            n => element_at(split(n, " "), -1),
+            n => element_at(split(n, " "), 1)),
+          maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Snapshot diff (operators.Merge.snapshotDiff): the change set
+    // between two corpus versions — added/removed/changed keys from ONE
+    // fingerprint-narrow full-outer join (16-byte md5 per side, never
+    // document bodies). v2 is derived in-query by deterministic edits:
+    // %17=3 dropped, %13=5 text-revised, %19=7 re-added under a new id.
+    "q123_snapshot_diff" -> ((s, dir) => {
+      val v1 = load(s, dir, "documents")
+      val v2 = v1
+        .withColumn("text",
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+        .filter(col("doc_id") % 17 =!= 3)
+        .unionByName(v1.filter(col("doc_id") % 19 === 7)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      graft.operators.Merge.snapshotDiff(v1, v2, "doc_id",
+          payload = Seq("text", "lang", "source", "n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Hashing-trick linear quality classifier (the fastText shape):
     // token → weight by hash (no vocab table, no broadcast, no join),
     // margin = row-local integer fold, gate = margin ≥ 0. The whole
@@ -2185,6 +2219,46 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same blocks (noun / adjective passes), same levenshtein, same
+    // dedup-before-score: the oracle's OR-of-blocks join restates the
+    // union of blocking passes.
+    "q122_record_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |                  string_split(p_name, ' ')[-1] AS noun,
+        |                  string_split(p_name, ' ')[1] AS adj
+        |           FROM part WHERE p_partkey < 200),
+        |cand AS (
+        |  SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |         a.p_name AS name_a, b.p_name AS name_b
+        |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |   AND (a.noun = b.noun OR a.adj = b.adj))
+        |SELECT id_a, id_b, name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same v2 construction, payloads compared directly (the operator's
+    // md5 fingerprints are collision-free here by construction).
+    "q123_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]'
+        |              ELSE text END AS text,
+        |         lang, source, n_chars
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 19 = 7)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text <> b.text OR a.lang <> b.lang
+        |                   OR a.source <> b.source OR a.n_chars <> b.n_chars
+        |                   THEN 'changed' END AS status
+        |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // The classifier replayed weight-for-weight: same md5-48 hash, same
     // % 17 − 8 surrogate weights, same integer margins and ≥0 gate; the
