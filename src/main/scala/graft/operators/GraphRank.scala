@@ -124,6 +124,53 @@ object GraphRank {
     }
   }
 
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) —
+    * community detection beside PageRank's centrality and the triangle
+    * counts' clustering: every vertex starts as its own community and
+    * each round adopts the label with the greatest edge-weight vote
+    * among its neighbors, ties to the SMALLEST label. The asynchronous/
+    * random-order variant of the paper is nondeterministic by design;
+    * this is the synchronous formulation with a total tie-break, so two
+    * runs — and the oracle's unrolled SQL — agree label-for-label.
+    *
+    * Scale shape: per round, one equi join (edges ⋈ labels on the
+    * neighbor id), one map-side-combinable (vertex, label) vote sum,
+    * and one per-vertex argmax window — all keyed shuffles, no
+    * all-pairs anything; lineage truncated per round (the CC doctrine).
+    * Rounds are the knob: O(diameter) rounds propagate; a handful
+    * suffices for community structure.
+    *
+    * Returns (v, community) for every vertex of the symmetrized graph. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    val und = Dedup.truncateLineage(
+      edges.select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"), col("w").cast("long").as("w"))
+        .union(edges.select(col("dst").cast("long").as("u"),
+          col("src").cast("long").as("v"), col("w").cast("long").as("w")))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(sum(col("w")).as("w")))
+      .persist()
+    try {
+      var labels = und.select(col("u").as("x")).distinct()
+        .select(col("x"), col("x").as("lbl"))
+      val argmax = Window.partitionBy(col("u"))
+        .orderBy(col("s").desc, col("lbl"))
+      var i = 0
+      while (i < iters) {
+        val votes = und
+          .join(labels.select(col("x").as("v"), col("lbl")), "v")
+          .groupBy(col("u"), col("lbl")).agg(sum(col("w")).as("s"))
+        labels = Dedup.truncateLineage(
+          votes.withColumn("rn", row_number().over(argmax))
+            .filter(col("rn") === 1)
+            .select(col("u").as("x"), col("lbl")))
+        i += 1
+      }
+      labels.select(col("x").as("v"), col("lbl").as("community"))
+    } finally und.unpersist(blocking = false)
+  }
+
   /** Weighted PageRank over (src, dst, w) edges, `iters` synchronous
     * rounds, returning (v, rank) with rank an exact BIGINT in Scale
     * units. Dangling mass (vertices with out-degree zero) is dropped

@@ -126,8 +126,34 @@ object EventQueries extends QueryPack {
       GraphRank.triangleCounts(edges)
         .select(col("v").as("item"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("item"))
+    }),
+
+    // ---- Label-propagation communities over the same transition graph
+    // (synchronous, weighted-vote, smallest-label tie-break — the
+    // deterministic formulation, so 3 unrolled rounds oracle exactly).
+    "q124_label_prop" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("item"))
+      val edges = GraphRank.transitionEdges(ev, "item", "user_id", Seq("ts", "event_id"))
+      GraphRank.labelPropagation(edges, 3)
+        .select(col("v").as("item"), col("community"))
+        .orderBy(col("item"))
     })
   )
+
+  // One label-propagation round as a DuckDB CTE: weighted neighbor-label
+  // votes, argmax with the smallest-label tie-break — the identical
+  // recurrence labelPropagation's join+agg+window executes.
+  private def lpIterSql(k: Int): String =
+    s"""l$k AS (
+       |  SELECT u AS x, lbl FROM (
+       |    SELECT e.u, l.lbl,
+       |           row_number() OVER (PARTITION BY e.u
+       |                              ORDER BY sum(e.w) DESC, l.lbl) AS rn
+       |    FROM und e JOIN l${k - 1} l ON l.x = e.v
+       |    GROUP BY e.u, l.lbl)
+       |  WHERE rn = 1)""".stripMargin
 
   // One PageRank round as a DuckDB CTE: the same scaled-integer recurrence
   // pageRank executes — floor division at the contribution and damping
@@ -268,6 +294,27 @@ object EventQueries extends QueryPack {
          |pv AS (SELECT v, count(*) AS n_tri FROM (
          |         SELECT a AS v FROM t UNION ALL SELECT b FROM t
          |         UNION ALL SELECT c FROM t) GROUP BY v)
-         |SELECT v AS item, n_tri FROM pv ORDER BY n_tri DESC, item""".stripMargin
+         |SELECT v AS item, n_tri FROM pv ORDER BY n_tri DESC, item""".stripMargin,
+
+    // Three unrolled synchronous LPA rounds over the symmetrized
+    // weighted graph; l0 = every vertex its own label.
+    "q124_label_prop" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS item
+         |  FROM events),
+         |seq AS (
+         |  SELECT item AS src,
+         |         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |edges AS (SELECT src, dst, count(*) AS w FROM seq
+         |          WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst),
+         |und AS (SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+         |          SELECT src AS u, dst AS v, w FROM edges
+         |          UNION ALL SELECT dst, src, w FROM edges)
+         |        GROUP BY u, v),
+         |l0 AS (SELECT DISTINCT u AS x, u AS lbl FROM und),
+         |${(1 to 3).map(lpIterSql).mkString(",\n")}
+         |SELECT x AS item, lbl AS community FROM l3 ORDER BY item""".stripMargin
   )
 }

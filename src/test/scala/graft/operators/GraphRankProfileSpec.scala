@@ -126,4 +126,26 @@ class GraphRankProfileSpec extends AnyFunSuite {
     assert(sc.getLong(2) === 1L && sc.getLong(3) === 2L)
     assert(sc.getString(4) === "a" && sc.getString(5) === "b")
   }
+
+  test("labelPropagation: two triangles over a weak bridge settle into two communities") {
+    import spark.implicits._
+    // triangle {1,2,3} and triangle {10,11,12}, bridged 3—10 with weight 1
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L),
+      (3L, 10L, 1L)).toDF("src", "dst", "w")
+    val out = GraphRank.labelPropagation(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(out) === Set(1L))
+    assert(Set(10L, 11L, 12L).map(out) === Set(10L))
+  }
+
+  test("labelPropagation is deterministic under vote ties (smallest label wins)") {
+    import spark.implicits._
+    // vertex 5 sees equal-weight votes from 1 and 9 — must adopt 1
+    val edges = Seq((1L, 5L, 3L), (9L, 5L, 3L)).toDF("src", "dst", "w")
+    val r1 = GraphRank.labelPropagation(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(5L) === 1L)
+  }
 }
