@@ -119,7 +119,14 @@ object Bench {
     "q115_paragraph_dedup", // Dolma-style global keep-first paragraph dedup
     "q116_profile",         // one-pass column profiler report
     "q117_ann_rerank",      // quantized shortlist + exact float rerank
-    "q118_triangles")       // degree-oriented distributed triangle count
+    "q118_triangles",       // degree-oriented distributed triangle count
+    "q119_salted_join",     // explicit hot-key salted join (answer-invisible)
+    "q120_salted_window",   // windowless salted partition totals
+    "q121_image_ahash",     // perceptual aHash from real BMP pixels
+    "q121b_image_neardup",  // 64-bit Hamming-banded image near-dup pairs
+    "q122_record_linkage",  // multi-pass blocked entity resolution
+    "q123_snapshot_diff",   // fingerprint-narrow corpus version diff
+    "q124_label_prop")      // 3-round deterministic LPA communities
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -154,14 +154,23 @@ object ScalingBench {
       "q104_lm_surprisal",
       "q105_pmi_collocations",
       "q115_paragraph_dedup",
-      "q117_ann_rerank")
+      "q117_ann_rerank",
+      "q120_salted_window",
+      "q121b_image_neardup",
+      "q123_snapshot_diff")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
+
+    // SPARK_GRAFT_SCALING_ONLY=q121b_...,q123_... restricts the sweep
+    // while iterating (the Verify convention).
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.map(o => queries.filter(o)).getOrElse(queries)
 
     for (dir <- Seq("/root/testdata/sf0.1", tenxDir)) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       println(s"[scaling] corpus $dir: $nDocs docs")
-      for (q <- queries) {
+      for (q <- selected) {
         // noop sink, not count(): count() lets Catalyst prune projections
         // and even eliminate unique-key outer joins (q94's rebuild side
         // vanished entirely — 0.3 s for a query whose work is the md5
@@ -195,7 +204,7 @@ object ScalingBench {
       // (id uniqueness across index and batch is the operator contract).
       // Index build/persist happens OUTSIDE the timed region — that is the
       // point: at 100 TB you index once and pay per-batch forever after.
-      {
+      if (only.forall(_.exists(_.startsWith("q81")))) {
         import spark.implicits._
         val batch = spark.range(500L).map(id => (id, docText(id, 50000L)))
           .toDF("doc_id", "text")
@@ -225,7 +234,8 @@ object ScalingBench {
     // |V|² long before events stop growing — so the only events-linear
     // stage is the one window pass that builds the edges. Edge count is
     // printed to pin the saturation.
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if only.forall(_.exists(_.startsWith("q114")))) {
       spark.catalog.clearCache()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       val q = SparkEntry.queries("q114_pagerank")
