@@ -137,6 +137,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_top_bigram_count takes exactly 1 argument")
         TopBigramCount(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hex_long"),
+      new ExpressionInfo(classOf[HexLong].getName, "graft_hex_long"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_hex_long takes (hex, start, digits)")
+        def intLit(e: Expression, what: String): Int = {
+          require(e.foldable, s"graft_hex_long: $what must be a literal")
+          e.eval() match {
+            case i: Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_hex_long: $what must be an integer literal, got $other")
+          }
+        }
+        HexLong(children.head,
+          intLit(children(1), "start"), intLit(children(2), "digits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hashed_margin"),
+      new ExpressionInfo(classOf[HashedMargin].getName, "graft_hashed_margin"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hashed_margin takes exactly 1 argument")
+        HashedMargin(children.head)
+      }))
     // The whole-operator extension ladder: graft's as-of join is a real
     // logical node planned by a real strategy into a real physical
     // operator (graft.plans.AsofJoin*) — EnsureRequirements supplies the

@@ -104,6 +104,14 @@ object TextAnalysis {
     * so DuckDB rebuilds every score bit-for-bit (no sigmoid: the gate
     * compares the raw margin to 0, which is the same decision). */
   def hashedLinearScore(text: Column): Column =
+    call_function("graft_hashed_margin", text)
+
+  /** The composable-HOF formulation of hashedLinearScore — kept as the
+    * semantics documentation and the equivalence oracle for the kernel
+    * (HashedMarginSpec): interpreted lambdas re-evaluate `md5(t)` once
+    * per hex48 polynomial term (12×/token), which is why the kernel
+    * exists. Bit-identical output. */
+  def hashedLinearScoreComposable(text: Column): Column =
     aggregate(
       transform(split(text, " "), t => (md5Hash48(t) % 17) - 8),
       lit(0L),
@@ -373,6 +381,16 @@ object TextAnalysis {
     * independent hashes from one md5 (e.g. the Count-Min rows: an md5 is
     * 32 hex chars = four disjoint 8-char slices, each a 32-bit hash). */
   def hexParse(h: Column, start: Int, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, "hexParse supports 1..15 digits")
+    call_function("graft_hex_long", h, lit(start), lit(digits))
+  }
+
+  /** The per-digit polynomial formulation of hexParse — kept as the
+    * semantics documentation mirrored by hexParseSql, and as the
+    * equivalence oracle for the graft_hex_long kernel (HexLongSpec).
+    * The kernel exists because this expands to `digits`
+    * substring+ascii+CASE terms per value (32/token in q111's CMS). */
+  def hexParsePolynomial(h: Column, start: Int, digits: Int): Column = {
     require(digits >= 1 && digits <= 15, "hexParse supports 1..15 digits")
     (0 until digits).map(i =>
       hexVal(substring(h, start + i, 1)) * lit(1L << (4 * (digits - 1 - i))))
