@@ -126,7 +126,8 @@ object Bench {
     "q121b_image_neardup",  // 64-bit Hamming-banded image near-dup pairs
     "q122_record_linkage",  // multi-pass blocked entity resolution
     "q123_snapshot_diff",   // fingerprint-narrow corpus version diff
-    "q124_label_prop")      // 3-round deterministic LPA communities
+    "q124_label_prop",      // 3-round deterministic LPA communities
+    "q125_image_canonical") // image pixels → aHash → pairs → components
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -543,14 +543,19 @@ object TextAnalysis {
     val toks = docs
       .select(col(id).as("pid"), explode(terms).as("t"))
       .filter(length(col("t")) > 0)
-      .distinct()
+    // ONE shuffle: collect_set dedups (term, doc) occurrences inside the
+    // aggregate — map-side partial sets combine, so repeated in-doc
+    // occurrences never reach the exchange (the explode→distinct→groupBy
+    // formulation paid a second full shuffle just to dedup first).
+    // df = |set| keeps the distinct-documents meaning exactly.
     toks.groupBy(col("t"))
-      .agg(count(lit(1)).as("df"),
-        array_join(
-          transform(array_sort(collect_list(col("pid"))), _.cast("string")),
-          ",").as("postings"))
+      .agg(collect_set(col("pid")).as("ps"))
+      .select(col("t").as("token"),
+        size(col("ps")).cast("long").as("df"),
+        array_join(transform(array_sort(col("ps")), _.cast("string")), ",")
+          .as("postings"))
       .filter(col("df").between(minDf, maxDf))
-      .select(col("t").as("token"), col("df"), col("postings"))
+      .select(col("token"), col("df"), col("postings"))
   }
 
   /** PMI collocations over adjacent word bigrams, scored as LIFT —

@@ -994,6 +994,20 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- End-to-end IMAGE dedup canonicalization: aHash fingerprints →
+    // Hamming-banded pairs → connected components → canonical
+    // representative (component min id) — q78's pairs→clusters shape
+    // composed over the image modality, pixels to kept-set.
+    "q125_image_canonical" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(s, load(s, dir, "documents"))
+      val hashes = Multimodal.imageAHashes(media, 32).toDF()
+      val pairs = graft.operators.Dedup
+        .hammingPairs64(hashes, "media_id", "hash_hi", "hash_lo", maxDist = 3)
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("doc_id").as("media_id"), col("rep_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- Record linkage by multi-pass blocking (operators.Linkage):
     // candidate pairs ONLY from equi-joins on blocking keys (last token,
     // first token), the edit-distance scorer on candidates only —
@@ -2219,6 +2233,52 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The q121b pair derivation + the q66 recursive-reach components:
+    // every image in a Hamming≤3 pair, labeled with its component min.
+    "q125_image_canonical" ->
+      """WITH RECURSIVE imgs AS (
+        |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id*29) % 32 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |py AS (SELECT doc_id, w, h,
+        |              unnest(generate_series(0, h - 1)) AS y FROM imgs),
+        |pyx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM py),
+        |g AS (SELECT doc_id, w, h,
+        |             (y * 8) // h * 8 + (x * 8) // w AS k,
+        |             (3*x + 7*y + doc_id) % 251
+        |             + (3*x + 1 + 7*y + doc_id) % 251
+        |             + (3*x + 2 + 7*y + doc_id) % 251 AS gval
+        |      FROM pyx),
+        |cells AS (SELECT doc_id, w, h, k, CAST(sum(gval) AS BIGINT) AS cs,
+        |                 CAST(count(*) AS BIGINT) AS cn
+        |          FROM g GROUP BY doc_id, w, h, k),
+        |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+        |        FROM cells GROUP BY doc_id),
+        |bits AS (SELECT c.doc_id, c.k,
+        |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn
+        |                     THEN 1 ELSE 0 END AS bit
+        |         FROM cells c JOIN tot t ON t.doc_id = c.doc_id),
+        |hs AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN k >= 32
+        |                   THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+        |                   AS BIGINT) AS hash_hi,
+        |              CAST(sum(CASE WHEN k < 32
+        |                   THEN bit * (1::BIGINT << k) ELSE 0 END)
+        |                   AS BIGINT) AS hash_lo
+        |       FROM bits GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |             + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+        |          UNION SELECT id_b, id_a FROM pr),
+        |reach(v, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v)
+        |SELECT v AS media_id, CAST(min(r) AS BIGINT) AS rep_id
+        |FROM reach GROUP BY v ORDER BY media_id""".stripMargin,
 
     // Same blocks (noun / adjective passes), same levenshtein, same
     // dedup-before-score: the oracle's OR-of-blocks join restates the
