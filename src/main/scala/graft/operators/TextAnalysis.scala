@@ -106,6 +106,25 @@ object TextAnalysis {
   def hashedLinearScore(text: Column): Column =
     call_function("graft_hashed_margin", text)
 
+  /** Feature-hashing vectorizer (Weinberger et al. 2009; the
+    * HashingVectorizer shape): sparse token-count vectors with NO
+    * vocabulary table — bucket = md5₄₈(token) mod dims, so featurization
+    * is one row-local projection plus one map-side-combinable
+    * (doc, bucket) count. That no-vocab property is what makes this THE
+    * featurizer for a 100 TB corpus pass (the q113 classifier argument,
+    * vectorized): nothing is broadcast, nothing is looked up, adding a
+    * billion documents changes no plan. Emitted in sparse relational
+    * form (id, bucket, cnt) — the join-friendly layout for downstream
+    * dot products and classifier training. */
+  def hashingVectorize(docs: org.apache.spark.sql.DataFrame, id: String,
+                       text: String, dims: Int): org.apache.spark.sql.DataFrame = {
+    require(dims >= 2, "hashingVectorize needs dims >= 2")
+    docs.select(col(id).as("pid"), explode(split(col(text), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("pid"), (md5Hash48(col("t")) % dims).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** The composable-HOF formulation of hashedLinearScore — kept as the
     * semantics documentation and the equivalence oracle for the kernel
     * (HashedMarginSpec): interpreted lambdas re-evaluate `md5(t)` once

@@ -994,6 +994,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Feature-hashing vectorizer: sparse no-vocab token-count
+    // vectors, bucket = md5₄₈ mod 64 — one projection + one map-side-
+    // combinable count, nothing broadcast, nothing looked up. Sparse
+    // (doc, bucket, cnt) output with the doc's L1 mass alongside.
+    "q126_hashing_vectorize" -> ((s, dir) => {
+      TextAnalysis.hashingVectorize(
+          load(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", dims = 64)
+        .select(col("pid").as("doc_id"), col("bucket"), col("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // ---- End-to-end IMAGE dedup canonicalization: aHash fingerprints →
     // Hamming-banded pairs → connected components → canonical
     // representative (component min id) — q78's pairs→clusters shape
@@ -2233,6 +2245,16 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Bucket counts replayed from the same md5-48 mod-64 hash.
+    "q126_hashing_vectorize" ->
+      (s"""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, (${TextAnalysis.md5Hash48Sql("tok")}) % 64 AS bucket,
+        |       count(*) AS cnt
+        |FROM t WHERE length(tok) > 0
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin),
 
     // The q121b pair derivation + the q66 recursive-reach components:
     // every image in a Hamming≤3 pair, labeled with its component min.
