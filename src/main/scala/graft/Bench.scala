@@ -128,7 +128,8 @@ object Bench {
     "q123_snapshot_diff",   // fingerprint-narrow corpus version diff
     "q124_label_prop",      // 3-round deterministic LPA communities
     "q125_image_canonical", // image pixels → aHash → pairs → components
-    "q126_hashing_vectorize") // no-vocab feature-hashing doc vectors
+    "q126_hashing_vectorize", // no-vocab feature-hashing doc vectors
+    "q127_byte_chunks")     // codec-free payload chunk manifests
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -213,6 +213,44 @@ object Multimodal {
       }
   }
 
+  /** One fixed-size byte chunk of an opaque payload: offsets, length,
+    * and the chunk's md5 — the integrity/transfer manifest row. */
+  final case class ByteChunk(
+      media_id: Long, chunk_idx: Int, off: Int, len: Int, chunk_md5: String)
+
+  /** Fixed-size byte-range chunking of opaque payloads — the transfer/
+    * processing primitive for codec-bound modalities (multipart upload
+    * manifests, range-request planning, per-chunk integrity): every
+    * payload splits into ⌈bytes/chunkSize⌉ ranges with offset, length,
+    * and md5 per chunk. Row-local and partition-batched like every
+    * media stage; the payload bytes never leave the executor, only the
+    * manifest rows return. Works on ANY kind — chunking is the one
+    * operation that needs no codec at all (which is why it is the
+    * honest operation to ship for the "video" rows the decode stub
+    * stands in for). */
+  def chunkBytes(media: Dataset[MediaRow], chunkSize: Int,
+                 numPartitions: Int): Dataset[ByteChunk] = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    import media.sparkSession.implicits._
+    media
+      .repartition(numPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val n = r.payload.length
+          val nChunks = (n + chunkSize - 1) / chunkSize
+          (0 until nChunks).iterator.map { i =>
+            val off = i * chunkSize
+            val len = math.min(chunkSize, n - off)
+            md.reset()
+            md.update(r.payload, off, len)
+            val hex = md.digest().map(b => f"$b%02x").mkString
+            ByteChunk(r.media_id, i, off, len, hex)
+          }
+        }
+      }
+  }
+
   /** REAL audio frame sampling: every `stride`-th frame of
     * `frameSamples` sample-frames from each WAV payload's PCM data
     * chunk, with the exact integral mean |sample| per frame

@@ -994,6 +994,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Opaque-payload byte chunking (the codec-free multimodal
+    // operation): ⌈bytes/100⌉ manifest rows per video payload with
+    // offset, length, and per-chunk md5 — multipart-upload / integrity
+    // plumbing whose bytes never leave the executor. The corpus is
+    // ASCII, so the oracle replays chunk md5s with substr arithmetic.
+    "q127_byte_chunks" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, load(s, dir, "documents"))
+        .filter(col("kind") === "video")
+      Multimodal.chunkBytes(media, 100, 32).toDF()
+        .orderBy(col("media_id"), col("chunk_idx"))
+    }),
+
     // ---- Feature-hashing vectorizer: sparse no-vocab token-count
     // vectors, bucket = md5₄₈ mod 64 — one projection + one map-side-
     // combinable count, nothing broadcast, nothing looked up. Sparse
@@ -2245,6 +2257,21 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Chunk manifests replayed with substr arithmetic (ASCII corpus:
+    // char offsets == byte offsets; DuckDB md5 hashes the UTF-8 bytes).
+    "q127_byte_chunks" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS chunk_idx,
+        |       CAST(i * 100 AS INT) AS off,
+        |       CAST(least(100, n - i * 100) AS INT) AS len,
+        |       md5(substr(text, i * 100 + 1, 100)) AS chunk_md5
+        |FROM (SELECT doc_id, text, n,
+        |             unnest(generate_series(0, (n + 99) // 100 - 1)) AS i
+        |      FROM v)
+        |ORDER BY media_id, chunk_idx""".stripMargin,
 
     // Bucket counts replayed from the same md5-48 mod-64 hash.
     "q126_hashing_vectorize" ->

@@ -62,4 +62,32 @@ class MediaResizeSpec extends AnyFunSuite {
   test("wavFrameMeans refuses non-WAV payloads") {
     assert(MediaCodec.wavFrameMeans(MediaCodec.bmp(4, 4), 32, 2).isEmpty)
   }
+
+  test("chunkBytes manifest covers every payload byte exactly once, md5s verify") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, Array.tabulate[Byte](250)(_.toByte)),   // 3 chunks, short tail
+      (2L, Array.tabulate[Byte](100)(i => (i * 7).toByte)), // exactly one chunk
+      (3L, Array[Byte](42)))                        // single byte
+    val media = payloads.map { case (id, p) =>
+      Multimodal.MediaRow(id, p, "video", "s")
+    }.toDS()
+    val chunks = Multimodal.chunkBytes(media, 100, 2)
+      .collect().groupBy(_.media_id)
+    for ((id, p) <- payloads) {
+      val cs = chunks(id).sortBy(_.chunk_idx)
+      // contiguous, complete, non-overlapping cover
+      assert(cs.head.off == 0 && cs.map(_.len).sum == p.length)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b.off == a.off + a.len); case _ =>
+      }
+      // every chunk md5 verifies against the original bytes
+      val md = java.security.MessageDigest.getInstance("MD5")
+      cs.foreach { c =>
+        md.reset(); md.update(p, c.off, c.len)
+        assert(md.digest().map(x => f"$x%02x").mkString == c.chunk_md5)
+      }
+    }
+  }
 }
