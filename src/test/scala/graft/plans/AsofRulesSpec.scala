@@ -76,4 +76,24 @@ class AsofRulesSpec extends AnyFunSuite {
       .filter(r => r.getLong(1) < 10).map(r => (r.get(0), r.get(2))).toSet
     assert(viaRule === manual)
   }
+
+  test("exec exposes SQLMetrics: output rows = left rows, matched <= output") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = buildAsof(Seq("v_event_id"))
+    val rows = df.collect().length.toLong // executes THIS queryExecution
+    def find(p: SparkPlan): Option[AsofJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+      case e: AsofJoinExec => Some(e)
+      case other => other.children.view.flatMap(find(_)).headOption
+    }
+    val exec = find(df.queryExecution.executedPlan).get
+    assert(exec.metrics.contains("numOutputRows") &&
+      exec.metrics.contains("numMatchedRows"))
+    val out = exec.metrics("numOutputRows").value
+    val matched = exec.metrics("numMatchedRows").value
+    assert(out == rows, s"out=$out rows=$rows")
+    assert(matched > 0 && matched <= out, s"matched=$matched out=$out")
+  }
 }
