@@ -129,7 +129,10 @@ object Bench {
     "q124_label_prop",      // 3-round deterministic LPA communities
     "q125_image_canonical", // image pixels → aHash → pairs → components
     "q126_hashing_vectorize", // no-vocab feature-hashing doc vectors
-    "q127_byte_chunks")     // codec-free payload chunk manifests
+    "q127_byte_chunks",     // codec-free payload chunk manifests
+    "q128_rendezvous_shard", // row-local HRW stable shard map
+    "q129_sorted_neighborhood", // rank-binned sorted-neighborhood ER
+    "q130_decayed_engagement")  // exact power-of-two recency decay
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

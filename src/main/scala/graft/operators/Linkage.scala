@@ -49,4 +49,49 @@ object Linkage {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo
+    * 1995) — the OTHER classic blocking: sort all records by a derived
+    * key and compare each record only against the next `window−1` in
+    * that order. Complements [[blockedLinkage]]: typo'd blocking keys
+    * that would miss an equi-block still land adjacent in sort order.
+    *
+    * Scale shape: the global rank comes from a distributed sort +
+    * zipWithIndex (per-partition counts, then offsets — two jobs, no
+    * single-partition window), and the neighbor pairs from a BINNED
+    * equi-join on bucket = rank div window (each right row probes its
+    * own and the previous bucket — q91's range-join trick), so
+    * candidate volume is exactly n·(window−1) by construction. The
+    * exact scorer runs on candidates only.
+    *
+    * `recs` must carry a long id and a string name. Output: one row per
+    * in-window pair (id_a = the lower-RANK record), scored ≤ maxDist. */
+  def sortedNeighborhood(recs: DataFrame, id: String, name: String,
+                         window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, "sorted-neighborhood needs window >= 2")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val sorted = recs.select(col(id).cast("long").as("rid"),
+        col(name).as("rname"))
+      .sort(col("rname"), col("rid"))
+    val ranked = sorted.rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getString(1), i) }
+      .toDF("rid", "rname", "rank")
+    val a = ranked.select(col("rid").as("id_a"), col("rname").as("name_a"),
+        col("rank").as("ra"))
+      .withColumn("bkt", (col("ra") / window).cast("long"))
+    val b = ranked.select(col("rid").as("id_b"), col("rname").as("name_b"),
+        col("rank").as("rb"))
+      .withColumn("bkt", explode(array(
+        (col("rb") / window).cast("long"),
+        (col("rb") / window).cast("long") - 1)))
+    // a's bucket equals exactly one of b's two probes, so no pair
+    // duplicates; the residual keeps only genuine in-window neighbors
+    a.join(b, "bkt")
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") < window)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+  }
 }

@@ -303,4 +303,22 @@ object Sampling {
       .withColumn("est_weight", greatest(weight.cast("double"), col("_tau")))
       .drop("_q", "_rn", "_tau")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1996): shard(key) = argmax over shards of
+    * md5₄₈(key ‖ ':' ‖ shard), ties to the LARGER shard id (total order,
+    * deterministic). Row-local — no shuffle, no lookup table — and the
+    * property that matters for a training corpus's shard map: growing
+    * n → n+1 shards moves ONLY the keys whose new shard wins the argmax,
+    * an expected 1/(n+1) of the corpus, where a mod-n map reshuffles
+    * almost everything. q128 pins assignments at 8 and 9 shards side by
+    * side so the moved set itself is oracle-checked. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 64, "rendezvousShard supports 1..64 shards")
+    val best = array((0 until nShards).map(s =>
+      struct(
+        TextAnalysis.md5Hash48(concat_ws(":", key, lit(s))).as("w"),
+        lit(s).as("s"))): _*)
+    array_max(best).getField("s")
+  }
 }

@@ -158,4 +158,34 @@ object Temporal {
         col("_lb") === col("_rb") && leftTime >= rightLo && leftTime < rightHi)
       .drop("_lb", "_rb")
   }
+
+  /** Time-decayed engagement scores: per key, Σ value · 2^(−steps)
+    * where steps = elapsed-days div halfLifeDays at the corpus's own
+    * reference instant (max event date — computed in a 1-row aggregate,
+    * broadcast back; no driver pull). The recency-weighted activity
+    * feature every ranking/freshness pipeline keeps.
+    *
+    * Exactness doctrine: decay runs in INTEGER half-life steps so the
+    * weight is an exact power of two built as 1.0 / (1 << steps) —
+    * never float `pow`, whose 1-ulp license lets engines disagree.
+    * Each value·weight product is one exactly-rounded IEEE multiply
+    * (identical cross-engine), and the sum goes through Tables.dsum's
+    * DECIMAL image, so the oracle hash-matches bit-for-bit. Steps clamp
+    * at 62 (beyond that the weight is 0 at any realistic precision and
+    * the shift would overflow). */
+  def decayedSum(events: DataFrame, key: Column, ts: Column, value: Column,
+                 halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    val ref = events.agg(max(to_date(ts)).as("_ref"))
+    val steps = least(
+      (datediff(col("_ref"), to_date(ts)) / halfLifeDays).cast("long"),
+      lit(62L))
+    events
+      .crossJoin(broadcast(ref))
+      .withColumn("_w", lit(1.0) /
+        call_function("shiftleft", lit(1L), steps.cast("int")))
+      .groupBy(key.as("k"))
+      .agg(graft.Tables.dsum(value * col("_w")).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+  }
 }

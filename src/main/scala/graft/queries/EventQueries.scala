@@ -139,6 +139,20 @@ object EventQueries extends QueryPack {
       GraphRank.labelPropagation(edges, 3)
         .select(col("v").as("item"), col("community"))
         .orderBy(col("item"))
+    }),
+
+    // ---- Time-decayed engagement (operators.Temporal.decayedSum):
+    // per-user Σ value·2^(−steps), steps = days-since div 2 at the
+    // corpus's max date — decay in integer half-life steps so every
+    // weight is an exact power of two (never float pow), summed through
+    // the DECIMAL image. The recency feature, oracle-exact.
+    "q130_decayed_engagement" -> ((s, dir) => {
+      graft.operators.Temporal.decayedSum(
+          load(s, dir, "events"),
+          key = col("user_id"), ts = col("ts"), value = col("value"),
+          halfLifeDays = 2)
+        .select(col("k").as("user_id"), col("decayed_value"), col("n_events"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -315,6 +329,17 @@ object EventQueries extends QueryPack {
          |        GROUP BY u, v),
          |l0 AS (SELECT DISTINCT u AS x, u AS lbl FROM und),
          |${(1 to 3).map(lpIterSql).mkString(",\n")}
-         |SELECT x AS item, lbl AS community FROM l3 ORDER BY item""".stripMargin
+         |SELECT x AS item, lbl AS community FROM l3 ORDER BY item""".stripMargin,
+
+    // The same exact-power-of-two decay: steps floor-divided, weight
+    // 1.0/(1<<steps), product exactly-rounded, DECIMAL-image sum.
+    "q130_decayed_engagement" ->
+      s"""WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events)
+         |SELECT user_id,
+         |       ${dsumSql("value * (1.0 / CAST(1::BIGINT << CAST(least(" +
+           "date_diff('day', CAST(ts AS DATE), (SELECT ref FROM r)) // 2, 62) " +
+           "AS INT) AS DOUBLE))")} AS decayed_value,
+         |       count(*) AS n_events
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

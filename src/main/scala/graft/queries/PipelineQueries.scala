@@ -994,6 +994,31 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Sorted-neighborhood linkage (the other classic ER blocking):
+    // global sort rank via distributed zipWithIndex (no single-partition
+    // window), neighbors via the binned bucket join — candidate volume
+    // is n·(window−1) BY CONSTRUCTION, scorer on candidates only.
+    "q129_sorted_neighborhood" -> ((s, dir) => {
+      val parts = load(s, dir, "part").filter(col("p_partkey") < 500)
+      graft.operators.Linkage.sortedNeighborhood(
+          parts, "p_partkey", "p_name", window = 6, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Rendezvous (highest-random-weight) sharding: shard = row-local
+    // argmax of md5₄₈(key:shard) — no shuffle, no table. Assignments at
+    // 8 AND 9 shards side by side pin the reshard-stability property:
+    // only the keys whose NEW shard wins move (expected 1/9; a mod map
+    // would move 8/9).
+    "q128_rendezvous_shard" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .withColumn("moved", (col("shard8") =!= col("shard9")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Opaque-payload byte chunking (the codec-free multimodal
     // operation): ⌈bytes/100⌉ manifest rows per video payload with
     // offset, length, and per-chunk md5 — multipart-upload / integrity
@@ -2257,6 +2282,44 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The same total order (name, id), the same in-window pair set via
+    // a rank self-join, the same scorer.
+    "q129_sorted_neighborhood" ->
+      """WITH p AS (SELECT p_partkey AS rid, p_name AS rname
+        |           FROM part WHERE p_partkey < 500),
+        |r AS (SELECT rid, rname,
+        |             row_number() OVER (ORDER BY rname, rid) - 1 AS rnk
+        |      FROM p)
+        |SELECT a.rid AS id_a, b.rid AS id_b,
+        |       a.rname AS name_a, b.rname AS name_b,
+        |       CAST(levenshtein(a.rname, b.rname) AS INT) AS dist
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 6
+        |WHERE levenshtein(a.rname, b.rname) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Argmax replayed per shard count with the explicit (weight DESC,
+    // shard DESC) window — arg_max's tie rule is unspecified, the
+    // window's is total.
+    "q128_rendezvous_shard" ->
+      (s"""WITH sh AS (
+        |  SELECT doc_id, unnest(generate_series(0, 8)) AS s FROM documents),
+        |w AS (SELECT doc_id, s,
+        |             (${TextAnalysis.md5Hash48Sql("doc_id || ':' || s")}) AS wt
+        |      FROM sh),
+        |r8 AS (SELECT doc_id, s FROM (
+        |         SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY wt DESC, s DESC) AS rn
+        |         FROM w WHERE s < 8) WHERE rn = 1),
+        |r9 AS (SELECT doc_id, s FROM (
+        |         SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY wt DESC, s DESC) AS rn
+        |         FROM w) WHERE rn = 1)
+        |SELECT r8.doc_id AS doc_id, CAST(r8.s AS INT) AS shard8,
+        |       CAST(r9.s AS INT) AS shard9,
+        |       CAST(CASE WHEN r8.s <> r9.s THEN 1 ELSE 0 END AS INT) AS moved
+        |FROM r8 JOIN r9 ON r8.doc_id = r9.doc_id
+        |ORDER BY r8.doc_id""".stripMargin),
 
     // Chunk manifests replayed with substr arithmetic (ASCII corpus:
     // char offsets == byte offsets; DuckDB md5 hashes the UTF-8 bytes).
