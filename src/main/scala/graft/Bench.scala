@@ -132,7 +132,9 @@ object Bench {
     "q127_byte_chunks",     // codec-free payload chunk manifests
     "q128_rendezvous_shard", // row-local HRW stable shard map
     "q129_sorted_neighborhood", // rank-binned sorted-neighborhood ER
-    "q130_decayed_engagement")  // exact power-of-two recency decay
+    "q130_decayed_engagement",  // exact power-of-two recency decay
+    "q131_json_flatten",    // native from_json semi-structured flatten
+    "q132_argmax_pergroup") // windowless skew-safe latest-per-key
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -153,6 +153,40 @@ object EventQueries extends QueryPack {
           halfLifeDays = 2)
         .select(col("k").as("user_id"), col("decayed_value"), col("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // ---- Native JSON flattening: from_json with an explicit schema
+    // (codegen'd Jackson parse — the engine path for semi-structured
+    // columns; q41's regexp extract is the schemaless fallback), fields
+    // promoted to columns and aggregated.
+    "q131_json_flatten" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("k_bucket"), col("event_type"))
+    }),
+
+    // ---- Latest event per user WITHOUT a window: max_by over a
+    // lexicographic (ts, event_id) order key — ONE aggregate with
+    // map-side partials, so a hot user combines before the exchange
+    // where a row_number window would sort its whole partition on one
+    // task. The skew-safe argmax-per-group shape.
+    "q132_argmax_pergroup" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          col("n_events"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -340,6 +374,27 @@ object EventQueries extends QueryPack {
            "date_diff('day', CAST(ts AS DATE), (SELECT ref FROM r)) // 2, 62) " +
            "AS INT) AS DOUBLE))")} AS decayed_value,
          |       count(*) AS n_events
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q131_json_flatten" ->
+      s"""SELECT CAST(json_extract(props, '$$.k') AS INT) % 10 AS k_bucket,
+         |       event_type, count(*) AS n,
+         |       ${dsumSql("value")} AS sum_value,
+         |       max(CAST(json_extract(props, '$$.k') AS INT)) AS max_k
+         |FROM events GROUP BY k_bucket, event_type
+         |ORDER BY k_bucket, event_type""".stripMargin,
+
+    // The window formulation IS the oracle — the aggregate must agree
+    // with rn=1 under the same total (ts, event_id) order.
+    "q132_argmax_pergroup" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_type, value AS last_value, n_events
+        |FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

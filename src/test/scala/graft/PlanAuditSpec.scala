@@ -303,4 +303,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Expand"), p.take(3000)) // the multi-DISTINCT rewrite
     assert(!p.contains("Join"), p.take(3000))
   }
+
+  test("q132 argmax-per-group: partial-combined aggregate, NO window sort") {
+    val p = plan("q132_argmax_pergroup")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000)) // map-side max_by combine
+  }
+
+  test("q120 salted window: no Window operator, totals broadcast back") {
+    val p = plan("q120_salted_window")
+    assert(!p.contains("Window") && p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
