@@ -134,7 +134,8 @@ object Bench {
     "q129_sorted_neighborhood", // rank-binned sorted-neighborhood ER
     "q130_decayed_engagement",  // exact power-of-two recency decay
     "q131_json_flatten",    // native from_json semi-structured flatten
-    "q132_argmax_pergroup") // windowless skew-safe latest-per-key
+    "q132_argmax_pergroup", // windowless skew-safe latest-per-key
+    "q133_dedup_keep_best") // keep-longest near-dup canonicalization
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

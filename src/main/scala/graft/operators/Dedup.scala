@@ -721,6 +721,32 @@ object Dedup {
       .drop("_cluster_id", "rep_id")
   }
 
+  /** [[canonicalize]] under the keep-BEST policy: each near-dup cluster
+    * keeps its member with the greatest (`score`, id) instead of the
+    * smallest id — the policy real curation pipelines usually want
+    * (longest / highest-quality copy survives; Dolma's keep-first is
+    * the other point in this space). Selection is one
+    * map-side-combinable max_by per cluster (q132's skew-safe argmax
+    * shape — no window sort on a hot cluster), then the kept set is the
+    * cluster winners plus every unclustered doc. */
+  def canonicalizeKeepBest(docs: DataFrame, id: String, text: String,
+                           threshold: Double, score: Column): DataFrame = {
+    val clusters = connectedComponents(minHashLshPairs(docs, id, text, threshold))
+      .withColumnRenamed("doc_id", "_cluster_id")
+    val joined = docs.join(clusters, docs(id) === col("_cluster_id"), "left")
+    val winners = joined.filter(col("rep_id").isNotNull)
+      .groupBy(col("rep_id"))
+      .agg(max_by(col("_cluster_id"), struct(score, col("_cluster_id")))
+        .as("_keep_id"))
+    // winners is dup-tail-bounded (one row per cluster) — AQE picks
+    // broadcast vs shuffle, the q78 doctrine
+    joined
+      .join(winners.select(col("_keep_id")),
+        docs(id) === col("_keep_id"), "left")
+      .filter(col("rep_id").isNull || col("_keep_id").isNotNull)
+      .drop("_cluster_id", "rep_id", "_keep_id")
+  }
+
   /** 32-bit SimHash fingerprint per document over whitespace tokens —
     * a row-local codegen'd kernel (graft_simhash32): a doc's fingerprint
     * depends only on its OWN tokens, so the stage is a pure projection

@@ -566,6 +566,20 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Dedup canonicalization, keep-BEST policy: each near-dup
+    // cluster keeps its LONGEST member ((n_chars, id) argmax via one
+    // map-side-combinable max_by — q132's skew-safe shape, no window on
+    // a hot cluster) — the policy most curation pipelines want, beside
+    // q78's keep-min-id.
+    "q133_dedup_keep_best" -> ((s, dir) => {
+      Dedup.canonicalizeKeepBest(
+          load(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text"), col("n_chars")),
+          "doc_id", "text", 0.7, score = col("n_chars"))
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Cross-doc boilerplate removal. The synthetic corpus repeats no
     // sentence, so the query PLANTS two sentinel footers (q42's planting
     // pattern): every 3rd doc gets a newsletter plea, every 5th a rights
@@ -1666,6 +1680,30 @@ object PipelineQueries extends QueryPack {
          |SELECT d.doc_id, d.source, md5(d.text) AS text_md5
          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
          |WHERE cl.rep_id IS NULL OR cl.rep_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Clusters re-derived by recursive reachability, then the keep-best
+    // winner per cluster via an explicit (n_chars DESC, id DESC) window
+    // — argmax with a total tie order, the q128 doctrine.
+    "q133_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+         |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+         |       FROM reach GROUP BY v),
+         |best AS (SELECT doc_id FROM (
+         |  SELECT cl.doc_id,
+         |         row_number() OVER (PARTITION BY cl.rep_id
+         |                ORDER BY d.n_chars DESC, cl.doc_id DESC) AS rn
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id) WHERE rn = 1)
+         |SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |LEFT JOIN best ON best.doc_id = d.doc_id
+         |WHERE cl.rep_id IS NULL OR best.doc_id IS NOT NULL
          |ORDER BY d.doc_id""".stripMargin,
 
     // Same planting, then an independent split→count-distinct→filter→

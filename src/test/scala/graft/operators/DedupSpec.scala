@@ -86,4 +86,28 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle hash join:\n$plan")
     assert(verify.count() == 2)
   }
+
+  test("canonicalizeKeepBest keeps the highest-score member, ties to larger id") {
+    import spark.implicits._
+    // docs 1/2/3 are near-identical (one-token edits of 40 shared
+    // tokens); 9 is unrelated and must survive untouched
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " alpha", 10L),
+      (2L, base + " beta", 30L),   // highest score -> the survivor
+      (3L, base + " gamma", 10L),
+      (9L, (100 to 140).map(i => s"other$i").mkString(" "), 5L))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.canonicalizeKeepBest(docs, "doc_id", "text", 0.7,
+        score = col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L), kept.toString)
+    // tie on score -> larger id wins (total order)
+    val tied = Seq((1L, base + " alpha", 7L), (2L, base + " beta", 7L))
+      .toDF("doc_id", "text", "score")
+    val keptTied = Dedup.canonicalizeKeepBest(tied, "doc_id", "text", 0.7,
+        score = col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(2L), keptTied.toString)
+  }
 }
