@@ -157,7 +157,11 @@ object ScalingBench {
       "q117_ann_rerank",
       "q120_salted_window",
       "q121b_image_neardup",
-      "q123_snapshot_diff")
+      "q123_snapshot_diff",
+      "q126_hashing_vectorize",
+      "q127_byte_chunks",
+      "q128_rendezvous_shard",
+      "q133_dedup_keep_best")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
