@@ -142,4 +142,71 @@ object Packing {
         sum(col("n_tokens")).as("tokens_started"),
         max((col("chunk_last") > col("chunk_first")).cast("int"))
           .as("straddles_out"))
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4), made exactly
+    * replayable: the token stream is cut into fixed `blockSize` windows,
+    * each block masks at most one span, and the span's presence, offset,
+    * and length all derive from md5₄₈(doc:block) — no RNG state, no
+    * sequential dependency between blocks (the greedy left-to-right
+    * sampler of the paper is inherently order-dependent; block
+    * alignment buys non-overlap BY CONSTRUCTION and lets both engines
+    * replay every mask decision independently).
+    *
+    * Per block b (full blocks only): mask iff h mod 20 < 7 (~35% of
+    * blocks ⇒ ~12% of tokens at mean span 3); start = 8b + (h div 20)
+    * mod 5; len = 2 + (h div 100) mod 3 — always inside the block. The
+    * corrupted text replaces each span with the sentinel `<X_k>` (k =
+    * the span's per-doc ordinal by position, the T5 extra-id scheme).
+    *
+    * Scale shape: mask decisions are a row-local projection over
+    * (doc, block); the rewrite joins token positions to spans on the
+    * EQUI key (doc, pos div blockSize) — q94's rebuild pattern, one
+    * (doc, pos) shuffle, no range join. Returns (id, n_spans,
+    * n_masked, corrupted). */
+  def spanCorruption(docs: DataFrame, id: String, text: String,
+                     blockSize: Int = 8): DataFrame = {
+    require(blockSize >= 8, "spanCorruption needs blockSize >= 8 (offset 0..4 + len 2..4)")
+    val toks = docs.select(col(id).as("did"), split(col(text), " ").as("ts"))
+    val spans = toks
+      .select(col("did"),
+        // guard: sequence(0, -1) would step BACKWARD ([0, -1]) — docs
+        // shorter than one block contribute no candidate blocks at all
+        explode_outer(when(size(col("ts")) >= blockSize,
+          sequence(lit(0),
+            (size(col("ts")) / blockSize).cast("int") - 1))).as("b"))
+      .filter(col("b").isNotNull)
+      .withColumn("h", graft.operators.TextAnalysis.md5Hash48(
+        concat_ws(":", col("did"), col("b"))))
+      .filter(col("h") % 20 < 7)
+      .select(col("did"), col("b"),
+        (col("b") * blockSize +
+          floor(col("h") / 20).cast("long") % 5).as("start"),
+        (lit(2) + floor(col("h") / 100).cast("long") % 3).as("len"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("did")).orderBy(col("start"))) - 1)
+    val pos = toks
+      .select(col("did"), posexplode(col("ts")).as(Seq("pos", "tok")))
+      .withColumn("pb", (col("pos") / blockSize).cast("int"))
+    val rewritten = pos
+      .join(spans.withColumnRenamed("b", "pb"), Seq("did", "pb"), "left")
+      .withColumn("out",
+        when(col("start").isNull ||
+          col("pos") < col("start") || col("pos") >= col("start") + col("len"),
+          col("tok"))
+          .when(col("pos") === col("start"),
+            concat(lit("<X_"), col("k"), lit(">"))))
+      .filter(col("out").isNotNull)
+      .groupBy(col("did"))
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("out"))))
+        .getField("out"), " ").as("corrupted"))
+    val stats = spans.groupBy(col("did"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("n_masked"))
+    toks.select(col("did"))
+      .join(stats, Seq("did"), "left")
+      .join(rewritten, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        col("corrupted"))
+  }
 }

@@ -1008,6 +1008,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- T5-style span corruption (Raffel et al. 2020), exactly
+    // replayable: block-aligned mask decisions from md5₄₈(doc:block)
+    // (~35% of 8-token blocks mask a 2-4 token span — no RNG, no
+    // sequential sampler), spans replaced by <X_k> sentinels; the
+    // rewrite is an EQUI join of positions to spans on (doc, pos div 8).
+    "q134_span_corruption" -> ((s, dir) => {
+      Packing.spanCorruption(load(s, dir, "documents"), "doc_id", "text", 8)
+        .select(col("did").as("doc_id"), col("n_spans"), col("n_masked"),
+          md5(col("corrupted")).as("corrupted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Sorted-neighborhood linkage (the other classic ER blocking):
     // global sort rank via distributed zipWithIndex (no single-partition
     // window), neighbors via the binned bucket join — candidate volume
@@ -2320,6 +2332,41 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Every mask decision, offset, length, sentinel ordinal, and the
+    // corrupted byte stream replayed from the same md5 arithmetic.
+    "q134_span_corruption" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |blk AS (SELECT doc_id, unnest(generate_series(0, len(ts) // 8 - 1)) AS b
+        |        FROM t WHERE len(ts) >= 8),
+        |hh AS (SELECT doc_id, b,
+        |              (${TextAnalysis.md5Hash48Sql("doc_id || ':' || b")}) AS hv
+        |       FROM blk),
+        |sp AS (SELECT doc_id, b, b*8 + (hv // 20) % 5 AS st,
+        |              2 + (hv // 100) % 3 AS ln
+        |       FROM hh WHERE hv % 20 < 7),
+        |spk AS (SELECT doc_id, b, st, ln,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS k
+        |        FROM sp),
+        |pos AS (SELECT doc_id, i - 1 AS p, ts[i] AS tok
+        |        FROM t, unnest(range(1, len(ts) + 1)) AS r(i)),
+        |outp AS (
+        |  SELECT pos.doc_id, pos.p,
+        |         CASE WHEN s.st IS NULL OR pos.p < s.st OR pos.p >= s.st + s.ln
+        |              THEN pos.tok
+        |              WHEN pos.p = s.st THEN '<X_' || s.k || '>' END AS o
+        |  FROM pos LEFT JOIN spk s
+        |    ON s.doc_id = pos.doc_id AND s.b = pos.p // 8),
+        |re AS (SELECT doc_id, string_agg(o, ' ' ORDER BY p) AS corrupted
+        |       FROM outp WHERE o IS NOT NULL GROUP BY doc_id),
+        |st2 AS (SELECT doc_id, count(*) AS n_spans, CAST(sum(ln) AS BIGINT) AS n_masked
+        |        FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(st2.n_spans, 0) AS n_spans,
+        |       coalesce(st2.n_masked, 0) AS n_masked,
+        |       md5(re.corrupted) AS corrupted_md5
+        |FROM t LEFT JOIN st2 ON st2.doc_id = t.doc_id
+        |LEFT JOIN re ON re.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
 
     // The same total order (name, id), the same in-window pair set via
     // a rank self-join, the same scorer.

@@ -161,7 +161,8 @@ object ScalingBench {
       "q126_hashing_vectorize",
       "q127_byte_chunks",
       "q128_rendezvous_shard",
-      "q133_dedup_keep_best")
+      "q133_dedup_keep_best",
+      "q134_span_corruption")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
