@@ -69,6 +69,38 @@ object SimilaritySearch {
       .map(j => when(element_at(v, j + 1) > 0f, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
 
+  /** Contrastive-pair mining for embedding training: per query, the
+    * best SAME-bucket candidate (the positive proxy — nearest within
+    * the query's coarse semantic region) and the best DIFFERENT-bucket
+    * candidate (the hard negative — maximally similar yet across the
+    * partition boundary, the pair that actually teaches the margin).
+    * Stratification by sign-LSH bucket; scoring is the exact
+    * codegen'd cosine with the r6+id deterministic rank.
+    *
+    * Scale: queries broadcast (mining sets are small by construction);
+    * the exact scan is the oracle baseline exactly as q47 — a corpus at
+    * 100 TB swaps the candidate source for the quantized shortlist
+    * (q117's two-stage shape) with this same stratified argmax on top. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, bits: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      signBucket(col("embedding"), bits).as("qb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      signBucket(col("embedding"), bits).as("cb"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (col("qb") === col("cb")).as("same"),
+        r6(cosine(col("qv"), col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"), col("same"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("same"), col("cand_id"))).as("pos_id"),
+        max(when(col("same"), col("cosine"))).as("pos_cosine"),
+        max(when(!col("same"), col("cand_id"))).as("neg_id"),
+        max(when(!col("same"), col("cosine"))).as("neg_cosine"))
+  }
+
   /** Bucketed ANN: same-bucket candidates only, then exact cosine rank.
     * Lower recall than bruteForceTopK by construction; the oracle checks
     * the deterministic pipeline, SURVEY §2 records the recall trade. */

@@ -1008,6 +1008,17 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Contrastive hard-negative mining: per query, the best
+    // same-bucket candidate (positive proxy) AND the best cross-bucket
+    // candidate (the hard negative that teaches the margin) — sign-LSH
+    // stratified argmax over the exact codegen'd cosine.
+    "q135_hard_negatives" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.hardNegatives(
+          emb.filter(col("vec_id") < 10), emb, bits = 6)
+        .orderBy(col("query_id"))
+    }),
+
     // ---- T5-style span corruption (Raffel et al. 2020), exactly
     // replayable: block-aligned mask decisions from md5₄₈(doc:block)
     // (~35% of 8-token blocks mask a 2-4 token span — no RNG, no
@@ -2332,6 +2343,38 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The q47 scoring replayed with the bucket stratification: per
+    // (query, same-bucket?) the rn=1 winner under (cosine DESC, id).
+    "q135_hard_negatives" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+        |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          FROM unnest(generate_series(0, 5)) AS t(j)) AS bucket
+        |  FROM embeddings),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |                 q.embedding qv, c.embedding cv, q.nrm nq, c.nrm nc,
+        |                 q.bucket = c.bucket AS same
+        |          FROM norms q JOIN norms c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |dots AS (SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(nq) AS nq, any_value(nc) AS nc, any_value(same) AS same
+        |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc, same FROM pairs)
+        |         GROUP BY query_id, cand_id),
+        |scored AS (SELECT query_id, cand_id, same,
+        |                  round(dot/(nq*nc) * 1000000.0) / 1000000.0 AS cosine
+        |           FROM dots),
+        |top AS (SELECT query_id, cand_id, same, cosine FROM (
+        |  SELECT query_id, cand_id, same, cosine,
+        |         row_number() OVER (PARTITION BY query_id, same
+        |                            ORDER BY cosine DESC, cand_id) AS rn
+        |  FROM scored) WHERE rn = 1)
+        |SELECT query_id,
+        |       max(CASE WHEN same THEN cand_id END) AS pos_id,
+        |       max(CASE WHEN same THEN cosine END) AS pos_cosine,
+        |       max(CASE WHEN NOT same THEN cand_id END) AS neg_id,
+        |       max(CASE WHEN NOT same THEN cosine END) AS neg_cosine
+        |FROM top GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     // Every mask decision, offset, length, sentinel ordinal, and the
     // corrupted byte stream replayed from the same md5 arithmetic.
