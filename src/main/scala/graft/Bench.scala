@@ -137,7 +137,9 @@ object Bench {
     "q132_argmax_pergroup", // windowless skew-safe latest-per-key
     "q133_dedup_keep_best", // keep-longest near-dup canonicalization
     "q134_span_corruption", // T5 span masking, block-aligned sentinels
-    "q135_hard_negatives")  // contrastive positive + hard-negative mining
+    "q135_hard_negatives",  // contrastive positive + hard-negative mining
+    "q136_token_drift",     // cross-source distribution drift (integer L1)
+    "q137_length_batches")  // padding-minimizing length-band batching
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at

@@ -143,6 +143,36 @@ object Packing {
         max((col("chunk_last") > col("chunk_first")).cast("int"))
           .as("straddles_out"))
 
+  /** Length-bucketed batch construction — the padding-minimizing
+    * batching sampler: documents band into fixed-width token-length
+    * buckets (a batch drawn from one band wastes at most bandWidth−1
+    * pad tokens per row, vs worst-case max-length padding under random
+    * batching), then fill `batchSize`-row batches in a deterministic
+    * content-hash order.
+    *
+    * Scale shape: batches form within (bucket, shard) — shard =
+    * md5₄₈(id) mod nShards, the q83 trick — so every sort window is
+    * corpus/(buckets·shards)-sized and no single hot band serializes;
+    * batch identity is (bucket, shard, batch_idx), reproducible from
+    * the data alone (no RNG, no driver state). */
+  def lengthBatches(docs: DataFrame, id: String, text: String,
+                    bandWidth: Int, batchSize: Int, nShards: Int): DataFrame = {
+    require(bandWidth >= 1 && batchSize >= 1 && nShards >= 1)
+    val base = docs.select(col(id).as("did"),
+        size(split(col(text), " ")).as("n_tokens"))
+      .withColumn("bucket", (col("n_tokens") / bandWidth).cast("long"))
+      .withColumn("shard",
+        graft.operators.TextAnalysis.md5Hash48(col("did").cast("string")) % nShards)
+      .withColumn("h",
+        graft.operators.TextAnalysis.md5Hash48(concat_ws(":", col("did"), lit("b"))))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("h"), col("did"))
+    base.withColumn("rn", row_number().over(w) - 1)
+      .select(col("did"), col("n_tokens"), col("bucket"), col("shard"),
+        (col("rn") / batchSize).cast("long").as("batch_idx"),
+        (col("rn") % batchSize).cast("long").as("pos_in_batch"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4), made exactly
     * replayable: the token stream is cut into fixed `blockSize` windows,
     * each block masks at most one span, and the span's presence, offset,

@@ -1008,6 +1008,25 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Length-bucketed batches: 16-token bands × 4 shards, batches
+    // of 8 filled in content-hash order — padding waste bounded by the
+    // band width, batch identity reproducible from the data alone.
+    "q137_length_batches" -> ((s, dir) => {
+      Packing.lengthBatches(load(s, dir, "documents"), "doc_id", "text",
+          bandWidth = 16, batchSize = 8, nShards = 4)
+        .orderBy(col("did"))
+        .withColumnRenamed("did", "doc_id")
+    }),
+
+    // ---- Cross-source token-distribution drift: per source pair, the
+    // integer-scaled L1 distance over the global top-100 tokens — the
+    // corpus-refresh monitor, read-once (one count agg + a bounded
+    // dense grid; the corpus itself is never pair-joined).
+    "q136_token_drift" -> ((s, dir) => {
+      TextAnalysis.tokenDrift(load(s, dir, "documents"), "source", "text", 100)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- Contrastive hard-negative mining: per query, the best
     // same-bucket candidate (positive proxy) AND the best cross-bucket
     // candidate (the hard negative that teaches the margin) — sign-LSH
@@ -2343,6 +2362,48 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The same bands, shards, hash order, and batch arithmetic replayed.
+    "q137_length_batches" ->
+      (s"""WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         len(string_split(text, ' ')) // 16 AS bucket,
+        |         (${TextAnalysis.md5Hash48Sql("CAST(doc_id AS VARCHAR)")}) % 4 AS shard,
+        |         (${TextAnalysis.md5Hash48Sql("doc_id || ':b'")}) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens, bucket, shard,
+        |             row_number() OVER (PARTITION BY bucket, shard
+        |                                ORDER BY h, doc_id) - 1 AS rn
+        |      FROM d)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |       CAST(bucket AS BIGINT) AS bucket, CAST(shard AS BIGINT) AS shard,
+        |       CAST(rn // 8 AS BIGINT) AS batch_idx,
+        |       CAST(rn % 8 AS BIGINT) AS pos_in_batch
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // The same densified grid and the same integer |n_a·N_b − n_b·N_a|
+    // sum; the divisor is the LONG product cast once to double, both
+    // engines identically.
+    "q136_token_drift" ->
+      """WITH toks AS (SELECT source AS src, unnest(string_split(text, ' ')) AS t
+        |              FROM documents),
+        |tc AS (SELECT src, t, count(*) AS n FROM toks
+        |       WHERE length(t) > 0 GROUP BY src, t),
+        |top AS (SELECT t FROM (
+        |  SELECT t, sum(n) AS nt FROM tc GROUP BY t
+        |  ORDER BY nt DESC, t LIMIT 100)),
+        |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS nn FROM tc GROUP BY src),
+        |cells AS (SELECT top.t, tot.src,
+        |                 CAST(coalesce(tc.n, 0) AS BIGINT) AS n, tot.nn
+        |          FROM top CROSS JOIN tot
+        |          LEFT JOIN tc ON tc.t = top.t AND tc.src = tot.src)
+        |SELECT a.src AS src_a, b.src AS src_b,
+        |       CAST(sum(abs(a.n*b.nn - b.n*a.nn)) AS BIGINT) AS l1_scaled,
+        |       round(CAST(sum(abs(a.n*b.nn - b.n*a.nn)) AS DOUBLE)
+        |             / CAST(max(a.nn) * max(b.nn) AS DOUBLE)
+        |             * 1000000.0) / 1000000.0 AS drift
+        |FROM cells a JOIN cells b ON a.t = b.t AND a.src < b.src
+        |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin,
 
     // The q47 scoring replayed with the bucket stratification: per
     // (query, same-bucket?) the rn=1 winner under (cosine DESC, id).

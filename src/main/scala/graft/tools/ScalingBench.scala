@@ -162,7 +162,9 @@ object ScalingBench {
       "q127_byte_chunks",
       "q128_rendezvous_shard",
       "q133_dedup_keep_best",
-      "q134_span_corruption")
+      "q134_span_corruption",
+      "q136_token_drift",
+      "q137_length_batches")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
