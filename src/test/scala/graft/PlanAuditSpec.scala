@@ -314,4 +314,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q120_salted_window")
     assert(!p.contains("Window") && p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("q129 sorted-neighborhood: bucket equi join, never a range/cartesian plan") {
+    val p = plan("q129_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
+
+  test("q134 span corruption: positions join spans on the equi block key") {
+    val p = plan("q134_span_corruption")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
+
+  test("q136 drift: only the bounded grid cross-product, corpus never pair-joined") {
+    val p = plan("q136_token_drift")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the topK × sources dense-grid build (both sides bounded
+    // aggregates) appears once per self-join side; the corpus-sized
+    // relations only ever meet equi-joins
+    assert("BroadcastNestedLoop".r.findAllIn(p).size <= 2, p.take(4000))
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft, Cross"), p.take(4000))
+  }
 }
