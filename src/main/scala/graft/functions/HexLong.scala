@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HexLong(child: Expression, start: Int, digits: Int)
     extends UnaryExpression {
 
+  // validated at expression construction (plan time), so SQL misuse via
+  // the registered function fails with a clear message instead of an
+  // executor ArrayIndexOutOfBounds (start<=0) or a silently mod-64
+  // wrapped shift (digits>15 — the polynomial's documented ceiling)
+  require(start >= 1, s"graft_hex_long: start must be >= 1, got $start")
+  require(digits >= 1 && digits <= 15,
+    s"graft_hex_long: digits must be in 1..15, got $digits")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hex_long"
   override def nullable: Boolean = child.nullable

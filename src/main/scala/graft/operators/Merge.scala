@@ -114,7 +114,11 @@ object Merge {
                    payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "diff needs at least one payload column")
     def fp(df: DataFrame, side: String) = df.select(col(key),
-      md5(concat_ws("\u0001", payload.map(c => col(c).cast("string")): _*))
+      // each column null-coalesced to a sentinel BEFORE joining:
+      // concat_ws skips NULLs, which would collide (x="a", y=NULL) with
+      // (x=NULL, y="a") into the same fingerprint
+      md5(concat_ws("\u0001", payload.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002NULL\u0002"))): _*))
         .as(side))
     fp(oldDf, "_old").join(fp(newDf, "_new"), Seq(key), "full_outer")
       .withColumn("status",

@@ -76,6 +76,9 @@ object Skew {
     val totals = partials
       .groupBy(col("__k"))
       .agg(sum(col("__partial")).as(totalName))
-    df.join(broadcast(totals), key === col("__k")).drop("__k")
+    // null-safe equality: a window PARTITION BY treats NULL as its own
+    // partition, so the re-attach must too — plain === would silently
+    // drop every null-key row from the output
+    df.join(broadcast(totals), key <=> col("__k")).drop("__k")
   }
 }

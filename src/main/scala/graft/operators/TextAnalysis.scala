@@ -623,7 +623,11 @@ object TextAnalysis {
     * from Y" monitor a corpus-refresh pipeline runs per crawl. Kept in
     * INTEGER form: Σ_t |n_a(t)·N_b − n_b(t)·N_a| (the L1 scaled by
     * N_a·N_b — same ranking, exact cross-engine; the rational `drift`
-    * column divides it back once, r6-rounded).
+    * column divides it back once, r6-rounded). EXACTNESS BOUND: the
+    * n·N products must stay under 2^63, i.e. per-source token totals to
+    * ~3·10⁹; beyond that move the pair stage onto DECIMAL images (the
+    * Tables.dsum doctrine) — with ANSI off a silent 64-bit wrap would
+    * otherwise diverge from the oracle.
     *
     * Scale shape: one (source, token) count aggregate (map-side
     * combinable), a global top-K token vocabulary from a bounded
@@ -635,33 +639,36 @@ object TextAnalysis {
     val toks = docs.select(col(source).as("src"),
         explode(split(col(text), " ")).as("t"))
       .filter(length(col("t")) > 0)
-    val bySrcTok = toks.groupBy(col("src"), col("t"))
-      .agg(count(lit(1)).as("n")).persist()
-    try {
-      val top = bySrcTok.groupBy(col("t"))
-        .agg(sum(col("n")).as("nt"))
-        .orderBy(col("nt").desc, col("t")).limit(topK)
-        .select(col("t"))
-      val totals = bySrcTok.groupBy(col("src")).agg(sum(col("n")).as("nn"))
-      // densified: a source that never uses a top token is an n=0 cell —
-      // it still contributes |0·N_b − n_b·N_a| to the distance. The
-      // dense grid is topK × |sources| rows, bounded by construction.
-      val cells = broadcast(top).crossJoin(totals)
-        .join(bySrcTok, Seq("t", "src"), "left")
-        .select(col("t"), col("src"), coalesce(col("n"), lit(0L)).as("n"),
-          col("nn"))
-      val a = cells.select(col("t"), col("src").as("src_a"),
-        col("n").as("na"), col("nn").as("fa"))
-      val b = cells.select(col("t"), col("src").as("src_b"),
-        col("n").as("nb"), col("nn").as("fb"))
-      a.join(b, Seq("t")).filter(col("src_a") < col("src_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(sum(abs(col("na") * col("fb") - col("nb") * col("fa")))
-          .as("l1_scaled"),
-          max(col("fa")).as("n_a"), max(col("fb")).as("n_b"))
-        .select(col("src_a"), col("src_b"), col("l1_scaled"),
-          graft.Tables.r6(col("l1_scaled").cast("double") /
-            (col("n_a") * col("n_b")).cast("double")).as("drift"))
-    } finally bySrcTok.unpersist(blocking = false)
+    // eager lineage truncation (the labelPropagation doctrine), NOT
+    // persist+finally-unpersist: this function returns a LAZY plan, so a
+    // finally-unpersist would evict the cache before the caller ever
+    // executes — the heaviest aggregate would then recompute for each of
+    // its three consumers (top / totals / cells)
+    val bySrcTok: org.apache.spark.sql.DataFrame = Dedup.truncateLineage(
+      toks.groupBy(col("src"), col("t")).agg(count(lit(1)).as("n")))
+    val top = bySrcTok.groupBy(col("t"))
+      .agg(sum(col("n")).as("nt"))
+      .orderBy(col("nt").desc, col("t")).limit(topK)
+      .select(col("t"))
+    val totals = bySrcTok.groupBy(col("src")).agg(sum(col("n")).as("nn"))
+    // densified: a source that never uses a top token is an n=0 cell —
+    // it still contributes |0·N_b − n_b·N_a| to the distance. The
+    // dense grid is topK × |sources| rows, bounded by construction.
+    val cells = broadcast(top).crossJoin(totals)
+      .join(bySrcTok, Seq("t", "src"), "left")
+      .select(col("t"), col("src"), coalesce(col("n"), lit(0L)).as("n"),
+        col("nn"))
+    val a = cells.select(col("t"), col("src").as("src_a"),
+      col("n").as("na"), col("nn").as("fa"))
+    val b = cells.select(col("t"), col("src").as("src_b"),
+      col("n").as("nb"), col("nn").as("fb"))
+    a.join(b, Seq("t")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(abs(col("na") * col("fb") - col("nb") * col("fa")))
+        .as("l1_scaled"),
+        max(col("fa")).as("n_a"), max(col("fb")).as("n_b"))
+      .select(col("src_a"), col("src_b"), col("l1_scaled"),
+        graft.Tables.r6(col("l1_scaled").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("drift"))
   }
 }

@@ -58,6 +58,44 @@ object PipelineQueries extends QueryPack {
        |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
   private val minhashPairsCtes = minhashPairsCtesOver("documents")
 
+  // aHash replay shared by the q121/q121b/q125 oracles: BMP fill
+  // pattern -> gray sums -> floor grid -> cross-multiplied threshold
+  // bits -> two 32-bit hash halves. One definition, three consumers --
+  // a stride/formula fix lands everywhere at once.
+  private val aHashCtes =
+    """imgs AS (
+      |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id*29) % 32 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 6 = 0),
+      |py AS (SELECT doc_id, w, h,
+      |              unnest(generate_series(0, h - 1)) AS y FROM imgs),
+      |pyx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM py),
+      |g AS (SELECT doc_id, w, h,
+      |             (y * 8) // h * 8 + (x * 8) // w AS k,
+      |             (3*x + 7*y + doc_id) % 251
+      |             + (3*x + 1 + 7*y + doc_id) % 251
+      |             + (3*x + 2 + 7*y + doc_id) % 251 AS gval
+      |      FROM pyx),
+      |cells AS (SELECT doc_id, w, h, k, CAST(sum(gval) AS BIGINT) AS cs,
+      |                 CAST(count(*) AS BIGINT) AS cn
+      |          FROM g GROUP BY doc_id, w, h, k),
+      |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+      |        FROM cells GROUP BY doc_id),
+      |bits AS (SELECT c.doc_id, c.w, c.h, c.k,
+      |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn
+      |                     THEN 1 ELSE 0 END AS bit
+      |         FROM cells c JOIN tot t ON t.doc_id = c.doc_id),
+      |hs AS (SELECT doc_id, w, h,
+      |              CAST(sum(CASE WHEN k >= 32
+      |                   THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+      |                   AS BIGINT) AS hash_hi,
+      |              CAST(sum(CASE WHEN k < 32
+      |                   THEN bit * (1::BIGINT << k) ELSE 0 END)
+      |                   AS BIGINT) AS hash_lo,
+      |              CAST(sum(bit) AS INT) AS n_bits
+      |       FROM bits GROUP BY doc_id, w, h)""".stripMargin
+
+
   private val clustersOracle =
     s"""WITH RECURSIVE $minhashPairsCtes,
        |edges AS (SELECT id_a AS u, id_b AS v FROM pr
@@ -2289,79 +2327,23 @@ object PipelineQueries extends QueryPack {
     // floor grid mapping, bit = cellSum·(w·h) > totalSum·cellCount, hash
     // assembled as two 32-bit halves.
     "q121_image_ahash" ->
-      """WITH imgs AS (
-        |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS BIGINT) AS w,
-        |         CAST(16 + (doc_id*29) % 32 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 6 = 0),
-        |py AS (SELECT doc_id, w, h,
-        |              unnest(generate_series(0, h - 1)) AS y FROM imgs),
-        |pyx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM py),
-        |g AS (SELECT doc_id, w, h,
-        |             (y * 8) // h * 8 + (x * 8) // w AS k,
-        |             (3*x + 7*y + doc_id) % 251
-        |             + (3*x + 1 + 7*y + doc_id) % 251
-        |             + (3*x + 2 + 7*y + doc_id) % 251 AS gval
-        |      FROM pyx),
-        |cells AS (SELECT doc_id, w, h, k, CAST(sum(gval) AS BIGINT) AS cs,
-        |                 CAST(count(*) AS BIGINT) AS cn
-        |          FROM g GROUP BY doc_id, w, h, k),
-        |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
-        |        FROM cells GROUP BY doc_id),
-        |bits AS (SELECT c.doc_id, c.w, c.h, c.k,
-        |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn
-        |                     THEN 1 ELSE 0 END AS bit
-        |         FROM cells c JOIN tot t ON t.doc_id = c.doc_id)
+      (s"""WITH $aHashCtes
         |SELECT doc_id AS media_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
-        |       CAST(sum(CASE WHEN k >= 32
-        |                     THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
-        |            AS BIGINT) AS hash_hi,
-        |       CAST(sum(CASE WHEN k < 32
-        |                     THEN bit * (1::BIGINT << k) ELSE 0 END)
-        |            AS BIGINT) AS hash_lo,
-        |       CAST(sum(bit) AS INT) AS n_bits
-        |FROM bits GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+        |       hash_hi, hash_lo, n_bits
+        |FROM hs ORDER BY media_id""".stripMargin),
 
     // Near-dup pairs from the oracle-side hashes: all-pairs xor+popcount
     // is fine at oracle scale; the Spark side must reach the same set
     // through banding (a complete cover at maxDist 3 — pigeonhole).
     "q121b_image_neardup" ->
-      """WITH imgs AS (
-        |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS BIGINT) AS w,
-        |         CAST(16 + (doc_id*29) % 32 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 6 = 0),
-        |py AS (SELECT doc_id, w, h,
-        |              unnest(generate_series(0, h - 1)) AS y FROM imgs),
-        |pyx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM py),
-        |g AS (SELECT doc_id, w, h,
-        |             (y * 8) // h * 8 + (x * 8) // w AS k,
-        |             (3*x + 7*y + doc_id) % 251
-        |             + (3*x + 1 + 7*y + doc_id) % 251
-        |             + (3*x + 2 + 7*y + doc_id) % 251 AS gval
-        |      FROM pyx),
-        |cells AS (SELECT doc_id, w, h, k, CAST(sum(gval) AS BIGINT) AS cs,
-        |                 CAST(count(*) AS BIGINT) AS cn
-        |          FROM g GROUP BY doc_id, w, h, k),
-        |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
-        |        FROM cells GROUP BY doc_id),
-        |bits AS (SELECT c.doc_id, c.k,
-        |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn
-        |                     THEN 1 ELSE 0 END AS bit
-        |         FROM cells c JOIN tot t ON t.doc_id = c.doc_id),
-        |hs AS (SELECT doc_id,
-        |              CAST(sum(CASE WHEN k >= 32
-        |                   THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
-        |                   AS BIGINT) AS hash_hi,
-        |              CAST(sum(CASE WHEN k < 32
-        |                   THEN bit * (1::BIGINT << k) ELSE 0 END)
-        |                   AS BIGINT) AS hash_lo
-        |       FROM bits GROUP BY doc_id)
+      (s"""WITH $aHashCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(bit_count(xor(a.hash_hi, b.hash_hi))
         |            + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // The same bands, shards, hash order, and batch arithmetic replayed.
     "q137_length_batches" ->
@@ -2538,36 +2520,7 @@ object PipelineQueries extends QueryPack {
     // The q121b pair derivation + the q66 recursive-reach components:
     // every image in a Hamming≤3 pair, labeled with its component min.
     "q125_image_canonical" ->
-      """WITH RECURSIVE imgs AS (
-        |  SELECT doc_id, CAST(16 + (doc_id*13) % 48 AS BIGINT) AS w,
-        |         CAST(16 + (doc_id*29) % 32 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 6 = 0),
-        |py AS (SELECT doc_id, w, h,
-        |              unnest(generate_series(0, h - 1)) AS y FROM imgs),
-        |pyx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM py),
-        |g AS (SELECT doc_id, w, h,
-        |             (y * 8) // h * 8 + (x * 8) // w AS k,
-        |             (3*x + 7*y + doc_id) % 251
-        |             + (3*x + 1 + 7*y + doc_id) % 251
-        |             + (3*x + 2 + 7*y + doc_id) % 251 AS gval
-        |      FROM pyx),
-        |cells AS (SELECT doc_id, w, h, k, CAST(sum(gval) AS BIGINT) AS cs,
-        |                 CAST(count(*) AS BIGINT) AS cn
-        |          FROM g GROUP BY doc_id, w, h, k),
-        |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
-        |        FROM cells GROUP BY doc_id),
-        |bits AS (SELECT c.doc_id, c.k,
-        |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn
-        |                     THEN 1 ELSE 0 END AS bit
-        |         FROM cells c JOIN tot t ON t.doc_id = c.doc_id),
-        |hs AS (SELECT doc_id,
-        |              CAST(sum(CASE WHEN k >= 32
-        |                   THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
-        |                   AS BIGINT) AS hash_hi,
-        |              CAST(sum(CASE WHEN k < 32
-        |                   THEN bit * (1::BIGINT << k) ELSE 0 END)
-        |                   AS BIGINT) AS hash_lo
-        |       FROM bits GROUP BY doc_id),
+      (s"""WITH RECURSIVE $aHashCtes,
         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |       FROM hs a JOIN hs b ON a.doc_id < b.doc_id
         |       WHERE bit_count(xor(a.hash_hi, b.hash_hi))
@@ -2579,7 +2532,7 @@ object PipelineQueries extends QueryPack {
         |  UNION
         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v)
         |SELECT v AS media_id, CAST(min(r) AS BIGINT) AS rep_id
-        |FROM reach GROUP BY v ORDER BY media_id""".stripMargin,
+        |FROM reach GROUP BY v ORDER BY media_id""".stripMargin),
 
     // Same blocks (noun / adjective passes), same levenshtein, same
     // dedup-before-score: the oracle's OR-of-blocks join restates the

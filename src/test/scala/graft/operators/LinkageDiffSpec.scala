@@ -49,6 +49,18 @@ class LinkageDiffSpec extends AnyFunSuite {
     assert(Merge.snapshotDiff(v, v, "k", Seq("t")).isEmpty)
   }
 
+  test("snapshot diff sees null-vs-value changes and null-position shifts") {
+    // concat_ws SKIPS nulls, so without per-column sentinels
+    // (x="a", y=NULL) and (x=NULL, y="a") would fingerprint identically
+    val v1 = Seq((1L, Some("a"), Option.empty[String]),
+      (2L, Some("a"), Option.empty[String])).toDF("k", "x", "y")
+    val v2 = Seq((1L, Option.empty[String], Some("a")),
+      (2L, Some("a"), Option.empty[String])).toDF("k", "x", "y")
+    val out = Merge.snapshotDiff(v1, v2, "k", Seq("x", "y"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "changed")))
+  }
+
   test("snapshot diff separator keeps shifted payload splits distinct") {
     // ("ab","c") vs ("a","bc") concat to the same string without a
     // separator — the diff must still see them as changed

@@ -45,6 +45,17 @@ class SkewSaltSpec extends AnyFunSuite {
     assert(salted.exceptAll(windowed).isEmpty && windowed.exceptAll(salted).isEmpty)
   }
 
+  test("salted partition sum keeps null-key rows, matching window semantics") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 10L), (2L, None, 5L), (3L, None, 7L),
+      (4L, Some("a"), 2L)).toDF("id", "k", "v")
+    val out = Skew.saltedPartitionSum(df, col("k"), col("v"),
+        salts = 4, saltSource = col("id"), totalName = "tot")
+      .select("id", "tot").as[(Long, Long)].collect().toMap
+    // NULL is its own partition, exactly as PARTITION BY treats it
+    assert(out == Map(1L -> 12L, 4L -> 12L, 2L -> 12L, 3L -> 12L))
+  }
+
   test("q120 plan: no Window operator, totals broadcast back onto the corpus") {
     val p = plan("q120_salted_window")
     assert(!p.contains("Window"), p.take(3000))          // the operator we avoided
