@@ -142,6 +142,8 @@ object Bench {
     "q137_length_batches")  // padding-minimizing length-band batching
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
+  // q138_dedup_eval joins q44 against that same exact baseline, so it
+  // inherits q43's exclusion (an audit you run on a bounded slice).
   // q91_range_join_binned stays oracle-only: its TRUE pair cardinality at
   // sf0.1 is ~2.6e8 (every lineitem × ~440 orders in its 7-day window) —
   // a semantics-driven volume, not plan overhead; benching it would time

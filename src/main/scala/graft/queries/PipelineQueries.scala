@@ -1046,6 +1046,24 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Dedup-quality audit: the banded pipeline (q44) evaluated
+    // against the exact-Jaccard baseline (q43) as a confusion report —
+    // the recall/precision evidence a curation team checks before
+    // trusting approximate dedup at scale (bounded-corpus audit; at
+    // 100 TB you run it on a sampled slice, same query).
+    "q138_dedup_eval" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.7)
+        .select(col("id_a"), col("id_b")).withColumn("e", lit(1))
+      val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7)
+        .select(col("id_a"), col("id_b")).withColumn("l", lit(1))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          count(when(col("e").isNotNull && col("l").isNotNull, 1)).as("n_both"),
+          count(when(col("e").isNotNull && col("l").isNull, 1)).as("n_missed"),
+          count(when(col("e").isNull && col("l").isNotNull, 1)).as("n_spurious"))
+    }),
+
     // ---- Length-bucketed batches: 16-token bands × 4 shards, batches
     // of 8 filled in content-hash order — padding waste bounded by the
     // band width, batch identity reproducible from the data alone.
@@ -2344,6 +2362,28 @@ object PipelineQueries extends QueryPack {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Exact pairs re-derived over the SAME gram relation the banded
+    // CTEs build, full-outer'd against pr — an independent restatement
+    // of both sides of the confusion matrix.
+    "q138_dedup_eval" ->
+      s"""WITH $minhashPairsCtes,
+         |exact2 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i2
+         |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |ex AS (SELECT id_a, id_b FROM exact2
+         |       JOIN sizes sa ON sa.doc_id = id_a
+         |       JOIN sizes sb ON sb.doc_id = id_b
+         |       WHERE i2*1.0/(sa.n + sb.n - i2) >= 0.7),
+         |j AS (SELECT e.id_a IS NOT NULL AS in_exact,
+         |             p.id_a IS NOT NULL AS in_lsh
+         |      FROM ex e FULL OUTER JOIN (SELECT id_a, id_b FROM pr) p
+         |        ON e.id_a = p.id_a AND e.id_b = p.id_b)
+         |SELECT count(CASE WHEN in_exact AND in_lsh THEN 1 END) AS n_both,
+         |       count(CASE WHEN in_exact AND NOT in_lsh THEN 1 END) AS n_missed,
+         |       count(CASE WHEN NOT in_exact AND in_lsh THEN 1 END) AS n_spurious
+         |FROM j""".stripMargin,
 
     // The same bands, shards, hash order, and batch arithmetic replayed.
     "q137_length_batches" ->

@@ -126,9 +126,13 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_SCALING_NDOCS overrides the corpus size (default 50k =
+    // 10×): pass 500000 with a fresh dir for a 100× two-decade curve.
+    val nDocsGen = sys.env.get("SPARK_GRAFT_SCALING_NDOCS")
+      .map(_.toLong).getOrElse(50000L)
     if (!new java.io.File(s"$tenxDir/documents.parquet").exists()) {
-      println(s"[scaling] generating 10x corpus at $tenxDir (50k docs)")
-      generate(spark, tenxDir, 50000L)
+      println(s"[scaling] generating corpus at $tenxDir ($nDocsGen docs)")
+      generate(spark, tenxDir, nDocsGen)
     }
     if (!new java.io.File(s"$tenxDir/embeddings.parquet").exists()) {
       println(s"[scaling] generating 10x embeddings at $tenxDir (20k vectors)")
