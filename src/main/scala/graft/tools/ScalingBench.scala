@@ -47,15 +47,25 @@ object ScalingBench {
 
   /** Base text for a doc id: 12..75 tokens; ~1 in 7 tokens is a rare
     * per-corpus token (w<k>), the rest draw from the common vocabulary —
-    * zipf-ish head + long tail, like a crawled corpus. */
-  private def baseText(id: Long, nDocs: Long): String = {
+    * zipf-ish head + long tail, like a crawled corpus.
+    *
+    * `heaps = true` switches to a Heaps-law-like distribution (HALF the
+    * tokens rare, rare space ∝ nDocs): the default's fixed 48-word head
+    * saturates the 3-gram space at ~100× corpus (collision density then
+    * grows quadratically — a property of the synthetic distribution,
+    * not of any operator), so the banded dedup ops need the realistic
+    * mode to be measurable at large absolute scale. */
+  private def baseText(id: Long, nDocs: Long, heaps: Boolean = false): String = {
     val n = 12 + (mix(id, 0).abs % 64).toInt
     val sb = new StringBuilder
+    val rareMod = if (heaps) 2 else 7
+    val rareSpace = math.max(if (heaps) nDocs else nDocs / 5, 1)
     var p = 0
     while (p < n) {
       val h = mix(id, p + 1)
       if (p > 0) sb.append(' ')
-      if (h.abs % 7 == 0) sb.append("w").append((h.abs / 7) % math.max(nDocs / 5, 1))
+      if (h.abs % rareMod == 0)
+        sb.append("w").append((h.abs / rareMod) % rareSpace)
       else sb.append(CommonVocab((h.abs % CommonVocab.length).toInt))
       p += 1
     }
@@ -65,17 +75,19 @@ object ScalingBench {
   /** 2% of docs (id % 50 == 3) are near-duplicates: the PREVIOUS doc's
     * text with its first token replaced — Jaccard ≫ 0.7 on 3-gram
     * shingles, exactly the pair shape q44/q66 must find. */
-  def docText(id: Long, nDocs: Long): String =
+  def docText(id: Long, nDocs: Long, heaps: Boolean = false): String =
     if (id % 50 == 3 && id > 0) {
-      val t = baseText(id - 1, nDocs)
+      val t = baseText(id - 1, nDocs, heaps)
       "mutated" + t.dropWhile(_ != ' ')
-    } else baseText(id, nDocs)
+    } else baseText(id, nDocs, heaps)
 
-  private def generate(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+  private def generate(spark: SparkSession, dir: String, nDocs: Long,
+                       heaps: Boolean = false): Unit = {
     import spark.implicits._
     val n = nDocs
+    val hp = heaps
     spark.range(n).map { id =>
-      val text = docText(id, n)
+      val text = docText(id, n, hp)
       val langs = Array("en", "de", "fr", "es", "zh")
       (id, text, langs((mix(id, -1).abs % langs.length).toInt),
         "src" + (id % 16), text.length.toLong)
@@ -130,9 +142,14 @@ object ScalingBench {
     // 10×): pass 500000 with a fresh dir for a 100× two-decade curve.
     val nDocsGen = sys.env.get("SPARK_GRAFT_SCALING_NDOCS")
       .map(_.toLong).getOrElse(50000L)
+    // SPARK_GRAFT_SCALING_HEAPS=true: Heaps-law-like rare-token growth
+    // (see baseText) — required to measure the banded dedup ops at
+    // >=100x, where the default head-heavy distribution saturates the
+    // gram space.
+    val heapsGen = sys.env.get("SPARK_GRAFT_SCALING_HEAPS").contains("true")
     if (!new java.io.File(s"$tenxDir/documents.parquet").exists()) {
-      println(s"[scaling] generating corpus at $tenxDir ($nDocsGen docs)")
-      generate(spark, tenxDir, nDocsGen)
+      println(s"[scaling] generating corpus at $tenxDir ($nDocsGen docs, heaps=$heapsGen)")
+      generate(spark, tenxDir, nDocsGen, heapsGen)
     }
     if (!new java.io.File(s"$tenxDir/embeddings.parquet").exists()) {
       println(s"[scaling] generating 10x embeddings at $tenxDir (20k vectors)")
