@@ -21,11 +21,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (builder tooling; the driver never sets it):
-    // SPARK_GRAFT_ONLY=q114,q115 dumps just the named queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_ONLY=q114,q115 dumps just the named queries — exact
+    // name or family prefix per QuerySelect (q90 → q90/q90b/q90c; q11
+    // does NOT select q110).
+    val only = QuerySelect.parse(sys.env.get("SPARK_GRAFT_ONLY"))
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith)) }
+      only.forall(QuerySelect.matches(_, name)) }
     selected.foreach { case (name, fn) =>
       // stale persisted intermediates from earlier queries are measurement/
       // memory pressure, not part of this query (same hygiene as Bench)

@@ -60,6 +60,16 @@ object GraphRank {
     * pattern as Dedup.lastDistributedRounds). */
   @volatile var lastRounds: Int = 0
 
+  /** Structural counters from the last triangleCounts call (spec /
+    * ScalingBench hook): total wedges the oriented join forms —
+    * Σ_a C(outdeg(a), 2), computed analytically from the persisted
+    * oriented relation, NOT by re-executing the join — and the maximum
+    * oriented out-degree. These are the load-bearing skew numbers: under
+    * degree-ordering max outdeg is O(√m), so a degree-10⁶ celebrity
+    * cannot explode the wedge stage. */
+  @volatile var lastWedgeCount: Long = 0L
+  @volatile var lastMaxOutDegree: Long = 0L
+
   /** Per-vertex triangle counts over the UNDIRECTED simplification of a
     * (src, dst[, w]) edge list — the clustering-structure metric next to
     * PageRank's centrality (triangle density separates organic link
@@ -105,6 +115,14 @@ object GraphRank {
         .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db")))
       .persist()
     try {
+      // wedge census over the (persisted, tiny per-vertex) out-degree
+      // distribution — one aggregate, no join re-execution
+      val wedgeRow = oriented.groupBy(col("a"))
+        .agg(count(lit(1)).as("od"))
+        .agg(expr("CAST(sum((od * (od - 1)) DIV 2) AS BIGINT)"),
+          max(col("od"))).collect()(0)
+      lastWedgeCount = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
+      lastMaxOutDegree = if (wedgeRow.isNullAt(1)) 0L else wedgeRow.getLong(1)
       val e1 = oriented.select(col("a"), col("b").as("b1"), col("db").as("r1"))
       val e2 = oriented.select(col("a"), col("b").as("b2"), col("db").as("r2"))
       val wedges = e1.join(e2, "a")

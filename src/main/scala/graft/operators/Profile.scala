@@ -18,22 +18,38 @@ import org.apache.spark.sql.functions._
  * report. No shuffle carries table-sized data: the exchange moves
  * partial aggregate states only.
  *
- * Exact-count contract: n_distinct is EXACT (count_distinct) because the
- * report is an oracle-checked artifact; the bounded-state alternative for
- * very wide tables is the portable HLL sketch (TextAnalysis
- * .hllDistinctTokens, q100) — documented trade, not a silent downgrade.
- * min/max are computed on the NATIVE type (numeric min, not lexicographic)
- * and cast to string afterwards, so the report schema is uniform across
- * heterogeneous columns.
+ * Exact-count contract: n_distinct is EXACT (count_distinct) by default
+ * because the report is an oracle-checked artifact — but exact
+ * multi-DISTINCT costs one Expand, which multiplies the scan's row
+ * volume by C+1 at C profiled columns. WIDTH WARNING: at a 200-column
+ * table the Expand alone is a 200× row blowup; for wide tables pass
+ * `approxDistinct = true`, which swaps count_distinct →
+ * approx_count_distinct (single-pass HLL partials, NO Expand — every
+ * metric is then a plain map-side-combinable aggregate) and leaves every
+ * other column of the report bit-identical (spec-pinned). The portable
+ * cross-engine sketch alternative is TextAnalysis.hllDistinctTokens
+ * (q100). min/max are computed on the NATIVE type (numeric min, not
+ * lexicographic) and cast to string afterwards, so the report schema is
+ * uniform across heterogeneous columns.
  */
 object Profile {
 
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    // the stack() pivot below interpolates the names into SQL text; a
+    // quote/backtick would break the parse or mislabel rows, so reject
+    // rather than emit a wrong report (profiled tables come from parquet
+    // /JDBC schemas where such names are illegal anyway)
+    cols.foreach { c =>
+      require(!c.exists(ch => ch == '`' || ch == '\'' || ch == '\\'),
+        s"columnProfile: unsupported character in column name: $c")
+    }
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__mn"),
         max(col(c)).cast("string").as(s"${c}__mx"))
     }

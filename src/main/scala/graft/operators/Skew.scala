@@ -64,21 +64,45 @@ object Skew {
     *
     * `value` must be integral (exact addition) — callers with doubles
     * go through Tables.dsum-style decimal images first, same doctrine.
-    * Output: the input plus `totalName`. */
+    * Output: the input plus `totalName`.
+    *
+    * The re-attach broadcast is BYTE-GATED (the tokenRarity/q70 rule):
+    * `totals` has one row per distinct key — bounded in the hot-few-keys
+    * regime this operator targets, but a per-user sum with one whale key
+    * has |users| rows, and an unconditional broadcast() hint would bypass
+    * the engine's own sizing doctrine. The row estimate comes from a
+    * single-pass HLL over the (already tiny, lineage-truncated) partial
+    * relation — it steers the physical strategy only, never the answer;
+    * over budget the join falls to SHUFFLE_HASH on the key (totals was
+    * just shuffled on that key by its own aggregate anyway, and the
+    * big side's shuffle is on the UNSALTED key — uniform only if keys
+    * are many, which is exactly the over-budget regime). Both physical
+    * plans share one oracle (q120/q120b). */
   def saltedPartitionSum(df: DataFrame, key: Column, value: Column,
                          salts: Int, saltSource: Column,
-                         totalName: String): DataFrame = {
+                         totalName: String,
+                         broadcastBudgetBytes: Long = 64L * 1024 * 1024)
+    : DataFrame = {
     require(salts >= 2, "salting needs >= 2 buckets")
-    val partials = df
+    // lineage-truncated: partials feeds BOTH the sizing probe and totals;
+    // without the truncation the big-side aggregate would execute twice
+    val partials = Dedup.truncateLineage(df
       .groupBy(key.as("__k"),
         pmod(xxhash64(saltSource), lit(salts)).cast("int").as("__salt"))
-      .agg(sum(value).as("__partial"))
+      .agg(sum(value).as("__partial")))
     val totals = partials
       .groupBy(col("__k"))
       .agg(sum(col("__partial")).as(totalName))
+    // key payload + 8-byte total + hash-relation overhead per entry —
+    // the same bytes-not-rows rule as Dedup's verify map
+    val nKeys = partials.agg(approx_count_distinct(col("__k")))
+      .collect()(0).getLong(0)
+    val sized =
+      if (nKeys * 96L <= broadcastBudgetBytes) broadcast(totals)
+      else totals.hint("SHUFFLE_HASH")
     // null-safe equality: a window PARTITION BY treats NULL as its own
     // partition, so the re-attach must too — plain === would silently
     // drop every null-key row from the output
-    df.join(broadcast(totals), key <=> col("__k")).drop("__k")
+    df.join(sized, key <=> col("__k")).drop("__k")
   }
 }

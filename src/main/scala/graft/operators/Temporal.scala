@@ -172,7 +172,14 @@ object Temporal {
     * (identical cross-engine), and the sum goes through Tables.dsum's
     * DECIMAL image, so the oracle hash-matches bit-for-bit. Steps clamp
     * at 62 (beyond that the weight is 0 at any realistic precision and
-    * the shift would overflow). */
+    * the shift would overflow).
+    *
+    * NULL-ts edge semantics (deliberate, cross-engine-consistent): a row
+    * with NULL ts yields NULL datediff, and least(NULL, 62) = 62 in BOTH
+    * Spark and DuckDB (least ignores NULL operands) — so the row decays
+    * to weight 2^-62 ≈ 0 yet still increments n_events. That matches the
+    * "unknown timestamp = infinitely old" reading; callers who want such
+    * rows excluded entirely filter ts.isNotNull first. */
   def decayedSum(events: DataFrame, key: Column, ts: Column, value: Column,
                  halfLifeDays: Int): DataFrame = {
     require(halfLifeDays >= 1, "halfLifeDays must be >= 1")

@@ -545,8 +545,9 @@ object TextAnalysis {
     * below `minDf` are hapax noise, tokens above `maxDf` are stopwords —
     * and at 100 TB a stopword's posting list is the unboundedly-skewed
     * key that would hot-spot the shuffle and produce a useless
-    * gigabyte-long row. Inside the band every posting list is ≤ maxDf
-    * entries by construction (the q88 crossSourceOverlap cap argument).
+    * gigabyte-long row. The band is enforced BEFORE any posting state
+    * exists (two-pass, see invertedIndexTerms), so both the output AND
+    * every intermediate aggregation cell are ≤ maxDf entries.
     * Postings are doc-ids sorted ascending, comma-joined — the
     * deterministic serialized form both engines produce identically. */
   def invertedIndex(docs: org.apache.spark.sql.DataFrame, id: String,
@@ -562,19 +563,32 @@ object TextAnalysis {
     val toks = docs
       .select(col(id).as("pid"), explode(terms).as("t"))
       .filter(length(col("t")) > 0)
-    // ONE shuffle: collect_set dedups (term, doc) occurrences inside the
-    // aggregate — map-side partial sets combine, so repeated in-doc
-    // occurrences never reach the exchange (the explode→distinct→groupBy
-    // formulation paid a second full shuffle just to dedup first).
-    // df = |set| keeps the distinct-documents meaning exactly.
-    toks.groupBy(col("t"))
-      .agg(collect_set(col("pid")).as("ps"))
-      .select(col("t").as("token"),
-        size(col("ps")).cast("long").as("df"),
-        array_join(transform(array_sort(col("ps")), _.cast("string")), ",")
-          .as("postings"))
+    // TWO passes, because the one-shuffle collect_set-then-band form is a
+    // state bomb: a stopword-grade term ("of the" in nearly every doc)
+    // would accumulate a corpus-sized posting set in ONE aggregation cell
+    // before the band filter ever saw it — invisible at 50k docs, an
+    // executor OOM on exactly the skewed task at 10B.
+    //
+    // Pass 1 — df with NO posting state: dedup (term, doc) on the PAIR
+    // key (a hot term's occurrences spread across reducers; per-cell
+    // state is one row), then count per term — a map-side-combinable
+    // 8-byte long no matter how hot the term. Lineage-truncated so the
+    // pair relation computes once for its two consumers (df + join).
+    val pairs = Dedup.truncateLineage(toks.distinct())
+    val banded = pairs.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df").between(minDf, maxDf))
-      .select(col("token"), col("df"), col("postings"))
+    // Pass 2 — postings ONLY for in-band terms: the join discards
+    // out-of-band (hot) rows BEFORE the set aggregation, so every
+    // collect_list cell holds ≤ maxDf entries BY CONSTRUCTION. The
+    // banded-terms side is vocabulary-bounded and df-narrowed; AQE
+    // broadcasts it when it fits, in which case hot-term rows die
+    // map-side and never reach an exchange.
+    pairs.join(banded, "t")
+      .groupBy(col("t"), col("df"))
+      .agg(sort_array(collect_list(col("pid"))).as("ps"))
+      .select(col("t").as("token"), col("df"),
+        array_join(transform(col("ps"), _.cast("string")), ",").as("postings"))
   }
 
   /** PMI collocations over adjacent word bigrams, scored as LIFT —
@@ -651,6 +665,18 @@ object TextAnalysis {
       .orderBy(col("nt").desc, col("t")).limit(topK)
       .select(col("t"))
     val totals = bySrcTok.groupBy(col("src")).agg(sum(col("n")).as("nn"))
+    // RUNTIME overflow guard for the documented 2^63 bound: the pair
+    // stage's products are n_a·N_b ≤ maxN², so maxN must stay ≤
+    // floor(√(2^63−1)) ≈ 3.037e9 tokens per source. With ANSI off a
+    // larger corpus would silently wrap and diverge from the oracle —
+    // fail loudly and name the DECIMAL migration instead. The 1-row agg
+    // reads the lineage-truncated bySrcTok, not the corpus.
+    val maxNRow = totals.agg(max(col("nn"))).collect()(0)
+    val maxN = if (maxNRow.isNullAt(0)) 0L else maxNRow.getLong(0)
+    require(maxN <= 3037000499L,
+      s"tokenDrift: per-source token total $maxN exceeds the 2^63 integer" +
+        " product bound (~3.04e9 tokens/source); recompute the pair stage" +
+        " on DECIMAL images (Tables.dsum doctrine) for corpora this large")
     // densified: a source that never uses a top token is an n=0 cell —
     // it still contributes |0·N_b − n_b·N_a| to the distance. The
     // dense grid is topK × |sources| rows, bounded by construction.

@@ -143,13 +143,16 @@ object ExpressionQueries extends QueryPack {
     }),
 
     // ---- IN / BETWEEN / LIKE predicate trio (docs operators/OPS_IN.rst;
-    // Calcite expands IN→OR chain, BETWEEN→range — Catalyst does the same)
+    // Calcite expands IN→OR chain, BETWEEN→range — Catalyst does the same).
+    // Every predicate MATCHES test data (testdata p_name contains 'widget',
+    // not TPC-H part names) — the previous '%part%' pattern made the gate
+    // a vacuous 0-row match at every scale.
     "q27_in_between_like" -> ((s, dir) => {
       load(s, dir, "part")
         .filter(
           col("p_type").isin("ECONOMY", "SMALL", "STANDARD") &&
           col("p_size").between(5, 25) &&
-          col("p_name").like("%part%"))
+          col("p_name").like("%widget%"))
         .groupBy(col("p_type"))
         .agg(count(lit(1)).as("n_parts"), sum(col("p_size")).as("sum_size"))
         .orderBy(col("p_type"))
@@ -348,7 +351,7 @@ object ExpressionQueries extends QueryPack {
         |FROM part
         |WHERE p_type IN ('ECONOMY','SMALL','STANDARD')
         |  AND p_size BETWEEN 5 AND 25
-        |  AND p_name LIKE '%part%'
+        |  AND p_name LIKE '%widget%'
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
 
     "q28_cte" ->

@@ -170,10 +170,14 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("o_orderpriority").asc_nulls_last)
     }),
 
-    // ---- Anti join (NOT EXISTS)
+    // ---- Anti join (NOT EXISTS). The orders side is filtered to large
+    // orders so the anti result is NON-EMPTY at every SF (the unfiltered
+    // form matched a 0-row oracle vacuously — every customer has orders
+    // at sf0.01, so the gate could not distinguish a correct predicate
+    // from one that filters everything).
     "q11_join_anti" -> ((s, dir) => {
       val c = load(s, dir, "customer")
-      val o = load(s, dir, "orders")
+      val o = load(s, dir, "orders").filter(col("o_totalprice") > 400000)
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_custs_without_orders"))
@@ -242,10 +246,13 @@ object RelationalQueries extends QueryPack {
       a.intersect(b).orderBy(col("key"))
     }),
 
-    // ---- EXCEPT (superset: absent in reference)
+    // ---- EXCEPT (superset: absent in reference). Right side restricted
+    // to 'F'-status orders so the difference is NON-EMPTY at every SF
+    // (customer-minus-all-orders was a vacuous 0-row gate at sf0.01).
     "q18_except" -> ((s, dir) => {
       val a = load(s, dir, "customer").select(col("c_custkey").as("key"))
-      val b = load(s, dir, "orders").select(col("o_custkey").as("key"))
+      val b = load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("key"))
       a.except(b).orderBy(col("key"))
     }),
 
@@ -416,6 +423,23 @@ object RelationalQueries extends QueryPack {
           graft.Tables.r6(col("n_chars").cast("double") /
             col("source_chars").cast("double")).as("share"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q120 with the totals broadcast FORCED OFF (budget 0): the
+    // byte-gate's SHUFFLE_HASH fallback path, sharing q120's oracle — the
+    // gate steers the physical plan only, never the answer (the q44/q44b,
+    // q72/q72b relationship). PlanAuditSpec pins no-BroadcastHashJoin here.
+    "q120b_salted_window_shuffle" -> ((s, dir) => {
+      Skew.saltedPartitionSum(
+          load(s, dir, "documents"),
+          key = col("source"), value = col("n_chars"),
+          salts = 8, saltSource = col("doc_id"),
+          totalName = "source_chars", broadcastBudgetBytes = 0L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("source_chars"),
+          graft.Tables.r6(col("n_chars").cast("double") /
+            col("source_chars").cast("double")).as("share"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -507,7 +531,8 @@ object RelationalQueries extends QueryPack {
 
     "q11_join_anti" ->
       """SELECT c_mktsegment, count(*) AS n_custs_without_orders FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS LAST""".stripMargin,
 
     "q12_count_distinct" ->
@@ -553,7 +578,7 @@ object RelationalQueries extends QueryPack {
       """SELECT * FROM (
         |SELECT c_custkey AS key FROM customer
         |EXCEPT
-        |SELECT o_custkey AS key FROM orders
+        |SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
         |) ORDER BY key""".stripMargin,
 
     "q19_orderby_nulls_limit" ->
@@ -649,13 +674,18 @@ object RelationalQueries extends QueryPack {
 
     // The PLAIN window: salted partials + broadcast-back must equal
     // sum() OVER (PARTITION BY source) exactly (integer addition).
-    "q120_salted_window" ->
-      """SELECT doc_id, source, n_chars,
-        |       CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT)
-        |         AS source_chars,
-        |       round(CAST(n_chars AS DOUBLE)
-        |             / sum(n_chars) OVER (PARTITION BY source)
-        |             * 1000000.0) / 1000000.0 AS share
-        |FROM documents ORDER BY doc_id""".stripMargin
+    // Shared by q120 (byte-gated broadcast) and q120b (forced
+    // SHUFFLE_HASH fallback) — the gate cannot change answers.
+    "q120_salted_window" -> saltedWindowOracle,
+    "q120b_salted_window_shuffle" -> saltedWindowOracle
   )
+
+  private val saltedWindowOracle: String =
+    """SELECT doc_id, source, n_chars,
+      |       CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT)
+      |         AS source_chars,
+      |       round(CAST(n_chars AS DOUBLE)
+      |             / sum(n_chars) OVER (PARTITION BY source)
+      |             * 1000000.0) / 1000000.0 AS share
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -189,11 +189,12 @@ object ScalingBench {
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
-    // SPARK_GRAFT_SCALING_ONLY=q121b_...,q123_... restricts the sweep
-    // while iterating (the Verify convention).
-    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only.map(o => queries.filter(o)).getOrElse(queries)
+    // SPARK_GRAFT_SCALING_ONLY=q121b,q123 restricts the sweep while
+    // iterating — the SAME rule as Verify's SPARK_GRAFT_ONLY
+    // (graft.QuerySelect: exact name or non-digit-extending prefix).
+    val only = graft.QuerySelect.parse(sys.env.get("SPARK_GRAFT_SCALING_ONLY"))
+    val selected = queries.filter(q =>
+      only.forall(graft.QuerySelect.matches(_, q)))
 
     for (dir <- Seq("/root/testdata/sf0.1", tenxDir)) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -232,7 +233,7 @@ object ScalingBench {
       // (id uniqueness across index and batch is the operator contract).
       // Index build/persist happens OUTSIDE the timed region — that is the
       // point: at 100 TB you index once and pay per-batch forever after.
-      if (only.forall(_.exists(_.startsWith("q81")))) {
+      if (only.forall(graft.QuerySelect.matches(_, "q81_incremental_fixedbatch"))) {
         import spark.implicits._
         val batch = spark.range(500L).map(id => (id, docText(id, 50000L)))
           .toDF("doc_id", "text")
@@ -263,7 +264,7 @@ object ScalingBench {
     // stage is the one window pass that builds the edges. Edge count is
     // printed to pin the saturation.
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-         if only.forall(_.exists(_.startsWith("q114")))) {
+         if only.forall(graft.QuerySelect.matches(_, "q114_pagerank"))) {
       spark.catalog.clearCache()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       val q = SparkEntry.queries("q114_pagerank")
@@ -282,6 +283,121 @@ object ScalingBench {
       }
       println(f"[scaling] q114_pagerank $dir%-28s median=${median(runs)}%7.2f s" +
         f" events=$nEv%-8d edges=$edges%-7d")
+    }
+
+    // Triangles (q118) + label propagation (q124) on a SKEWED synthetic
+    // graph — one celebrity vertex adjacent to 30% of ALL vertices. The
+    // claim under measurement is the Latapy degree-ordered orientation
+    // bound: max ORIENTED out-degree stays O(√m) even though the raw
+    // degree distribution has a 0.3·|V| whale, so the wedge stage — the
+    // term a naive neighbor join explodes on — is bounded. Counters
+    // (wedges, max outdeg) come from GraphRank.lastWedgeCount /
+    // lastMaxOutDegree, computed analytically off the oriented relation.
+    // Edges are pure xxhash64 functions of the edge index — both scales
+    // and both runs see identical graphs, generated in executors.
+    // As-of join: the union+window REWRITE (q90 shape) vs the NATIVE
+    // merge-walk operator (q90b shape) on the same synthetic event
+    // stream at 100k / 1M / 10M events. Both are timed AND measured for
+    // peak per-task execution memory (SparkListener, max over tasks):
+    // the claim the native operator exists for is that its probe side
+    // buffers ONE row per key behind the sort, where the rewrite's
+    // union must co-sort both streams and carry the window state —
+    // a memory difference, not only a time one. Events are pure
+    // xxhash64 functions of the row id: identical across runs/scales.
+    if (only.forall(graft.QuerySelect.matches(_, "q90_asof_scaling"))) {
+      import graft.operators.Temporal
+      import org.apache.spark.sql.functions.{lit, pmod, when, xxhash64, timestamp_seconds}
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            peak.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def synthEvents(n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(n).select(
+          col("id").as("event_id"),
+          pmod(xxhash64(col("id"), lit(7)), lit(n / 100)).as("user_id"),
+          timestamp_seconds(lit(1600000000L) +
+            pmod(xxhash64(col("id"), lit(11)), lit(86400L * 30))).as("ts"),
+          (pmod(xxhash64(col("id"), lit(13)), lit(1000)).cast("double") / 10.0)
+            .as("value"),
+          when(pmod(xxhash64(col("id"), lit(17)), lit(4)) === 0, "purchase")
+            .otherwise("view").as("event_type"))
+      for (n <- Seq(100000L, 1000000L, 10000000L)) {
+        val ev = synthEvents(n).persist(); ev.count()
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        def rewrite() = Temporal.asOfJoin(
+          purchases,
+          ev.filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          leftKey = col("user_id"), rightKey = col("user_id"),
+          leftTime = col("ts"), rightTime = col("ts"),
+          payload = Seq("v_event_id" -> col("event_id"), "v_value" -> col("value")),
+          tieBreak = col("event_id"))
+        def native() = Temporal.asOfJoinNative(
+          purchases,
+          ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_id").as("v_event_id"), col("value").as("v_value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("v_event_id", "v_value"), tieBreak = "event_id")
+        for ((label, mk) <- Seq("q90_asof_rewrite" -> (() => rewrite()),
+                                "q90b_asof_native" -> (() => native()))) {
+          spark.catalog.clearCache(); ev.persist(); ev.count()
+          peak.set(0L)
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scaling] $label%-18s events=$n%-9d median=${median(runs)}%7.2f s" +
+            f" peakTaskMem=${peak.get() / 1024 / 1024} MiB")
+        }
+        ev.unpersist(blocking = false)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    if (only.forall(t => graft.QuerySelect.matches(t, "q118_triangles") ||
+        graft.QuerySelect.matches(t, "q124_label_prop"))) {
+      import graft.operators.GraphRank
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      for ((nV, nE) <- Seq((20000L, 100000L), (200000L, 1000000L))) {
+        val rand = spark.range(nE).select(
+          pmod(xxhash64(col("id"), lit(1)), lit(nV)).as("src"),
+          pmod(xxhash64(col("id"), lit(2)), lit(nV)).as("dst"),
+          lit(1L).as("w"))
+        val celeb = spark.range(nV)
+          .filter(pmod(col("id"), lit(10)) < 3 && col("id") =!= 0L)
+          .select(lit(0L).as("src"), col("id").as("dst"), lit(1L).as("w"))
+        val edges = rand.union(celeb)
+        val m = edges.count()
+        spark.catalog.clearCache()
+        val triRuns = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          GraphRank.triangleCounts(edges)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scaling] q118_triangles_skew |V|=$nV%-7d m=$m%-8d" +
+          f" median=${median(triRuns)}%7.2f s wedges=${GraphRank.lastWedgeCount}" +
+          f" maxOutDeg=${GraphRank.lastMaxOutDegree}" +
+          f" sqrtM=${math.sqrt(m.toDouble).toLong}")
+        spark.catalog.clearCache()
+        val lpaRuns = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          GraphRank.labelPropagation(edges, 4)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scaling] q124_label_prop_skew |V|=$nV%-7d m=$m%-8d" +
+          f" median=${median(lpaRuns)}%7.2f s rounds=4")
+      }
     }
     spark.stop()
   }

@@ -237,11 +237,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
-  test("q103 inverted index: no join, bounded exchange count") {
+  test("q103 inverted index: bounded exchange count, banded-terms side broadcast") {
     val p = plan("q103_inverted_index")
-    assert(joinOps.findAllIn(p).isEmpty, p.take(3000))
-    // distinct (doc, term) + groupBy(term) + output sort — nothing else
-    assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+    // two-pass shape (r9): distinct pairs are lineage-truncated (the RDD
+    // scan), df counts on the tiny pair relation, band filter, then the
+    // banded side broadcasts back onto pairs — so the visible exchanges
+    // are df-count + posting-agg + output sort, and the join is broadcast
+    // (hot out-of-band terms die map-side, never crossing an exchange)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
   test("q104 surprisal: vocabulary under budget broadcasts — corpus token stream never shuffles for the join") {
@@ -313,6 +319,27 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q120 salted window: no Window operator, totals broadcast back") {
     val p = plan("q120_salted_window")
     assert(!p.contains("Window") && p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q120b salted window forced fallback: SHUFFLE_HASH re-attach, no broadcast") {
+    val p = plan("q120b_salted_window_shuffle")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("q103 inverted index: df band filter UPSTREAM of the posting aggregation") {
+    val p = plan("q103_inverted_index")
+    // two-pass shape: postings are collect_list over band-filtered pairs —
+    // the one-shuffle collect_set-then-filter form held corpus-sized state
+    // for stopword terms in a single aggregation cell
+    assert(p.contains("collect_list") && !p.contains("collect_set"), p.take(4000))
+    val bandFilter = """Filter \(\(df#\d+L >= 2\) AND \(df#\d+L <= 50\)\)""".r
+    assert(bandFilter.findFirstIn(p).isDefined, p.take(4000))
+    // plans print root-first, so the (downstream) set aggregation must
+    // appear BEFORE the (upstream) band filter in the text
+    assert(p.indexOf("collect_list") < bandFilter.findFirstMatchIn(p).get.start,
+      p.take(4000))
   }
 
   test("q129 sorted-neighborhood: bucket equi join, never a range/cartesian plan") {

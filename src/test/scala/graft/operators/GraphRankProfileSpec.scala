@@ -127,6 +127,36 @@ class GraphRankProfileSpec extends AnyFunSuite {
     assert(sc.getString(4) === "a" && sc.getString(5) === "b")
   }
 
+  test("columnProfile approxDistinct: no Expand, every non-distinct column bit-identical") {
+    import spark.implicits._
+    val df = (0 until 500)
+      .map(i => (i.toLong % 37, s"v${i % 11}", if (i % 5 == 0) null else s"w$i"))
+      .toDF("num", "cat", "sparse")
+    val cols = Seq("num", "cat", "sparse")
+    val exact = Profile.columnProfile(df, cols)
+    val approx = Profile.columnProfile(df, cols, approxDistinct = true)
+    // the approx path swaps ONLY n_distinct: every other report column
+    // must be bit-identical (it is the same aggregate minus the Expand)
+    val drop = (d: org.apache.spark.sql.DataFrame) =>
+      d.drop("n_distinct").orderBy("col_name").collect().toSeq
+    assert(drop(exact) === drop(approx))
+    // n_distinct is the one approximated column — HLL default rsd is 5%,
+    // so pin it within 10% of exact rather than bit-equal
+    val nd = (d: org.apache.spark.sql.DataFrame) => d.orderBy("col_name")
+      .collect().map(_.getLong(3)).toSeq
+    nd(approx).zip(nd(exact)).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= math.max(1L, e / 10), s"approx $a vs exact $e") }
+    // structural: exact pays the Expand (C+1 row blowup); approx must not
+    val pExact = exact.queryExecution.executedPlan.toString
+    val pApprox = approx.queryExecution.executedPlan.toString
+    assert(pExact.contains("Expand"), pExact.take(2000))
+    assert(!pApprox.contains("Expand"), pApprox.take(2000))
+    // and quoted/backticked names are rejected, not silently mislabeled
+    intercept[IllegalArgumentException] {
+      Profile.columnProfile(df.withColumnRenamed("num", "a`b"), Seq("a`b"))
+    }
+  }
+
   test("labelPropagation: two triangles over a weak bridge settle into two communities") {
     import spark.implicits._
     // triangle {1,2,3} and triangle {10,11,12}, bridged 3—10 with weight 1
