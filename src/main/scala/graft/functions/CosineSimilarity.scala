@@ -103,6 +103,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GramHashSet(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gram_hash_set_cp"),
+      new ExpressionInfo(classOf[GramHashSet].getName, "graft_gram_hash_set_cp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_gram_hash_set_cp takes exactly 1 argument")
+        GramHashSet(children.head, wide = true)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
       (children: Seq[Expression]) => {

@@ -121,6 +121,42 @@ object Dedup {
         call_function("graft_gram_hash_set", col(text)).as("gs"))
       .filter(col("gs").isNotNull)
 
+  /** Codepoint-safe gram sets (base-2^21 polynomial, injective over full
+    * Unicode — the base-256 form collides on codepoints > 255, so its
+    * hash-set Jaccard drifts from true gram Jaccard on CJK-heavy text;
+    * SURVEY §8.5). Same one-pass codegen'd kernel, wide mode. */
+  def gramSetsCp(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("sid"),
+        call_function("graft_gram_hash_set_cp", col(text)).as("gs"))
+      .filter(col("gs").isNotNull)
+
+  /** MinHash-LSH near-dup pairs over CODEPOINT shingles — the CJK-faithful
+    * variant of [[minHashLshPairs]]: wide injective gram hashes, and the
+    * signature's universal hashes reduce mod P BEFORE the affine map
+    * (a wide h·a would overflow 64 bits — wrapping here, erroring in the
+    * oracle). Same banding, same size prefilter, same merge-walk verify
+    * kernel (sorted-long intersections are hash-width-agnostic); the
+    * verify join is the q44b-proven SHUFFLE_HASH shape. Sets are
+    * lineage-truncated once for their two consumers (banding + verify). */
+  def minHashLshPairsCp(docs: DataFrame, id: String, text: String,
+                        threshold: Double): DataFrame = {
+    val sets = truncateLineage(gramSetsCp(docs, id, text))
+    val sigs = sets.select(col("sid") +: size(col("gs")).as("gn") +:
+      MinHashParams.indices.map(j =>
+        array_min(transform(col("gs"), h => minHashJWide(h, j))).as(s"m$j")): _*)
+    // persisted for the same reason as the managed pipeline: the band
+    // self-join reads it on BOTH sides and it carries the 16-hash
+    // signature computation. The eager localCheckpoint below materializes
+    // the verified pairs, so the finally-unpersist is safe.
+    val bandRel = bandRelation(sigs, sizeAware = true).persist()
+    try {
+      val cands = pairsFromBands(bandRel, threshold, sizeAware = true)
+      truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
+        .select(col("id_a"), col("id_b"), jaccardCol)
+        .filter(col("jaccard") >= threshold)
+    } finally bandRel.unpersist(blocking = false)
+  }
+
   /** 16-hash MinHash signature per document, computed as array folds over
     * the doc's own gram-hash set (array_min of transform) — a pure
     * projection with NO shuffle. The naive shape (explode grams, groupBy

@@ -52,6 +52,40 @@ object TextHashing {
   def gramHashSql(g: String): String =
     s"(ascii($g)*65536 + ascii(substr($g,2,1))*256 + ascii(substr($g,3,1)))"
 
+  /** CODEPOINT-safe gram hash: base-2^21 polynomial over the gram's code
+    * points — injective for the FULL Unicode range (max codepoint
+    * 0x10FFFF < 2^21, 3·21 = 63 bits), where the base-256 form collides
+    * whenever a codepoint exceeds 255 (the SURVEY §8.5 CJK scope note).
+    * Both engines' ascii() return the first CODE POINT of a string
+    * (probed: Spark ascii('中') = DuckDB ascii('中') = 20013), so the SQL
+    * mirror is exact. Computed one-pass by graft_gram_hash_set_cp. */
+  def cpGramHash(g: Column): Column =
+    (ascii(g) * lit(4398046511104L) +
+      ascii(substring(g, 2, 1)) * lit(2097152L) +
+      ascii(substring(g, 3, 1))).cast("long")
+
+  def cpGramHashSql(g: String): String =
+    // explicit BIGINT casts: DuckDB's ascii() is INT32 and 2097152 parses
+    // as INT32, so the middle product would overflow 32 bits
+    s"(CAST(ascii($g) AS BIGINT)*4398046511104" +
+      s" + CAST(ascii(substr($g,2,1)) AS BIGINT)*2097152" +
+      s" + ascii(substr($g,3,1)))"
+
+  /** Universal hash for WIDE (up to 2^63) base hashes: reduce mod P
+    * BEFORE the affine map — h·a on a wide hash would overflow 64 bits
+    * (wrapping in Spark with ANSI off, erroring in DuckDB: divergence
+    * either way). For the narrow base-256 hashes the unreduced minHashJ
+    * stays the oracle-frozen form. */
+  def minHashJWide(h: Column, j: Int): Column = {
+    val (a, b) = MinHashParams(j)
+    ((h % lit(P)) * lit(a) + lit(b)) % lit(P)
+  }
+
+  def minHashJWideSql(h: String, j: Int): String = {
+    val (a, b) = MinHashParams(j)
+    s"((($h % $P)*$a + $b) % $P)"
+  }
+
   /** j-th universal hash of a base hash column. */
   def minHashJ(h: Column, j: Int): Column = {
     val (a, b) = MinHashParams(j)

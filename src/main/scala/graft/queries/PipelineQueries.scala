@@ -34,6 +34,11 @@ object PipelineQueries extends QueryPack {
   private val minSqlCols =
     MinHashParams.indices.map(j => s"min(${minHashJSql("h", j)}) AS m$j").mkString(", ")
 
+  // Wide-hash variant (codepoint shingles): mod-P reduction BEFORE the
+  // affine map, mirroring TextHashing.minHashJWide.
+  private val cpMinSqlCols =
+    MinHashParams.indices.map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")
+
   private val bandSql = (0 until NumBands).map { b =>
     val cols = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
     s"SELECT doc_id, $b AS band, concat_ws('-', $cols) AS sig FROM mh"
@@ -1258,6 +1263,30 @@ object PipelineQueries extends QueryPack {
       SimilaritySearch.rerankTopK(emb.filter(col("vec_id") < 20), emb, 10, 3)
         .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- CODEPOINT-shingle MinHash near-dup on a CJK corpus (the SURVEY
+    // §8.5 scope-note closure): each ASCII token maps to one deterministic
+    // CJK codepoint (0x4E00 + tokenHash mod 20000; Spark builds the char
+    // from its raw UTF-8 bytes via unhex since chr() is mod-256, DuckDB
+    // uses chr() — the fixtures are byte-identical, md5-probed), so the
+    // planted one-token near-dup mutations become one-CHAR mutations of
+    // unicode text. The base-256 gram hash is non-injective above
+    // codepoint 255; the wide base-2^21 polynomial + mod-P-reduced
+    // minhash keep hash-set Jaccard EXACTLY gram-set Jaccard here
+    // (CjkGramSpec pins a collision the narrow form cannot distinguish).
+    "q139_cjk_neardup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val cjk = docs.select(col("doc_id"),
+        array_join(transform(split(col("text"), " "), t => {
+          val cp = lit(19968L) + tokenHash(t) % lit(20000L)
+          val b = (lit(224L) + shiftright(cp, 12)) * lit(65536L) +
+            (lit(128L) + shiftright(cp, 6) % lit(64L)) * lit(256L) +
+            (lit(128L) + cp % lit(64L))
+          decode(unhex(conv(b, 10, 16)), "UTF-8")
+        }), "").as("text"))
+      Dedup.minHashLshPairsCp(cjk, "doc_id", "text", 0.7)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2732,7 +2761,39 @@ object PipelineQueries extends QueryPack {
         |  SELECT query_id, cand_id, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
         |  FROM scored)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // The identical CJK fixture (chr over the same token-hash codepoints),
+    // codepoint 3-gram shingles hashed with the wide base-2^21 polynomial,
+    // minhash with the mod-P pre-reduction, then the standard band/verify
+    // chain. Pairs and jaccards must match the Spark pipeline exactly.
+    "q139_cjk_neardup" ->
+      s"""WITH x AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+         |tk AS (SELECT doc_id, i, ts[i] AS t
+         |       FROM x, unnest(generate_series(1, len(ts))) AS u(i)),
+         |cjk AS (SELECT doc_id,
+         |               string_agg(chr(CAST(19968 + (${tokenHashSql("t")} % 20000)
+         |                 AS INTEGER)), '' ORDER BY i) AS text
+         |        FROM tk GROUP BY doc_id),
+         |pos AS (SELECT doc_id, text,
+         |               unnest(generate_series(1, greatest(length(text)-2,1))) AS i
+         |        FROM cjk),
+         |gr AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS g FROM pos),
+         |hs AS (SELECT doc_id, CAST(${cpGramHashSql("g")} AS BIGINT) AS h FROM gr),
+         |mh AS (SELECT doc_id, $cpMinSqlCols FROM hs GROUP BY doc_id),
+         |bands AS ($bandSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
+         |          JOIN gr a ON a.doc_id = id_a
+         |          JOIN gr b ON b.doc_id = id_b AND a.g = b.g
+         |          GROUP BY id_a, id_b),
+         |pr AS (
+         |  SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)
+         |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin
   )
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB
