@@ -139,7 +139,9 @@ object Bench {
     "q134_span_corruption", // T5 span masking, block-aligned sentinels
     "q135_hard_negatives",  // contrastive positive + hard-negative mining
     "q136_token_drift",     // cross-source distribution drift (integer L1)
-    "q137_length_batches")  // padding-minimizing length-band batching
+    "q137_length_batches",  // padding-minimizing length-band batching
+    "q139_cjk_neardup",     // codepoint-shingle MinHash on the CJK fixture
+    "q140_bpe_merges")      // 8-round distributed BPE merge learning
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE merge learning (Sennrich et al. 2016) — the tokenizer-
+ * induction step of an LLM data pipeline: learn the top `rounds` byte-
+ * pair merges of a corpus, most-frequent adjacent symbol pair first.
+ *
+ * Scale shape — the reason this is 100 TB-credible:
+ * - The corpus is read ONCE, collapsed to (word, count) — a map-side-
+ *   combinable aggregate whose output is the Heaps-bounded vocabulary
+ *   (≪ corpus). Every subsequent round runs on that vocabulary only.
+ * - Per round: one vocabulary-sized pair-count aggregate (weighted by
+ *   word count, map-side combinable), a 1-row argmax, and a row-local
+ *   array rewrite under a broadcast of that single row. No round touches
+ *   corpus-sized data; no driver pull is on the answer path (the winning
+ *   pair reaches the rewrite as a broadcast 1-row cross join).
+ * - Lineage is truncated per round (the labelPropagation doctrine), so
+ *   plan depth stays O(1) per round instead of O(rounds).
+ *
+ * Determinism contract (what lets DuckDB replay it): the winning pair is
+ * argmax by (count DESC, sym_a ASC, sym_b ASC) — a total order; the
+ * rewrite is GREEDY LEFTMOST NON-OVERLAPPING (the reference BPE rule:
+ * "aaa" + merge (a,a) → [aa, a]), implemented as a single left fold over
+ * the symbol array (`aggregate` HOF: merge iff the accumulator's last
+ * symbol is sym_a, the current is sym_b, and the last was not itself
+ * produced by this round's merge). The oracle reproduces the identical
+ * greedy selection positionally: consecutive match runs keep every other
+ * position (parity rule) — the two formulations coincide because within
+ * a run of overlapping matches greedy takes exactly the even offsets.
+ *
+ * Returns one row per learned merge: (round, sym_a, sym_b, pair_count).
+ */
+object Bpe {
+
+  def bpeMerges(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val words = docs
+      .select(explode(split(col(text), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // initial symbol inventory: one character per symbol
+    var syms = Dedup.truncateLineage(
+      words.select(col("w"), col("c"), split(col("w"), "").as("syms")))
+    val merges = (1 to rounds).map { r =>
+      val pairs = syms.select(col("c"), explode(expr(
+        """transform(slice(syms, 1, size(syms) - 1),
+          |  (s, i) -> named_struct('sa', s, 'sb', element_at(syms, i + 2)))"""
+          .stripMargin)).as("pr"))
+      val best = Dedup.truncateLineage(pairs
+        .groupBy(col("pr.sa").as("sa"), col("pr.sb").as("sb"))
+        .agg(sum(col("c")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("sa"), col("sb"))
+        .limit(1))
+      syms = Dedup.truncateLineage(syms
+        .crossJoin(broadcast(best.select(col("sa"), col("sb"))))
+        .select(col("w"), col("c"), expr(
+          """aggregate(syms,
+            |  named_struct('out', cast(array() as array<string>), 'just', false),
+            |  (acc, s) -> IF(NOT acc.just AND size(acc.out) > 0
+            |                 AND element_at(acc.out, -1) = sa AND s = sb,
+            |    named_struct('out', concat(slice(acc.out, 1, size(acc.out) - 1),
+            |      array(concat(sa, sb))), 'just', true),
+            |    named_struct('out', concat(acc.out, array(s)), 'just', false)),
+            |  acc -> acc.out)""".stripMargin).as("syms")))
+      best.select(lit(r).as("round"), col("sa").as("sym_a"),
+        col("sb").as("sym_b"), col("pair_count"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+}

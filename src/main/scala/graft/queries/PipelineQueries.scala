@@ -1287,6 +1287,18 @@ object PipelineQueries extends QueryPack {
         }), "").as("text"))
       Dedup.minHashLshPairsCp(cjk, "doc_id", "text", 0.7)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Distributed BPE merge learning (Sennrich 2016): the top-8
+    // byte-pair merges of the corpus, most-frequent first, tie-broken
+    // (count DESC, pair ASC). The corpus collapses to the Heaps-bounded
+    // word vocabulary ONCE; each round is a vocab-sized pair aggregate +
+    // a broadcast 1-row argmax + a row-local greedy-leftmost array
+    // rewrite. The oracle replays the greedy rule positionally (parity
+    // over consecutive match runs — identical selections).
+    "q140_bpe_merges" -> ((s, dir) => {
+      Bpe.bpeMerges(load(s, dir, "documents"), "text", 8)
+        .orderBy(col("round"))
     })
   )
 
@@ -2793,8 +2805,55 @@ object PipelineQueries extends QueryPack {
          |  SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
          |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)
-         |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin
+         |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
+
+    "q140_bpe_merges" -> bpeOracle(8)
   )
+
+  // Unrolled-round BPE replay: per round, pair counts over adjacent
+  // positions, a (n DESC, sa, sb) argmax, greedy-leftmost merge selection
+  // as the parity rule over consecutive match runs, then a renumbered
+  // rewrite. Identical selections to the Spark fold (see operators.Bpe).
+  private def bpeOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks
+        |       WHERE length(w) > 0 GROUP BY w),
+        |s0 AS MATERIALIZED (SELECT w, c, CAST(i AS BIGINT) AS p, substr(w, i, 1) AS s
+        |       FROM w0, unnest(generate_series(1, length(w))) AS u(i))""".stripMargin)
+    for (r <- 1 to rounds) {
+      val pv = s"s${r - 1}"
+      sb.append(s""",
+        |pc$r AS (SELECT a.s AS sa, b.s AS sb, CAST(sum(a.c) AS BIGINT) AS n
+        |         FROM $pv a JOIN $pv b ON b.w = a.w AND b.p = a.p + 1
+        |         GROUP BY a.s, b.s),
+        |best$r AS MATERIALIZED (SELECT sa, sb, n FROM pc$r ORDER BY n DESC, sa, sb LIMIT 1),
+        |m$r AS (SELECT a.w, a.p FROM $pv a
+        |        JOIN $pv b ON b.w = a.w AND b.p = a.p + 1
+        |        JOIN best$r x ON a.s = x.sa AND b.s = x.sb),
+        |k$r AS MATERIALIZED (SELECT w, p FROM (
+        |          SELECT w, p, p - min(p) OVER (PARTITION BY w, grp) AS off FROM (
+        |            SELECT w, p,
+        |                   p - row_number() OVER (PARTITION BY w ORDER BY p) AS grp
+        |            FROM m$r))
+        |        WHERE off % 2 = 0),
+        |s$r AS MATERIALIZED (SELECT w, c,
+        |               CAST(row_number() OVER (PARTITION BY w ORDER BY p) AS BIGINT) AS p,
+        |               s FROM (
+        |          SELECT a.w, a.c, a.p,
+        |                 CASE WHEN k1.p IS NOT NULL
+        |                      THEN a.s || (SELECT sb FROM best$r) ELSE a.s END AS s
+        |          FROM $pv a
+        |          LEFT JOIN k$r k1 ON k1.w = a.w AND k1.p = a.p
+        |          LEFT JOIN k$r k2 ON k2.w = a.w AND k2.p = a.p - 1
+        |          WHERE k2.p IS NULL))""".stripMargin)
+    }
+    sb.append("\n" + (1 to rounds).map(r =>
+        s"SELECT $r AS round, sa AS sym_a, sb AS sym_b, n AS pair_count FROM best$r")
+      .mkString("", "\nUNION ALL ", "\nORDER BY round"))
+    sb.toString
+  }
 
   // Token 8-gram fingerprints = md5 of the space-rejoined window; DuckDB
   // reproduces the Spark fingerprint byte-for-byte (both md5 the same
