@@ -141,7 +141,8 @@ object Bench {
     "q136_token_drift",     // cross-source distribution drift (integer L1)
     "q137_length_batches",  // padding-minimizing length-band batching
     "q139_cjk_neardup",     // codepoint-shingle MinHash on the CJK fixture
-    "q140_bpe_merges")      // 8-round distributed BPE merge learning
+    "q140_bpe_merges",      // 8-round distributed BPE merge learning
+    "q141_bpe_tokenize")    // corpus tokenization via the vocab join
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

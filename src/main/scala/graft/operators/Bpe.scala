@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
-  def bpeMerges(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+  /** The learned state: one 1-row relation per round's winning merge,
+    * plus the vocabulary rewritten through all of them. */
+  private case class Learned(bests: Seq[DataFrame], vocab: DataFrame)
+
+  private def learn(docs: DataFrame, text: String, rounds: Int): Learned = {
     require(rounds >= 1, "need at least one merge round")
     val words = docs
       .select(explode(split(col(text), " ")).as("w"))
@@ -68,6 +72,28 @@ object Bpe {
       best.select(lit(r).as("round"), col("sa").as("sym_a"),
         col("sb").as("sym_b"), col("pair_count"))
     }
-    merges.reduce(_ unionByName _)
+    Learned(merges, syms)
+  }
+
+  def bpeMerges(docs: DataFrame, text: String, rounds: Int): DataFrame =
+    learn(docs, text, rounds).bests.reduce(_ unionByName _)
+
+  /** Tokenize the corpus under the learned merges — per doc, the BPE
+    * token and word counts. The scale insight: no document is ever
+    * re-walked per round; the vocabulary (already rewritten during
+    * learning) carries each word's final segmentation, and tokenization
+    * is ONE equi join of the corpus word stream against that bounded
+    * relation (AQE broadcasts it when it fits). This is how a 100 TB
+    * corpus gets BPE-tokenized without per-row iteration. */
+  def bpeTokenize(docs: DataFrame, id: String, text: String,
+                  rounds: Int): DataFrame = {
+    val vocab = learn(docs, text, rounds).vocab
+      .select(col("w"), size(col("syms")).cast("long").as("nsym"))
+    docs.select(col(id).as("did"), explode(split(col(text), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("did"))
+      .agg(sum(col("nsym")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+      .select(col("did").as(id), col("n_bpe_tokens"), col("n_words"))
   }
 }

@@ -1299,6 +1299,16 @@ object PipelineQueries extends QueryPack {
     "q140_bpe_merges" -> ((s, dir) => {
       Bpe.bpeMerges(load(s, dir, "documents"), "text", 8)
         .orderBy(col("round"))
+    }),
+
+    // ---- BPE tokenization under the q140 merges: per-doc token/word
+    // counts from ONE equi join of the corpus word stream against the
+    // already-rewritten vocabulary — no per-document iteration, which is
+    // the whole point at 100 TB (the vocabulary is the bounded working
+    // set; documents are only ever joined, never re-walked per round).
+    "q141_bpe_tokenize" -> ((s, dir) => {
+      Bpe.bpeTokenize(load(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2807,14 +2817,27 @@ object PipelineQueries extends QueryPack {
          |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)
          |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
 
-    "q140_bpe_merges" -> bpeOracle(8)
+    "q140_bpe_merges" -> bpeOracle(8,
+      (1 to 8).map(r =>
+          s"SELECT $r AS round, sa AS sym_a, sb AS sym_b, n AS pair_count FROM best$r")
+        .mkString("", "\nUNION ALL ", "\nORDER BY round")),
+
+    // same learned chain, consumed through the vocabulary join
+    "q141_bpe_tokenize" -> bpeOracle(8,
+      """SELECT doc_id,
+        |       CAST(sum(vn.nsym) AS BIGINT) AS n_bpe_tokens,
+        |       count(*) AS n_words
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dtk
+        |JOIN (SELECT w, count(*) AS nsym FROM s8 GROUP BY w) vn USING (w)
+        |WHERE length(dtk.w) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   // Unrolled-round BPE replay: per round, pair counts over adjacent
   // positions, a (n DESC, sa, sb) argmax, greedy-leftmost merge selection
   // as the parity rule over consecutive match runs, then a renumbered
   // rewrite. Identical selections to the Spark fold (see operators.Bpe).
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -2849,9 +2872,7 @@ object PipelineQueries extends QueryPack {
         |          LEFT JOIN k$r k2 ON k2.w = a.w AND k2.p = a.p - 1
         |          WHERE k2.p IS NULL))""".stripMargin)
     }
-    sb.append("\n" + (1 to rounds).map(r =>
-        s"SELECT $r AS round, sa AS sym_a, sb AS sym_b, n AS pair_count FROM best$r")
-      .mkString("", "\nUNION ALL ", "\nORDER BY round"))
+    sb.append("\n" + finalSelect)
     sb.toString
   }
 

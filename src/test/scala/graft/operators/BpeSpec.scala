@@ -69,4 +69,16 @@ class BpeSpec extends AnyFunSuite {
     assert(got == modelMerges(corpus, 2))
     assert(got(1)._1 == "cc" && got(1)._2 == "cc")
   }
+
+  test("tokenize counts symbols of the learned segmentation per document") {
+    // after 2 rounds on "cccc...": cccc -> [cccc] (1 token); x, y -> 1 each
+    val docs = Seq((1L, "cccc cccc cccc cccc cccc x y"), (2L, "cccc cc"))
+      .toDF("doc_id", "text")
+    val got = Bpe.bpeTokenize(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: five cccc (1 sym each after cc+cc merge) + x + y = 7 tokens/7 words
+    // doc 2: cccc (1) + cc (1) = 2 tokens/2 words
+    assert(got == Seq((1L, 7L, 7L), (2L, 2L, 2L)))
+  }
 }
