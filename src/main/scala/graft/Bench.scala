@@ -142,7 +142,8 @@ object Bench {
     "q137_length_batches",  // padding-minimizing length-band batching
     "q139_cjk_neardup",     // codepoint-shingle MinHash on the CJK fixture
     "q140_bpe_merges",      // 8-round distributed BPE merge learning
-    "q141_bpe_tokenize")    // corpus tokenization via the vocab join
+    "q141_bpe_tokenize",    // corpus tokenization via the vocab join
+    "q142_bigram_surprisal") // conditional -log2 P(cur|prev) word-order filter
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

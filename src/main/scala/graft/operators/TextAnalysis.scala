@@ -540,6 +540,41 @@ object TextAnalysis {
           .as("mean_surprisal_bits"))
   }
 
+  /** Quantized BIGRAM conditional surprisal per document: mean over the
+    * doc's adjacent token pairs of floor(log2 cnt(prev,*)) − floor(log2
+    * cnt(prev,cur)) — the conditional code length −log2 P(cur|prev) to
+    * within one bit, in exact integer arithmetic. unigramSurprisal one
+    * modeling order up: a document of individually-common tokens in
+    * IMPROBABLE order (shuffled text, word salad, template spam) scores
+    * high here while the unigram filter cannot see it. cnt(prev,*) is the
+    * count of `prev` as a bigram HEAD (the proper conditional
+    * denominator), not its corpus unigram count — last tokens of docs
+    * never head a bigram.
+    *
+    * Scale shape: one bigram-vocabulary groupBy and one head-count
+    * groupBy (both map-side combinable), joined back onto the doc's
+    * bigram stream. The bigram vocabulary is NOT force-broadcast (it can
+    * approach vocab² — the q70 rule; AQE picks broadcast when it fits).
+    * Per-pair bits are integers, the per-doc sum is an integer, and the
+    * only float op is the final mean — the oracle-exactness doctrine. */
+  def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, id: String,
+                      text: String): org.apache.spark.sql.DataFrame = {
+    val bi = docs
+      .select(col(id).as("bid"),
+        explode(wordBigrams(split(col(text), " "))).as("bg"))
+      .withColumn("pv", split(col("bg"), " ").getItem(0))
+    val biCnt = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val headCnt = bi.groupBy(col("pv")).agg(count(lit(1)).as("cp"))
+    bi.join(biCnt, "bg")
+      .join(headCnt, "pv")
+      .withColumn("bits", floorLog2(col("cp")) - floorLog2(col("cb")))
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .select(col("bid").as(id), col("n_bigrams"),
+        r6(col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_cond_bits"))
+  }
+
   /** Inverted index (token → document posting list) with a document-
     * frequency band as BOTH the signal filter and the skew guard: tokens
     * below `minDf` are hapax noise, tokens above `maxDf` are stopwords —

@@ -1309,6 +1309,16 @@ object PipelineQueries extends QueryPack {
     "q141_bpe_tokenize" -> ((s, dir) => {
       Bpe.bpeTokenize(load(s, dir, "documents"), "doc_id", "text", 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Bigram CONDITIONAL surprisal: per-doc mean of
+    // floor(log2 cnt(prev,*)) − floor(log2 cnt(prev,cur)) — the
+    // −log2 P(cur|prev) code length in exact integer arithmetic. The
+    // word-order filter unigram LM scoring (q104) cannot see: shuffled
+    // text keeps its unigram score but pays here.
+    "q142_bigram_surprisal" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisal(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2821,6 +2831,23 @@ object PipelineQueries extends QueryPack {
       (1 to 8).map(r =>
           s"SELECT $r AS round, sa AS sym_a, sb AS sym_b, n AS pair_count FROM best$r")
         .mkString("", "\nUNION ALL ", "\nORDER BY round")),
+
+    // Identical integer floor-log2 chain over bigram-head and bigram
+    // counts; the per-doc sum is integer, the mean is the one float op.
+    "q142_bigram_surprisal" ->
+      s"""WITH x AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |bi AS (SELECT doc_id, ts[i] AS pv, ts[i] || ' ' || ts[i+1] AS bg
+         |       FROM x, unnest(generate_series(1, len(ts)-1)) AS u(i)),
+         |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY bg),
+         |hc AS (SELECT pv, CAST(count(*) AS BIGINT) AS cp FROM bi GROUP BY pv),
+         |sc AS (SELECT doc_id,
+         |              ${TextAnalysis.floorLog2Sql("cp")} -
+         |              ${TextAnalysis.floorLog2Sql("cb")} AS bits
+         |       FROM bi JOIN bc USING (bg) JOIN hc USING (pv))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |             * 1000000.0) / 1000000.0 AS mean_cond_bits
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same learned chain, consumed through the vocabulary join
     "q141_bpe_tokenize" -> bpeOracle(8,
