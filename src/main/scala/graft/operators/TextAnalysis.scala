@@ -559,15 +559,27 @@ object TextAnalysis {
     * only float op is the final mean — the oracle-exactness doctrine. */
   def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, id: String,
                       text: String): org.apache.spark.sql.DataFrame = {
+    // split ONCE behind a projection barrier: passing split(text) directly
+    // into wordBigrams inlines it into the transform lambda, where the
+    // interpreted HOF re-splits the whole text for EVERY element (no CSE
+    // inside lambdas — the q113 lesson) — quadratic per document
     val bi = docs
-      .select(col(id).as("bid"),
-        explode(wordBigrams(split(col(text), " "))).as("bg"))
-      .withColumn("pv", split(col("bg"), " ").getItem(0))
+      .select(col(id).as("bid"), split(col(text), " ").as("ts"))
+      .select(col("bid"), explode(wordBigrams(col("ts"))).as("bg"))
     val biCnt = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val headCnt = bi.groupBy(col("pv")).agg(count(lit(1)).as("cp"))
-    bi.join(biCnt, "bg")
-      .join(headCnt, "pv")
-      .withColumn("bits", floorLog2(col("cp")) - floorLog2(col("cb")))
+    // head counts derive FROM the bigram vocabulary (sum of cb per head —
+    // map-side combinable, no second corpus pass), and the 49-term
+    // floor-log2 comparison chains evaluate per DISTINCT bigram —
+    // vocabulary-sized work; the corpus stream pays exactly one join
+    // against the scored vocabulary. No window: a stopword head can head
+    // millions of distinct bigrams at corpus scale, and a window
+    // partition would serialize it where the aggregate+join stays
+    // AQE-skew-splittable (the q120/q132 doctrine).
+    val withHead = biCnt.withColumn("pv", split(col("bg"), " ").getItem(0))
+    val headCnt = withHead.groupBy(col("pv")).agg(sum(col("cb")).as("cp"))
+    val scored = withHead.join(headCnt, "pv")
+      .select(col("bg"), (floorLog2(col("cp")) - floorLog2(col("cb"))).as("bits"))
+    bi.join(scored, "bg")
       .groupBy(col("bid"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .select(col("bid").as(id), col("n_bigrams"),

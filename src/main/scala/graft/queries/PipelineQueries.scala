@@ -919,9 +919,13 @@ object PipelineQueries extends QueryPack {
     // stopword phrase's posting list is the unbounded hot key at 100 TB)
     // and bounds every emitted list at maxDf entries by construction.
     "q103_inverted_index" -> ((s, dir) => {
+      // split behind a projection barrier: an inline split(text) would be
+      // re-evaluated per element inside wordBigrams' interpreted lambda
+      // (quadratic per doc — the q142 lesson)
       val docs = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
       TextAnalysis.invertedIndexTerms(docs, "doc_id",
-          TextAnalysis.wordBigrams(split(col("text"), " ")), minDf = 2, maxDf = 50)
+          TextAnalysis.wordBigrams(col("ts")), minDf = 2, maxDf = 50)
         .orderBy(col("token"))
     }),
 

@@ -185,7 +185,11 @@ object ScalingBench {
       "q133_dedup_keep_best",
       "q134_span_corruption",
       "q136_token_drift",
-      "q137_length_batches")
+      "q137_length_batches",
+      "q139_cjk_neardup",
+      "q140_bpe_merges",
+      "q141_bpe_tokenize",
+      "q142_bigram_surprisal")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
