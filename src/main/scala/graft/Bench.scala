@@ -143,7 +143,11 @@ object Bench {
     "q139_cjk_neardup",     // codepoint-shingle MinHash on the CJK fixture
     "q140_bpe_merges",      // 8-round distributed BPE merge learning
     "q141_bpe_tokenize",    // corpus tokenization via the vocab join
-    "q142_bigram_surprisal") // conditional -log2 P(cur|prev) word-order filter
+    "q142_bigram_surprisal", // conditional -log2 P(cur|prev) word-order filter
+    "q143_suffix_ranks",    // prefix-doubling generalized suffix array
+    "q144_lcp_repeats",     // exact cross-doc repeats via the LCP rank walk
+    "q145_backoff_trigram", // pruned Stupid Backoff trigram LM scoring
+    "q146_phrase_scrub")    // corpus-derived stop-phrase dictionary scrub
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

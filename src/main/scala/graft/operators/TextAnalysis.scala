@@ -587,6 +587,184 @@ object TextAnalysis {
           .as("mean_cond_bits"))
   }
 
+  /** Quantized STUPID BACKOFF trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4): per trigram (w1 w2 w3),
+    * S(w3|w1w2) = c(w1w2w3)/c(w1w2·) when the trigram survives pruning,
+    * backing off to α·c(w2w3)/c(w2·) then α²·c(w3)/N — the industrial
+    * n-gram LM filter whose pruned backoff a self-scored corpus never
+    * exercises without `prune3`/`prune2` (every observed trigram has
+    * count ≥ 1; pruning models the SHIPPED LM, which drops rare n-grams).
+    * Completes the code-length ladder: unigramSurprisal (order 0),
+    * bigramSurprisal (order 1), this (order 2 with real backoff).
+    *
+    * Quantization keeps it oracle-exact end-to-end: path bits are
+    * floor-log2 integer chains — trigram flog2(c(w1w2·))−flog2(c(w1w2w3)),
+    * bigram + `penaltyBits`, unigram + 2·`penaltyBits` — where
+    * `penaltyBits`=1 is the 1-bit quantization of −log2 α for Brants'
+    * α=0.4 (1.32 bits; the per-path constant keeps ordering). Denominators
+    * are HEAD counts (c(w1w2·) = the bigram's occurrences as a trigram
+    * head), the proper conditional mass — doc-final bigrams never head a
+    * trigram, exactly as bigramSurprisal's cnt(prev,*).
+    *
+    * Scale shape (the bigramSurprisal doctrine, one order up): three
+    * map-side-combinable vocabulary aggregates (trigram / bigram / token),
+    * head counts derived FROM those vocabularies (no second corpus pass),
+    * floor-log2 chains evaluated per DISTINCT n-gram — vocabulary-sized
+    * work — and the corpus trigram stream pays exactly three left joins
+    * against the scored vocabularies. Nothing is force-broadcast (trigram
+    * vocabulary ~ corpus-sized; AQE broadcasts the sides that fit). */
+  def backoffTrigramBits(docs: org.apache.spark.sql.DataFrame, id: String,
+                         text: String, prune3: Int = 3, prune2: Int = 2,
+                         penaltyBits: Int = 1): org.apache.spark.sql.DataFrame = {
+    // projection barrier: split once, HOFs index the materialized array
+    // (the q142 lesson — expressions passed into lambdas re-evaluate per
+    // element)
+    val arr = docs.select(col(id).as("bid"), split(col(text), " ").as("ts"))
+    val tri = arr
+      .select(col("bid"), explode(wordTrigramKeys(col("ts"))).as("k"))
+      .select(col("bid"), col("k.tg"), col("k.h2"), col("k.b2"), col("k.w3"))
+    val bi = arr
+      .select(explode(wordBigrams(col("ts"))).as("bg"))
+    // no empty-token filter: the trigram stream is unfiltered, and the
+    // unigram floor must cover every w3 the backoff cascade can reach
+    val uni = arr.select(explode(col("ts")).as("w"))
+    // vocabulary aggregates; head counts derive from them (map-side
+    // combinable sums over the already-bounded vocab)
+    val c3 = tri.groupBy(col("tg"), col("h2")).agg(count(lit(1)).as("n3"))
+    val h2c = c3.groupBy(col("h2")).agg(sum(col("n3")).as("n2h"))
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("nb"))
+      .withColumn("hw", split(col("bg"), " ").getItem(0))
+    val h1c = c2.groupBy(col("hw")).agg(sum(col("nb")).as("n1h"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("nu"))
+    val nTotal = uni.agg(count(lit(1)).as("nt"))
+    val triScored = c3.filter(col("n3") >= prune3).join(h2c, "h2")
+      .select(col("tg"), (floorLog2(col("n2h")) - floorLog2(col("n3"))).as("bits3"))
+    val biScored = c2.filter(col("nb") >= prune2).join(h1c, "hw")
+      .select(col("bg").as("b2"),
+        (floorLog2(col("n1h")) - floorLog2(col("nb")) + penaltyBits).as("bits2"))
+    val uniScored = c1.crossJoin(broadcast(nTotal))
+      .select(col("w").as("w3"),
+        (floorLog2(col("nt")) - floorLog2(col("nu")) + 2 * penaltyBits).as("bits1"))
+    tri
+      .join(triScored, Seq("tg"), "left")
+      .join(biScored, Seq("b2"), "left")
+      .join(uniScored, Seq("w3"), "left")
+      .withColumn("bits", coalesce(col("bits3"), col("bits2"), col("bits1")))
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("bits3").isNotNull.cast("long")).as("n_tri_hits"),
+        sum((col("bits3").isNull && col("bits2").isNotNull).cast("long")).as("n_bi_hits"),
+        sum((col("bits3").isNull && col("bits2").isNull).cast("long")).as("n_uni_hits"),
+        sum(col("bits")).as("sum_bits"))
+      .select(col("bid").as(id), col("n_trigrams"), col("n_tri_hits"),
+        col("n_bi_hits"), col("n_uni_hits"), col("sum_bits"),
+        r6(col("sum_bits").cast("double") / col("n_trigrams").cast("double"))
+          .as("mean_backoff_bits"))
+  }
+
+  /** Adjacent trigram keys of a token array (empty below 3 tokens), each a
+    * struct of the full trigram, its head bigram (w1 w2), backoff bigram
+    * (w2 w3), and w3 — emitted together so the scoring joins and head
+    * aggregates need no re-splitting (split-free also keeps empty-string
+    * tokens from corrupting key derivation). */
+  private def wordTrigramKeys(toks: Column): Column =
+    when(size(toks) < 3,
+        array().cast("array<struct<tg:string,h2:string,b2:string,w3:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2), i =>
+        struct(
+          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
+            lit(" "), element_at(toks, i + 2)).as("tg"),
+          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)).as("h2"),
+          concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)).as("b2"),
+          element_at(toks, i + 2).as("w3"))))
+
+  /** Multi-length STOP-PHRASE dictionary scrub: derive a phrase blocklist
+    * from the corpus itself — the `topBi` most frequent word bigrams and
+    * `topTri` most frequent trigrams (count DESC, phrase ASC tie-break: a
+    * deterministic, cross-engine total order) — then remove every token
+    * covered by ANY occurrence of a blocklisted phrase and return the
+    * byte-pinned rewrite. The phrase-dictionary analog of
+    * [[stripBoilerplate]] (which keys on whole lines) and the PII scrub
+    * (which keys on regex shapes): template spam and navigation
+    * boilerplate live at the PHRASE level, below the line and above the
+    * token. An externally-supplied blocklist plugs into the same
+    * machinery ([[phraseScrub]]); the corpus-derived default is what the
+    * oracle can replay exactly.
+    *
+    * Scale shape: phrase mining is two map-side-combinable vocabulary
+    * aggregates + a bounded top-k (no window over the corpus); matching
+    * emits positional L-grams ONLY for the (few, driver-known-bounded)
+    * distinct phrase lengths in the dictionary and equi-joins each
+    * against the broadcast-small dictionary — hot phrases die map-side
+    * under the broadcast. Coverage explodes matched occurrences only
+    * (L rows each — matched volume, not corpus volume); the rebuild is
+    * the removeDuplicatedSpans per-document reassembly, cell-bounded by
+    * doc length (§8.12 audit class). */
+  def stopPhraseScrub(docs: org.apache.spark.sql.DataFrame, id: String,
+                      text: String, topBi: Int = 8, topTri: Int = 4)
+    : org.apache.spark.sql.DataFrame = {
+    val arr = docs.select(col(id).as("sid"), split(col(text), " ").as("ts"))
+    val bi = arr.select(explode(wordBigrams(col("ts"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).limit(topBi)
+      .select(col("p"), lit(2).as("plen"))
+    val tri = arr.select(explode(wordTrigramKeys(col("ts"))).as("k"))
+      .select(col("k.tg").as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).limit(topTri)
+      .select(col("p"), lit(3).as("plen"))
+    phraseScrub(docs, id, text, bi.unionAll(tri))
+  }
+
+  /** [[stopPhraseScrub]]'s matching+rewrite half over a caller-supplied
+    * dictionary (`phrase`, token-length) frame. Output: one row per input
+    * doc — (id, n_before, n_after, clean_md5), where clean_md5 pins the
+    * BYTES of the space-rejoined kept tokens (empty-string md5 when every
+    * token is covered). */
+  def phraseScrub(docs: org.apache.spark.sql.DataFrame, id: String,
+                  text: String, dict: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val first = dict.columns(0)
+    val second = dict.columns(1)
+    val d = dict.select(col(first).as("g"), col(second).as("plen"))
+    // distinct phrase lengths: dictionary-bounded driver pull (the
+    // dictionary is broadcast-small by contract; its length SET is
+    // smaller still)
+    val lens = d.select(col("plen")).distinct().collect()
+      .map(_.getInt(0)).sorted
+    val arr = docs.select(col(id).as("sid"), split(col(text), " ").as("ts"))
+    val tokens = arr
+      .select(col("sid"), size(col("ts")).as("n_before"),
+        posexplode_outer(col("ts")).as(Seq("p0", "t")))
+      .filter(col("t").isNotNull)
+      .select(col("sid"), col("n_before"), (col("p0") + 1).as("tp"), col("t"))
+    val matched = lens.map { l =>
+      arr.select(col("sid"), posexplode_outer(
+          when(size(col("ts")) < l, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("ts")) - (l - 1)),
+              i => concat_ws(" ", slice(col("ts"), i, lit(l)))))).as(Seq("q0", "g")))
+        .filter(col("g").isNotNull)
+        .select(col("sid"), (col("q0") + 1).as("mp"), col("g"), lit(l).as("plen"))
+        .join(broadcast(d.filter(col("plen") === l).select(col("g"))), "g")
+    }.reduce(_ unionAll _)
+    val covered = matched
+      .select(col("sid"),
+        explode(sequence(col("mp"), col("mp") + col("plen") - 1)).as("tp"))
+      .distinct()
+    val kept = tokens.join(covered, Seq("sid", "tp"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp").as("o"), col("t").as("w")))),
+          s => s.getField("w")), " ").as("clean"))
+    docs.select(col(id).as("sid"), size(split(col(text), " ")).as("n_before"))
+      .join(rebuilt, Seq("sid"), "left")
+      .select(col("sid").as(id), col("n_before").cast("long").as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
   /** Inverted index (token → document posting list) with a document-
     * frequency band as BOTH the signal filter and the skew guard: tokens
     * below `minDf` are hapax noise, tokens above `maxDf` are stopwords —

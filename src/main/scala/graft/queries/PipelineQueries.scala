@@ -1323,6 +1323,46 @@ object PipelineQueries extends QueryPack {
     "q142_bigram_surprisal" -> ((s, dir) => {
       TextAnalysis.bigramSurprisal(load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Generalized SUFFIX ARRAY over the corpus token stream, by
+    // prefix doubling (no global window anywhere — dense ranks come from
+    // range-partitioned local passes + partition offsets). The oracle
+    // sorts materialized suffix lists directly; the Spark side never
+    // materializes a suffix — log2(maxDocLen) rounds of integer-keyed
+    // joins, which is the form that survives a 100 TB corpus.
+    "q143_suffix_ranks" -> ((s, dir) => {
+      SuffixIndex.suffixRanks(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- Exact cross-document repeated substrings from adjacent-suffix
+    // LCPs (the suffix-array ExactSubstr signal of Lee et al. 2022 — q93's
+    // positional 8-grams quantize this to gram multiples; here every
+    // length ≥ 3 is exact). LCP via the level-table rank walk; the oracle
+    // recomputes each adjacent pair's LCP by direct token comparison.
+    "q144_lcp_repeats" -> ((s, dir) => {
+      SuffixIndex.crossDocRepeats(load(s, dir, "documents"), "doc_id", "text",
+        minLen = 3, topK = 10)
+    }),
+
+    // ---- Quantized Stupid Backoff trigram LM scoring (Brants et al.
+    // 2007): prune3/prune2 model the SHIPPED pruned LM, so all three
+    // backoff paths are real on a self-scored corpus; path bits are
+    // integer floor-log2 chains with a 1-bit α penalty per backoff level.
+    // Completes the LM ladder q104 (unigram) → q142 (bigram).
+    "q145_backoff_trigram" -> ((s, dir) => {
+      TextAnalysis.backoffTrigramBits(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Corpus-derived stop-phrase scrub: blocklist = top-8 bigrams ∪
+    // top-4 trigrams (count DESC, phrase ASC), every covered token
+    // removed, rewrite byte-pinned via md5 — the phrase-level boilerplate
+    // stage between the line-level q79 and the span-level q94.
+    "q146_phrase_scrub" -> ((s, dir) => {
+      TextAnalysis.stopPhraseScrub(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2852,6 +2892,121 @@ object PipelineQueries extends QueryPack {
          |       round(CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |             * 1000000.0) / 1000000.0 AS mean_cond_bits
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The oracle materializes every suffix as a list and sorts (DuckDB
+    // list comparison is lexicographic with shorter-prefix-first — the
+    // same order the 0-padded doubling produces); dense_rank ties are
+    // genuinely equal suffixes, which the doubling also ties.
+    "q143_suffix_ranks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id, i, list_slice(ts, i, len(ts)) AS suf
+        |      FROM t, unnest(generate_series(1, len(ts))) AS u(i))
+        |SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |       CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS srank
+        |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    // Adjacent-pair LCPs recomputed by DIRECT token comparison (first
+    // mismatch position over the shorter suffix) — fully independent of
+    // the level-table rank walk it verifies.
+    "q144_lcp_repeats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id AS d, i AS p, len(ts) - i + 1 AS rem,
+        |             list_slice(ts, i, len(ts)) AS suf
+        |      FROM t, unnest(generate_series(1, len(ts))) AS u(i)),
+        |sa AS (SELECT d, p, rem, suf,
+        |              row_number() OVER (ORDER BY suf, d, p) AS srow FROM p),
+        |adj AS (SELECT a.d AS da, CAST(a.p AS BIGINT) AS pa,
+        |               b.d AS db, CAST(b.p AS BIGINT) AS pb,
+        |               coalesce(nullif(list_position(list_transform(
+        |                          range(1, least(a.rem, b.rem) + 1),
+        |                          k -> a.suf[k] = b.suf[k]), false), 0) - 1,
+        |                        least(a.rem, b.rem)) AS lcp,
+        |               a.suf AS sufa
+        |        FROM sa a JOIN sa b ON b.srow = a.srow + 1 AND a.d <> b.d)
+        |SELECT da, pa, db, pb, CAST(lcp AS BIGINT) AS lcp,
+        |       array_to_string(list_slice(sufa, 1, lcp), ' ') AS repeat_text
+        |FROM adj WHERE lcp >= 3
+        |ORDER BY lcp DESC, da, pa, db, pb LIMIT 10""".stripMargin,
+
+    // Identical pruned-backoff cascade: trigram / backoff-bigram /
+    // unigram scored vocabularies (head-count denominators), coalesce on
+    // the trigram stream, integer bit sums, one float mean.
+    "q145_backoff_trigram" ->
+      s"""WITH x AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tri AS (SELECT doc_id,
+         |               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tg,
+         |               ts[i] || ' ' || ts[i+1] AS h2,
+         |               ts[i+1] || ' ' || ts[i+2] AS b2, ts[i+2] AS w3
+         |        FROM x, unnest(generate_series(1, len(ts)-2)) AS u(i)),
+         |bi AS (SELECT ts[i] AS hw, ts[i] || ' ' || ts[i+1] AS bg
+         |       FROM x, unnest(generate_series(1, len(ts)-1)) AS u(i)),
+         |uni AS (SELECT unnest(ts) AS w FROM x),
+         |c3 AS (SELECT tg, h2, CAST(count(*) AS BIGINT) AS n3 FROM tri GROUP BY tg, h2),
+         |h2c AS (SELECT h2, CAST(sum(n3) AS BIGINT) AS n2h FROM c3 GROUP BY h2),
+         |c2 AS (SELECT bg, hw, CAST(count(*) AS BIGINT) AS nb FROM bi GROUP BY bg, hw),
+         |h1c AS (SELECT hw, CAST(sum(nb) AS BIGINT) AS n1h FROM c2 GROUP BY hw),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS nu FROM uni GROUP BY w),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM uni),
+         |tsc AS (SELECT tg, ${TextAnalysis.floorLog2Sql("n2h")} -
+         |                   ${TextAnalysis.floorLog2Sql("n3")} AS bits3
+         |        FROM c3 JOIN h2c USING (h2) WHERE n3 >= 3),
+         |bsc AS (SELECT bg, ${TextAnalysis.floorLog2Sql("n1h")} -
+         |                   ${TextAnalysis.floorLog2Sql("nb")} + 1 AS bits2
+         |        FROM c2 JOIN h1c USING (hw) WHERE nb >= 2),
+         |usc AS (SELECT w, ${TextAnalysis.floorLog2Sql("nt")} -
+         |                  ${TextAnalysis.floorLog2Sql("nu")} + 2 AS bits1
+         |        FROM c1, nn),
+         |sc AS (SELECT doc_id, coalesce(t.bits3, b.bits2, u2.bits1) AS bits,
+         |              CASE WHEN t.bits3 IS NOT NULL THEN 1 ELSE 0 END AS is3,
+         |              CASE WHEN t.bits3 IS NULL AND b.bits2 IS NOT NULL
+         |                   THEN 1 ELSE 0 END AS is2
+         |       FROM tri LEFT JOIN tsc t USING (tg)
+         |                LEFT JOIN bsc b ON tri.b2 = b.bg
+         |                LEFT JOIN usc u2 ON tri.w3 = u2.w)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |       CAST(sum(is3) AS BIGINT) AS n_tri_hits,
+         |       CAST(sum(is2) AS BIGINT) AS n_bi_hits,
+         |       CAST(count(*) - sum(is3) - sum(is2) AS BIGINT) AS n_uni_hits,
+         |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+         |       round(CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |             * 1000000.0) / 1000000.0 AS mean_backoff_bits
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Identical blocklist derivation (count DESC, phrase ASC top-k),
+    // per-length positional gram joins, distinct coverage, ordered
+    // string_agg rebuild — empty-doc md5 pinned through the left join.
+    "q146_phrase_scrub" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bl AS (
+        |  (SELECT ts[i] || ' ' || ts[i+1] AS g, 2 AS plen
+        |   FROM x, unnest(generate_series(1, len(ts)-1)) AS u(i)
+        |   GROUP BY g ORDER BY count(*) DESC, g LIMIT 8)
+        |  UNION ALL
+        |  (SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g, 3 AS plen
+        |   FROM x, unnest(generate_series(1, len(ts)-2)) AS u(i)
+        |   GROUP BY g ORDER BY count(*) DESC, g LIMIT 4)),
+        |toks AS (SELECT doc_id, i AS tp, ts[i] AS t
+        |         FROM x, unnest(generate_series(1, len(ts))) AS u(i)),
+        |m2 AS (SELECT doc_id, i AS mp, 2 AS plen
+        |       FROM x, unnest(generate_series(1, len(ts)-1)) AS u(i)
+        |       WHERE ts[i] || ' ' || ts[i+1] IN (SELECT g FROM bl WHERE plen = 2)),
+        |m3 AS (SELECT doc_id, i AS mp, 3 AS plen
+        |       FROM x, unnest(generate_series(1, len(ts)-2)) AS u(i)
+        |       WHERE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |             IN (SELECT g FROM bl WHERE plen = 3)),
+        |cov AS (SELECT DISTINCT doc_id, mp + o AS tp
+        |        FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3) m,
+        |             unnest(generate_series(0, m.plen - 1)) AS v(o)),
+        |kept AS (SELECT t.* FROM toks t LEFT JOIN cov c
+        |         ON t.doc_id = c.doc_id AND t.tp = c.tp WHERE c.tp IS NULL),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+        |               string_agg(t, ' ' ORDER BY tp) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT x.doc_id, CAST(len(x.ts) AS BIGINT) AS n_before,
+        |       coalesce(reb.n_after, 0) AS n_after,
+        |       md5(coalesce(reb.clean, '')) AS clean_md5
+        |FROM x LEFT JOIN reb ON x.doc_id = reb.doc_id
+        |ORDER BY x.doc_id""".stripMargin,
 
     // same learned chain, consumed through the vocabulary join
     "q141_bpe_tokenize" -> bpeOracle(8,

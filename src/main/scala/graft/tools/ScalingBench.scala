@@ -189,7 +189,11 @@ object ScalingBench {
       "q139_cjk_neardup",
       "q140_bpe_merges",
       "q141_bpe_tokenize",
-      "q142_bigram_surprisal")
+      "q142_bigram_surprisal",
+      "q143_suffix_ranks",
+      "q144_lcp_repeats",
+      "q145_backoff_trigram",
+      "q146_phrase_scrub")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
@@ -222,8 +226,11 @@ object ScalingBench {
           val sec = (System.nanoTime() - t0) / 1e9
           (sec, rows)
         }
-        val extra = if (q.startsWith("q66b"))
-          s" rounds=${Dedup.lastDistributedRounds}" else ""
+        val extra =
+          if (q.startsWith("q66b")) s" rounds=${Dedup.lastDistributedRounds}"
+          else if (q.startsWith("q143") || q.startsWith("q144"))
+            s" rounds=${graft.operators.SuffixIndex.lastRounds}"
+          else ""
         println(f"[scaling] $q%-28s $dir%-28s median=${median(runs.map(_._1))}%7.2f s" +
           f" rows=${runs.head._2}%-7d$extra")
       }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SuffixIndex: prefix-doubling suffix ranks and the level-table LCP walk,
+  * checked against a single-threaded brute force (materialize every token
+  * suffix, sort, dense-rank, compare adjacent tokens directly) on seeded
+  * random corpora plus the structural edge cases the doubling must get
+  * right: equal suffixes across documents (generalized-SA ties), a doc that
+  * is a strict prefix of another's suffix, single-token and empty docs. */
+class SuffixIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Lexicographic token-sequence compare, shorter-prefix-first — the
+    * order both the doubling (0-padded ranks) and DuckDB lists use. */
+  private def lt(a: Seq[String], b: Seq[String]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = a(i).compareTo(b(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def bruteRanks(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    val sufs = for {
+      (d, t) <- docs
+      ts = t.split(" ", -1).toSeq
+      p <- 1 to ts.length
+    } yield (d, p, ts.drop(p - 1))
+    val order = sufs.sortWith((x, y) => lt(x._3, y._3))
+    var rank = 0L
+    var prev: Seq[String] = null
+    order.map { case (d, p, s) =>
+      if (prev == null || s != prev) { rank += 1; prev = s }
+      (d, p) -> rank
+    }.toMap
+  }
+
+  private def run(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    import spark.implicits._
+    SuffixIndex.suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+  }
+
+  test("suffix ranks match brute force on a seeded random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "ab", "ba", "c")
+    val docs = (1L to 12L).map(d =>
+      d -> Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    assert(run(docs) === bruteRanks(docs))
+    // ⌈log2 maxLen⌉ + 1 is the hard ceiling; the all-unique exit may stop
+    // earlier — it must never exceed the bound
+    assert(SuffixIndex.lastRounds <= 5)
+  }
+
+  test("generalized-SA ties: identical docs keep equal ranks everywhere") {
+    val docs = Seq(1L -> "x y z", 2L -> "x y z", 3L -> "y z")
+    val got = run(docs)
+    assert(got === bruteRanks(docs))
+    // every suffix of doc 1 ties its twin in doc 2
+    for (p <- 1 to 3) assert(got((1L, p)) === got((2L, p)))
+    // doc 3's "y z" ties the (1,2)/(2,2) suffixes too
+    assert(got((3L, 1)) === got((1L, 2)))
+  }
+
+  test("prefix suffixes sort before their extensions; empty/single docs survive") {
+    val docs = Seq(1L -> "a b", 2L -> "a b c", 3L -> "", 4L -> "a")
+    val got = run(docs)
+    assert(got === bruteRanks(docs))
+    // "a b" < "a b c" (shorter-prefix-first), "a" < "a b"
+    assert(got((1L, 1)) < got((2L, 1)))
+    assert(got((4L, 1)) < got((1L, 1)))
+    // split("") = [""] — one empty-string token, ranked first
+    assert(got((3L, 1)) === 1L)
+  }
+
+  private def bruteRepeats(docs: Seq[(Long, String)], minLen: Int)
+    : Seq[(Long, Long, Long, Long, Long, String)] = {
+    val sufs = for {
+      (d, t) <- docs
+      ts = t.split(" ", -1).toSeq
+      p <- 1 to ts.length
+    } yield (d, p, ts.drop(p - 1))
+    val order = sufs.sortWith { (x, y) =>
+      if (x._3 != y._3) lt(x._3, y._3)
+      else if (x._1 != y._1) x._1 < y._1
+      else x._2 < y._2
+    }
+    order.sliding(2).collect {
+      case Seq((da, pa, sa), (db, pb, sb)) if da != db =>
+        val lcp = sa.zip(sb).takeWhile { case (u, v) => u == v }.length
+        (da, pa.toLong, db, pb.toLong, lcp.toLong, sa.take(lcp).mkString(" "))
+    }.filter(_._5 >= minLen).toSeq
+      .sortBy { case (da, pa, db, pb, l, _) => (-l, da, pa, db, pb) }
+  }
+
+  test("crossDocRepeats: LCP walk matches direct comparison, incl. a shared tail") {
+    import spark.implicits._
+    // planted: docs 1/2 share "q r s t u" mid-doc; docs 3/4 END with the
+    // same 3 tokens (the early-end increment path: equal level ranks with
+    // fewer than 2^k tokens remaining)
+    val docs = Seq(
+      1L -> "a b q r s t u c",
+      2L -> "d q r s t u e f",
+      3L -> "m n o p p p",
+      4L -> "z p p p")
+    val want = bruteRepeats(docs, 2).take(10)
+    val got = SuffixIndex
+      .crossDocRepeats(docs.toDF("doc_id", "text"), "doc_id", "text", 2, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .toSeq
+    assert(got === want)
+    assert(got.head._5 === 5L) // the planted 5-token run wins
+    assert(got.head._6 === "q r s t u")
+  }
+
+  test("crossDocRepeats: no cross-doc repeat of minLen yields empty") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a a a", 2L -> "b c d")
+    val got = SuffixIndex
+      .crossDocRepeats(docs.toDF("doc_id", "text"), "doc_id", "text", 2, 10)
+    assert(got.count() === 0L)
+  }
+}
