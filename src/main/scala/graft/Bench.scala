@@ -147,7 +147,8 @@ object Bench {
     "q143_suffix_ranks",    // prefix-doubling generalized suffix array
     "q144_lcp_repeats",     // exact cross-doc repeats via the LCP rank walk
     "q145_backoff_trigram", // pruned Stupid Backoff trigram LM scoring
-    "q146_phrase_scrub")    // corpus-derived stop-phrase dictionary scrub
+    "q146_phrase_scrub",    // corpus-derived stop-phrase dictionary scrub
+    "q147_ann_pq")          // product-quantization ADC top-k
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

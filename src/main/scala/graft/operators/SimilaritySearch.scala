@@ -450,4 +450,126 @@ object SimilaritySearch {
       .select(col("id_b")).distinct()
     assigned.join(dropped, assigned("vec_id") === dropped("id_b"), "left_anti")
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search")
+  // --------------------------------------------------------------------
+
+  /** PQ codebooks: split each embedding into `m` equal subspaces; per
+    * subspace, cluster the sub-vectors into ≤2^`signBits` cells via the
+    * engine's deterministic sign-bucket quantizer (the [[ivfCentroids]]
+    * doctrine — no sampled init, so the oracle rebuilds the exact same
+    * codebooks) and emit each cell's per-dimension DECIMAL-mean centroid.
+    * Returns (sub, cid, centroid) — at most m·2^signBits rows, broadcast-
+    * tiny by construction (the codebook is the POINT of PQ: m·k·(d/m)
+    * doubles stand in for the corpus's full vectors).
+    *
+    * vs [[quantize]] (int8 scalar): scalar quantization keeps d values per
+    * vector at fixed precision; PQ keeps m CODES per vector (here m
+    * ints, production m bytes) and reconstructs through learned
+    * centroids — the memory-for-recall trade every billion-vector ANN
+    * service ships. Distances here are squared L2 (the PQ paper's
+    * metric), rounded r6 with smaller-cid ties, per the cross-engine
+    * determinism rule of every ANN op in this file. */
+  def pqCodebooks(corpus: DataFrame, m: Int, signBits: Int): DataFrame = {
+    val sub = corpus
+      .select(col("vec_id"), col("embedding"),
+        (size(col("embedding")) / m).as("w"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * col("w") + 1, col("w")).as("sv"))
+    val bucketed = sub.withColumn("cid",
+      (0 until signBits).map(j =>
+        when(element_at(col("sv"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    bucketed
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+  }
+
+  /** Squared-L2 between a sub-vector slice and a centroid array, summed
+    * left-to-right in double (both engines agree order). */
+  private def subDist2(sv: Column, cent: Column): Column =
+    aggregate(zip_with(sv, cent, (x, y) => {
+      val d = x.cast("double") - y
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** The whole codebook packed into ONE row — array of (sub, cid,
+    * centroid) structs, (sub, cid)-ascending — for broadcast row-local
+    * encode/LUT folds (the [[assignToCentroids]] shape: the corpus is
+    * never shuffled for encoding). */
+  private def packCodebooks(cb: DataFrame): DataFrame =
+    cb.select(struct(col("sub"), col("cid"), col("centroid")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("cb"))
+
+  /** PQ-encode: per vector, per subspace, the cid of the nearest codebook
+    * centroid by r6-rounded squared L2 (first strict minimum wins — the
+    * struct array is cid-sorted, so ties go to the smaller cid). One
+    * broadcast of the packed codebook; the corpus side is a row-local
+    * fold — no shuffle, no window. Returns (vec_id, codes: array<bigint>,
+    * codes[sub] = chosen cid). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val packed = packCodebooks(codebooks)
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .withColumn("w", size(col("embedding")) / m)
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s => {
+        val sv = slice(col("embedding"), s * col("w") + 1, col("w"))
+        aggregate(
+          filter(col("cb"), c => c.getField("sub") === s),
+          struct(lit(-1L).as("cid"), lit(Double.MaxValue).as("d")),
+          (acc, c) => {
+            val d = r6(subDist2(sv, c.getField("centroid")))
+            when(d < acc.getField("d"),
+              struct(c.getField("cid").as("cid"), d.as("d"))).otherwise(acc)
+          }).getField("cid")
+      }))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** PQ top-k by ASYMMETRIC distance (ADC): queries stay full-precision;
+    * each query precomputes its per-(sub, cid) squared-L2 lookup table
+    * against the broadcast codebook (one row-local fold — m·k·(d/m)
+    * multiplies per QUERY, not per pair), then every corpus candidate is
+    * scored as Σ_sub lut[sub, codes[sub]] — a fold over the m·k LUT
+    * entries per pair. With this engine's small k (≤2^signBits) the
+    * sparse fold IS the ADC table walk; a production k=256 codebook
+    * would dense-pack the LUT as array<array<double>> for O(m) lookups —
+    * same plan shape, noted here for the scale path. Ranking:
+    * r6 total distance ASC, cand_id tie-break, row_number per query
+    * (WindowGroupLimit keeps k+1 rows per partition pre-exchange — the
+    * q106-proven distributed top-k). Corpus side carries only (vec_id,
+    * codes): m longs instead of d floats — the PQ memory win. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, signBits: Int,
+             k: Int): DataFrame = {
+    val cb = pqCodebooks(corpus, m, signBits)
+    val enc = pqEncode(corpus, cb, m)
+    val packed = packCodebooks(cb)
+    val qlut = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .withColumn("w", size(col("embedding")) / m)
+      .withColumn("lut", transform(col("cb"), c => struct(
+        c.getField("sub").as("sub"), c.getField("cid").as("cid"),
+        r6(subDist2(
+          slice(col("embedding"), c.getField("sub") * col("w") + 1, col("w")),
+          c.getField("centroid"))).as("d"))))
+      .select(col("query_id"), col("lut"))
+    val scored = enc.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("query_id"))  // the q47 family convention
+      .withColumn("adist", r6(aggregate(col("lut"), lit(0.0), (acc, l) =>
+        acc + when(element_at(col("codes"), l.getField("sub") + 1) === l.getField("cid"),
+          l.getField("d")).otherwise(lit(0.0)))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"), col("adist"))
+  }
 }

@@ -1363,6 +1363,17 @@ object PipelineQueries extends QueryPack {
     "q146_phrase_scrub" -> ((s, dir) => {
       TextAnalysis.stopPhraseScrub(load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Product-quantization ANN (Jégou et al. 2011): m=4 subspaces,
+    // ≤16 sign-bucket cells each, decimal-mean codebooks, asymmetric
+    // (query-full-precision) distance over the coded corpus. Completes
+    // the ANN ladder: brute (q47) → sign-LSH (q48) → IVF (q48b) → int8
+    // (q86) → rerank (q117) → PQ/ADC.
+    "q147_ann_pq" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.pqTopK(emb.filter(col("vec_id") < 10), emb, 4, 4, 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3007,6 +3018,48 @@ object PipelineQueries extends QueryPack {
         |       md5(coalesce(reb.clean, '')) AS clean_md5
         |FROM x LEFT JOIN reb ON x.doc_id = reb.doc_id
         |ORDER BY x.doc_id""".stripMargin,
+
+    // Identical codebook construction (sign buckets per subspace, decimal
+    // means), r6 sub-distances with smaller-cid argmin ties, ADC as the
+    // (sub, cid)-keyed LUT join, rank by (adist ASC, cand_id).
+    "q147_ann_pq" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |sub AS (SELECT vec_id, sub, list_slice(embedding, sub*16+1, sub*16+16) AS sv
+        |        FROM base, unnest(generate_series(0, 3)) AS s(sub)),
+        |bkt AS (SELECT vec_id, sub, sv,
+        |               (SELECT CAST(sum(CASE WHEN sv[j+1] > 0
+        |                        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |                FROM unnest(generate_series(0, 3)) AS t(j)) AS cid
+        |        FROM sub),
+        |cent AS (SELECT sub, cid, j AS pos,
+        |                CAST(sum(CAST(sv[j+1] AS DECIMAL(28,10))) AS DOUBLE)
+        |                  / count(*) AS c
+        |         FROM bkt, unnest(generate_series(0, 15)) AS t(j)
+        |         GROUP BY sub, cid, j),
+        |cb AS (SELECT sub, cid, array_agg(c ORDER BY pos) AS centroid
+        |       FROM cent GROUP BY sub, cid),
+        |ed AS (SELECT b.vec_id, b.sub, c.cid,
+        |              round(list_sum(list_transform(range(1, 17),
+        |                    j -> (CAST(b.sv[j] AS DOUBLE) - c.centroid[j])
+        |                       * (CAST(b.sv[j] AS DOUBLE) - c.centroid[j]))), 6) AS d
+        |       FROM bkt b JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |            SELECT vec_id, sub, cid,
+        |                   row_number() OVER (PARTITION BY vec_id, sub
+        |                                      ORDER BY d, cid) AS rk
+        |            FROM ed) WHERE rk = 1),
+        |adc AS (SELECT lq.vec_id AS query_id, cd.vec_id AS cand_id,
+        |               round(sum(lq.d), 6) AS adist
+        |        FROM codes cd
+        |        JOIN ed lq ON lq.sub = cd.sub AND lq.cid = cd.cid
+        |                   AND lq.vec_id < 10 AND lq.vec_id <> cd.vec_id
+        |        GROUP BY lq.vec_id, cd.vec_id)
+        |SELECT query_id, rank, cand_id, adist FROM (
+        |  SELECT query_id, cand_id, adist,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY adist, cand_id) AS INT) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // same learned chain, consumed through the vocabulary join
     "q141_bpe_tokenize" -> bpeOracle(8,

@@ -193,7 +193,8 @@ object ScalingBench {
       "q143_suffix_ranks",
       "q144_lcp_repeats",
       "q145_backoff_trigram",
-      "q146_phrase_scrub")
+      "q146_phrase_scrub",
+      "q147_ann_pq")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
