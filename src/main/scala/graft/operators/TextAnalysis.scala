@@ -615,14 +615,29 @@ object TextAnalysis {
     * vocabulary ~ corpus-sized; AQE broadcasts the sides that fit). */
   def backoffTrigramBits(docs: org.apache.spark.sql.DataFrame, id: String,
                          text: String, prune3: Int = 3, prune2: Int = 2,
-                         penaltyBits: Int = 1): org.apache.spark.sql.DataFrame = {
+                         penaltyBits: Int = 1): org.apache.spark.sql.DataFrame =
+    scoreWithBackoffLm(docs, id, text,
+      trainBackoffLm(docs, text, prune3, prune2, penaltyBits))
+
+  /** The trained, pruned LM [[backoffTrigramBits]] scores against: three
+    * SCORED vocabularies (n-gram → integer path bits). Train once on a
+    * reference corpus, score any batch OR stream against it
+    * ([[scoreWithBackoffLm]] is stream-compatible — the train side is
+    * where all the corpus aggregation lives). */
+  final case class BackoffLm(triScored: org.apache.spark.sql.DataFrame,
+                             biScored: org.apache.spark.sql.DataFrame,
+                             uniScored: org.apache.spark.sql.DataFrame)
+
+  def trainBackoffLm(reference: org.apache.spark.sql.DataFrame, text: String,
+                     prune3: Int = 3, prune2: Int = 2,
+                     penaltyBits: Int = 1): BackoffLm = {
     // projection barrier: split once, HOFs index the materialized array
     // (the q142 lesson — expressions passed into lambdas re-evaluate per
     // element)
-    val arr = docs.select(col(id).as("bid"), split(col(text), " ").as("ts"))
+    val arr = reference.select(split(col(text), " ").as("ts"))
     val tri = arr
-      .select(col("bid"), explode(wordTrigramKeys(col("ts"))).as("k"))
-      .select(col("bid"), col("k.tg"), col("k.h2"), col("k.b2"), col("k.w3"))
+      .select(explode(wordTrigramKeys(col("ts"))).as("k"))
+      .select(col("k.tg"), col("k.h2"))
     val bi = arr
       .select(explode(wordBigrams(col("ts"))).as("bg"))
     // no empty-token filter: the trigram stream is unfiltered, and the
@@ -637,19 +652,43 @@ object TextAnalysis {
     val h1c = c2.groupBy(col("hw")).agg(sum(col("nb")).as("n1h"))
     val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("nu"))
     val nTotal = uni.agg(count(lit(1)).as("nt"))
-    val triScored = c3.filter(col("n3") >= prune3).join(h2c, "h2")
-      .select(col("tg"), (floorLog2(col("n2h")) - floorLog2(col("n3"))).as("bits3"))
-    val biScored = c2.filter(col("nb") >= prune2).join(h1c, "hw")
-      .select(col("bg").as("b2"),
-        (floorLog2(col("n1h")) - floorLog2(col("nb")) + penaltyBits).as("bits2"))
-    val uniScored = c1.crossJoin(broadcast(nTotal))
-      .select(col("w").as("w3"),
-        (floorLog2(col("nt")) - floorLog2(col("nu")) + 2 * penaltyBits).as("bits1"))
+    BackoffLm(
+      c3.filter(col("n3") >= prune3).join(h2c, "h2")
+        .select(col("tg"), (floorLog2(col("n2h")) - floorLog2(col("n3"))).as("bits3")),
+      c2.filter(col("nb") >= prune2).join(h1c, "hw")
+        .select(col("bg").as("b2"),
+          (floorLog2(col("n1h")) - floorLog2(col("nb")) + penaltyBits).as("bits2")),
+      c1.crossJoin(broadcast(nTotal))
+        .select(col("w").as("w3"),
+          (floorLog2(col("nt")) - floorLog2(col("nu")) + 2 * penaltyBits).as("bits1")))
+  }
+
+  /** Score `docs` (batch or STREAMING — every step is a row-local
+    * projection, three stream-static left joins, and one per-doc
+    * aggregation) against a trained [[BackoffLm]]. A w3 outside the LM's
+    * unigram floor (never possible self-scored, possible for a stream
+    * scoring AGAINST a reference LM) pays the out-of-vocabulary ceiling:
+    * flog2-chain bits for count 1 + 2·penalty — the code length of a
+    * hapax, the standard OOV convention. */
+  def scoreWithBackoffLm(docs: org.apache.spark.sql.DataFrame, id: String,
+                         text: String, lm: BackoffLm)
+    : org.apache.spark.sql.DataFrame = {
+    val arr = docs.select(col(id).as("bid"), split(col(text), " ").as("ts"))
+    val tri = arr
+      .select(col("bid"), explode(wordTrigramKeys(col("ts"))).as("k"))
+      .select(col("bid"), col("k.tg"), col("k.b2"), col("k.w3"))
+    // OOV ceiling: a w3 outside the LM's unigram floor takes the bits of
+    // a hapax — flog2(N) − flog2(1) + 2·penalty = the LM's MAX unigram
+    // bits (a 1-row static-side aggregate, broadcast; never fires
+    // self-scored, so q145's oracle is unaffected)
+    val oov = lm.uniScored.agg(max(col("bits1")).as("bits_oov"))
     tri
-      .join(triScored, Seq("tg"), "left")
-      .join(biScored, Seq("b2"), "left")
-      .join(uniScored, Seq("w3"), "left")
-      .withColumn("bits", coalesce(col("bits3"), col("bits2"), col("bits1")))
+      .join(lm.triScored, Seq("tg"), "left")
+      .join(lm.biScored, Seq("b2"), "left")
+      .join(lm.uniScored, Seq("w3"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("bits",
+        coalesce(col("bits3"), col("bits2"), col("bits1"), col("bits_oov")))
       .groupBy(col("bid"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(col("bits3").isNotNull.cast("long")).as("n_tri_hits"),
