@@ -148,7 +148,8 @@ object Bench {
     "q144_lcp_repeats",     // exact cross-doc repeats via the LCP rank walk
     "q145_backoff_trigram", // pruned Stupid Backoff trigram LM scoring
     "q146_phrase_scrub",    // corpus-derived stop-phrase dictionary scrub
-    "q147_ann_pq")          // product-quantization ADC top-k
+    "q147_ann_pq",          // product-quantization ADC top-k
+    "q148_gram_novelty")    // crawl-order marginal-novelty weights
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

@@ -971,6 +971,36 @@ object Dedup {
         md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
   }
 
+  /** Crawl-order n-gram NOVELTY: the fraction of a document's positional
+    * n-grams whose corpus-wide FIRST occurrence — first = smallest
+    * (doc_id, position), the stable crawl order of [[keepFirstParagraphs]]
+    * — is this document's own. A verbatim re-crawl scores ~0, the first
+    * copy keeps its score, and template spam decays as its boilerplate
+    * accumulates — the marginal-contribution signal a dedup-aware sampler
+    * weights by (the doc-level continuous analog of Lee et al. 2022's
+    * remove-all-but-one, where duplicatedSpans is the binary mask).
+    *
+    * Scale shape: one gram aggregate whose per-cell state is ONE (doc,
+    * pos) struct (lexicographic `min` — map-side combinable, hot grams
+    * safe: the §8.12 bounded-cell class), one equi join back on the gram
+    * key (the q93 dup-marking shape; AQE splits skewed gram cells), one
+    * per-doc aggregation. Docs shorter than n tokens emit no grams and no
+    * row. */
+  def gramNovelty(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val toks = docs.select(col(id).as("sid"), split(col(text), " ").as("ts"))
+    val grams = positionalGrams(toks, n)
+    val owner = grams.groupBy(col("g"))
+      .agg(min(struct(col("sid"), col("pos"))).as("o"))
+    grams.join(owner, "g")
+      .withColumn("novel",
+        (col("sid") === col("o.sid") && col("pos") === col("o.pos")).cast("long"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("novel")).as("n_novel"))
+      .select(col("sid").as(id), col("n_grams"), col("n_novel"),
+        graft.Tables.r6(col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Positional token n-gram fingerprints: (sid, 0-based pos, md5 gram)
     * from a (sid, ts: array&lt;string&gt;) frame. posexplode_OUTER + null
     * filter for the same InferFiltersFromGenerate reason as q72's explode

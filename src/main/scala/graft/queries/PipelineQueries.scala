@@ -1374,6 +1374,18 @@ object PipelineQueries extends QueryPack {
       val emb = load(s, dir, "embeddings")
       SimilaritySearch.pqTopK(emb.filter(col("vec_id") < 10), emb, 4, 4, 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- Crawl-order 8-gram novelty: fraction of a doc's positional
+    // grams whose corpus-first occurrence is its own — the marginal-
+    // contribution weight a dedup-aware sampler uses (planted duplicates
+    // from the q42 construction score ~0 on their later copies).
+    "q148_gram_novelty" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withDups = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.gramNovelty(withDups, "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3060,6 +3072,27 @@ object PipelineQueries extends QueryPack {
         |                                 ORDER BY adist, cand_id) AS INT) AS rank
         |  FROM adc) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Identical gram construction (md5 of space-joined token 8-gram),
+    // lexicographic struct-min ownership, per-doc novel share. The
+    // planted later copies (doc_id+100000 of the q42 slice) must score 0.
+    "q148_gram_novelty" ->
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+        |x AS (SELECT doc_id, string_split(text, ' ') AS ts FROM src),
+        |gr AS (SELECT doc_id AS d, i AS p,
+        |              md5(array_to_string(list_slice(ts, i, i + 7), ' ')) AS g
+        |       FROM x, unnest(generate_series(1, len(ts) - 7)) AS u(i)),
+        |own AS (SELECT g, min(struct_pack(d := d, p := p)) AS o FROM gr GROUP BY g)
+        |SELECT d AS doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN gr.d = (o).d AND gr.p = (o).p
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN gr.d = (o).d AND gr.p = (o).p
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |             * 1000000.0) / 1000000.0 AS novelty
+        |FROM gr JOIN own USING (g)
+        |GROUP BY d ORDER BY doc_id""".stripMargin,
 
     // same learned chain, consumed through the vocabulary join
     "q141_bpe_tokenize" -> bpeOracle(8,

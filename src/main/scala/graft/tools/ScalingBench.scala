@@ -194,7 +194,8 @@ object ScalingBench {
       "q144_lcp_repeats",
       "q145_backoff_trigram",
       "q146_phrase_scrub",
-      "q147_ann_pq")
+      "q147_ann_pq",
+      "q148_gram_novelty")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

@@ -363,4 +363,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastNestedLoop".r.findAllIn(p).size <= 2, p.take(4000))
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft, Cross"), p.take(4000))
   }
+
+  test("q143 suffix ranks: NO window anywhere — dense ranks from range partitions + offset broadcast") {
+    val p = plan("q143_suffix_ranks")
+    // a partition-less dense_rank would appear as a Window over a
+    // single-partition sort — the one-task collapse the operator exists
+    // to avoid; the materialized doubling rounds surface as RDD scans
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // offsets attach
+  }
+
+  test("q145 backoff LM: vocab joins only — no window, no cartesian beyond the 1-row totals") {
+    val p = plan("q145_backoff_trigram")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000)) // map-side vocab combine
+  }
+
+  test("q146 phrase scrub: dictionary broadcast; rebuild aggregates map-side") {
+    val p = plan("q146_phrase_scrub")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // dict join
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q147 PQ: codebook rides one-row broadcasts; top-k is group-limited, never single-partitioned early") {
+    val p = plan("q147_ann_pq")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    // the packed codebook / query-LUT attach as 1-row broadcast nested
+    // loops (the q84 shape); the rank window is pruned per-partition
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+  }
+
+  test("q148 novelty: ownership is an AGGREGATE struct-min — no window over the gram key") {
+    val p = plan("q148_gram_novelty")
+    // a row_number window per gram would serialize a hot gram's
+    // million occurrences onto one task; min(struct) combines map-side
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_min"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
 }
