@@ -299,6 +299,62 @@ object TextAnalysis {
         col("s").cast("double").as("bm25"))
   }
 
+  /** Sparse TF-IDF document-pair cosine over df-BANDED posting lists —
+    * the exact sparse-retrieval "more-like-this" engine that complements
+    * MinHash (q44 approximates set Jaccard; this scores WEIGHTED cosine
+    * exactly, seeing tf and term specificity that set-hashing discards).
+    * Query-side BM25 (q92) ranks docs against a query; this ranks doc
+    * PAIRS against each other — the corpus-scale join form.
+    *
+    * The df band [minDf, maxDf] is simultaneously the IR signal filter
+    * (hapax noise out, stopwords out) and THE skew guard: the pair
+    * fan-out of the posting join is ≤ maxDf per token BY CONSTRUCTION
+    * (the q103 doctrine — no stopword can explode the join, because its
+    * postings never exist). Band first, join second: df is a plain count
+    * (8-byte map-side-combinable cells).
+    *
+    * Exactness (the bm25Scores doctrine): idf = (N−df+0.5)/(df+0.5) is
+    * one exactly-rounded divide; w = tf·idf one multiply; every
+    * pair/norm product is r6-rounded then summed as DECIMAL(28,6) —
+    * order-independent, so both engines sum identically — and cast back
+    * once. Norms are over the BANDED vector (the vector being scored).
+    *
+    * Returns (id_a, id_b, shared_terms, cosine) for pairs with rounded
+    * cosine ≥ `threshold`. */
+  def tfidfSimilarPairs(docs: org.apache.spark.sql.DataFrame, id: String,
+                        text: String, minDf: Int = 2, maxDf: Int = 100,
+                        threshold: Double = 0.5)
+    : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val nDocs = docs.count()  // 1-row sizing pull (the bm25 pattern)
+    val tf = docs
+      .select(col(id).as("bid"), explode(split(col(text), " ")).as("t"))
+      .groupBy(col("bid"), col("t")).agg(count(lit(1)).as("tf"))
+    val banded = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    // consumed three times (norms + both pair sides): materialize once
+    val wtf = Dedup.truncateLineage(
+      tf.join(banded, "t")
+        .select(col("bid"), col("t"), (col("tf").cast("double") * idf).as("w")))
+    val norms = wtf.groupBy(col("bid"))
+      .agg(sqrt(fsum(r6(col("w") * col("w")).cast("decimal(28,6)"))
+        .cast("double")).as("nrm"))
+    val a = wtf.select(col("t"), col("bid").as("id_a"), col("w").as("wa"))
+    val b = wtf.select(col("t"), col("bid").as("id_b"), col("w").as("wb"))
+    a.join(b, "t").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        fsum(r6(col("wa") * col("wb")).cast("decimal(28,6)"))
+          .cast("double").as("dot"))
+      .join(norms.select(col("bid").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("bid").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_terms"),
+        r6(col("dot") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Sentence segmentation on the literal ". " separator — the standard
     * cheap splitter for boilerplate work (CCNet splits on lines; web text
     * without layout needs the sentence fallback). The trailing sentence

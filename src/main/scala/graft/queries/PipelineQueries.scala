@@ -1386,6 +1386,25 @@ object PipelineQueries extends QueryPack {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       Dedup.gramNovelty(withDups, "doc_id", "text", 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Sparse TF-IDF doc-pair cosine over df-banded postings. Planted
+    // MUTATED copies (first token swapped for a per-doc-unique 'mut<id>',
+    // df=1 → outside the band, so the copy's vector is the original's
+    // minus one common token) score high-but-under-1.0 — the weighted
+    // scoring MinHash's set view cannot produce — while the corpus's
+    // organic exact dups pin the 1.0 ceiling. All 50 planted pairs clear
+    // the 0.9 threshold (min 0.961 at sf0.01; background mean 0.56).
+    "q149_tfidf_pairs" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") < 50 && instr(col("text"), " ") > 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("mut"), col("doc_id").cast("string"),
+            expr("substring(text, instr(text, ' '))")).as("text"))
+      TextAnalysis.tfidfSimilarPairs(docs.unionByName(planted),
+          "doc_id", "text", 2, 500, 0.9)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -3093,6 +3112,35 @@ object PipelineQueries extends QueryPack {
         |             * 1000000.0) / 1000000.0 AS novelty
         |FROM gr JOIN own USING (g)
         |GROUP BY d ORDER BY doc_id""".stripMargin,
+
+    // Identical band-then-join chain: df band, smoothed rational idf,
+    // r6-per-term products, order-free DECIMAL sums, one final divide.
+    "q149_tfidf_pairs" ->
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 100000,
+        |                    'mut' || doc_id || substr(text, strpos(text, ' '))
+        |             FROM documents WHERE doc_id < 50 AND strpos(text, ' ') > 0),
+        |toks AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS t FROM src),
+        |tf AS (SELECT d, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY d, t),
+        |dfb AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+        |        HAVING count(*) BETWEEN 2 AND 500),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+        |wtf AS (SELECT d, tf.t, tf.tf * ((nn.n - df + 0.5) / (df + 0.5)) AS w
+        |        FROM tf JOIN dfb USING (t), nn),
+        |nrm AS (SELECT d, sqrt(CAST(sum(CAST(round(w*w*1000000.0)/1000000.0
+        |                       AS DECIMAL(28,6))) AS DOUBLE)) AS nrm
+        |        FROM wtf GROUP BY d),
+        |pr AS (SELECT a.d AS id_a, b.d AS id_b, count(*) AS shared_terms,
+        |              CAST(sum(CAST(round(a.w*b.w*1000000.0)/1000000.0
+        |                   AS DECIMAL(28,6))) AS DOUBLE) AS dot
+        |       FROM wtf a JOIN wtf b ON a.t = b.t AND a.d < b.d
+        |       GROUP BY a.d, b.d)
+        |SELECT id_a, id_b, shared_terms,
+        |       round(dot/(na.nrm*nb.nrm)*1000000.0)/1000000.0 AS cosine
+        |FROM pr JOIN nrm na ON na.d = id_a JOIN nrm nb ON nb.d = id_b
+        |WHERE round(dot/(na.nrm*nb.nrm)*1000000.0)/1000000.0 >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same learned chain, consumed through the vocabulary join
     "q141_bpe_tokenize" -> bpeOracle(8,

@@ -195,7 +195,8 @@ object ScalingBench {
       "q145_backoff_trigram",
       "q146_phrase_scrub",
       "q147_ann_pq",
-      "q148_gram_novelty")
+      "q148_gram_novelty",
+      "q149_tfidf_pairs")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

@@ -73,4 +73,40 @@ class AggStateBoundSpec extends AnyFunSuite {
     val out = Decontamination.crossSourceOverlap(docs, "source", "text")
     assert(out.collect().nonEmpty)
   }
+
+  test("gram novelty: a gram in EVERY doc keeps a ONE-struct ownership cell") {
+    // 2000 docs all containing the same 8 tokens => ONE gram key with
+    // 2000 occurrences. A row_number-per-gram window would sort all 2000
+    // on one task; the min(struct) aggregate combines map-side, so the
+    // hot cell holds exactly one (doc, pos) struct at every stage.
+    val hot = (0 until 2000).map(i => (i.toLong, "h1 h2 h3 h4 h5 h6 h7 h8"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.gramNovelty(hot, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // crawl order: only doc 0 owns the gram
+    assert(out(0L) === 1L)
+    assert((1 until 2000).forall(i => out(i.toLong) === 0L))
+    // mixed corpus: the hot gram does not perturb novel counts elsewhere
+    val mixed = hot.union(Seq((90001L, "n1 n2 n3 n4 n5 n6 n7 n8"))
+      .toDF("doc_id", "text"))
+    val out2 = graft.operators.Dedup.gramNovelty(mixed, "doc_id", "text", 8)
+      .filter(col("doc_id") === 90001L).collect()
+    assert(out2(0).getLong(2) === 1L)
+  }
+
+  test("tfidf pairs: a stopword in EVERY doc forms no posting and no pair fan-out") {
+    // 1000 docs sharing "the"; pairs can only come from in-band terms
+    // (df between 2 and 20): the planted 2-doc term
+    val docs = ((0 until 1000).map(i => (i.toLong, s"the u$i")) ++
+      Seq((90001L, "the shared tok"), (90002L, "the shared tok")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .tfidfSimilarPairs(docs, "doc_id", "text", 2, 20, 0.0)
+      .collect()
+    // exactly the planted pair; its cosine is 1.0 (identical banded
+    // vectors) and "the" (df=1002 > maxDf) contributed nothing
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 90001L && out(0).getLong(1) === 90002L)
+    assert(out(0).getDouble(3) === 1.0)
+  }
 }
