@@ -71,7 +71,16 @@ object SuffixIndex {
                               out: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.repartitionByRange(p, keys.map(col): _*)
+    // materialize the INPUT before the range exchange: RangePartitioner
+    // SAMPLES its input in a separate pass, so an unpinned input (the
+    // doubling round's successor join) would execute its shuffle TWICE —
+    // once for boundary sampling, once for the real exchange. One
+    // checkpoint turns both passes into cached-block reads. Local sf0.1
+    // timing is flat (per-job fixed costs dominate 270k-row shuffles);
+    // the point is the cluster regime, where this is the difference
+    // between one and two corpus shuffles per doubling round.
+    val pinnedIn = Dedup.truncateLineage(df)
+    val sorted = pinnedIn.repartitionByRange(p, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val schema = df.schema.add("gdr_pid", IntegerType).add("gdr_lr", LongType)
     val keyIdx = keys.map(df.schema.fieldIndex).toArray
