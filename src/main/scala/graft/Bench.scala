@@ -150,7 +150,8 @@ object Bench {
     "q146_phrase_scrub",    // corpus-derived stop-phrase dictionary scrub
     "q147_ann_pq",          // product-quantization ADC top-k
     "q148_gram_novelty",    // crawl-order marginal-novelty weights
-    "q149_tfidf_pairs")     // banded sparse TF-IDF doc-pair cosine
+    "q149_tfidf_pairs",     // banded sparse TF-IDF doc-pair cosine
+    "q150_multimodal_pack") // interleaved image-patch + text packing
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

@@ -271,6 +271,64 @@ object Multimodal {
       }
   }
 
+  /** INTERLEAVED multimodal sequence packing: documents that carry an
+    * image contribute `patches` image-patch placeholder tokens ("[IMG]",
+    * the vision-token convention of interleaved image-text training —
+    * Flamingo/MMC4-style) AHEAD of their text tokens, and the augmented
+    * streams pack into fixed `budget`-token chunks with the PROVEN
+    * [[Packing.assignChunks]] offset arithmetic (same window, same
+    * floor-division chunk spans, byte-pinned md5). Output per (shard,
+    * chunk): doc count, token count, PATCH count — the modality-mix
+    * stat a batch scheduler balances on — and the emitted text md5.
+    *
+    * A chunk boundary can split an image's patch run exactly like a
+    * sentence: the training dataloader sees the same contract as text
+    * packing (q74/q77), which is the point — one packing plan for both
+    * modalities. Scale shape identical to emitChunks: the window
+    * shuffles each doc's text once; patch expansion is a row-local
+    * string prefix; per-chunk cells ≤ budget tokens by construction.
+    *
+    * `hasImage` / `patches` are caller-supplied columns so a real
+    * pipeline can wire them to an images table; the q150 query derives
+    * them from the q53 synthetic-media convention. */
+  def interleavedPack(docs: DataFrame, shard: org.apache.spark.sql.Column,
+                      order: org.apache.spark.sql.Column,
+                      text: org.apache.spark.sql.Column,
+                      hasImage: org.apache.spark.sql.Column,
+                      patches: org.apache.spark.sql.Column,
+                      budget: Int): DataFrame = {
+    val aug = when(hasImage,
+      concat(concat_ws(" ",
+        transform(sequence(lit(1), patches), _ => lit("[IMG]"))), lit(" "), text))
+      .otherwise(text)
+    val prepped = docs.select(shard.as("shard"), order.as("ord"), aug.as("itext"))
+    val assigned = Packing.assignChunks(prepped, col("shard"), col("ord"),
+        graft.operators.TextAnalysis.wsTokenCount(col("itext")), budget)
+      .select(col("shard"), col("start_off"), col("n_tokens"),
+        col("chunk_first"), col("chunk_last"), col("itext"))
+    assigned
+      .select(col("shard"), col("start_off"), col("n_tokens"), col("itext"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk"))
+      .withColumn("ls", greatest(col("chunk") * budget - col("start_off"), lit(0L)))
+      .withColumn("le",
+        least((col("chunk") + 1) * budget - col("start_off"), col("n_tokens")))
+      .withColumn("ptoks",
+        slice(split(col("itext"), " "), (col("ls") + 1).cast("int"),
+          (col("le") - col("ls")).cast("int")))
+      .withColumn("piece", concat_ws(" ", col("ptoks")))
+      .withColumn("n_patch",
+        size(filter(col("ptoks"), t => t === "[IMG]")).cast("long"))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("le") - col("ls")).as("n_tokens"),
+        sum(col("n_patch")).as("n_patches"),
+        array_sort(collect_list(struct(col("start_off").as("o"), col("piece").as("p"))))
+          .as("_ps"))
+      .select(col("shard"), col("chunk"), col("n_docs"), col("n_tokens"),
+        col("n_patches"),
+        md5(concat_ws(" ", transform(col("_ps"), s => s.getField("p")))).as("text_md5"))
+  }
+
   def decodeHeaderFeatures(media: Dataset[MediaRow], numPartitions: Int)
     : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

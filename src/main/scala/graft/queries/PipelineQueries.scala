@@ -1405,6 +1405,22 @@ object PipelineQueries extends QueryPack {
       TextAnalysis.tfidfSimilarPairs(docs.unionByName(planted),
           "doc_id", "text", 2, 500, 0.9)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Interleaved multimodal packing: docs with an image (the q53
+    // synthetic-media convention: doc_id % 3 = 0, patches = 1 +
+    // byte_len % 8) contribute "[IMG]" patch placeholders ahead of their
+    // text; the augmented streams pack through the q74/q77-proven chunk
+    // arithmetic. Per-chunk patch counts are the modality-mix stat a
+    // multimodal batch scheduler balances on; text md5 byte-pins the
+    // emitted sequences.
+    "q150_multimodal_pack" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      Multimodal.interleavedPack(docs, col("source"), col("doc_id"),
+          col("text"), col("doc_id") % 3 === 0,
+          lit(1) + length(col("text")) % 8, 512)
+        .orderBy(col("shard"), col("chunk"))
     })
   )
 
@@ -3141,6 +3157,41 @@ object PipelineQueries extends QueryPack {
         |FROM pr JOIN nrm na ON na.d = id_a JOIN nrm nb ON nb.d = id_b
         |WHERE round(dot/(na.nrm*nb.nrm)*1000000.0)/1000000.0 >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q77's chunk chain over the patch-augmented token streams, plus the
+    // per-chunk [IMG] count.
+    "q150_multimodal_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         string_split(CASE WHEN doc_id % 3 = 0
+        |           THEN rtrim(repeat('[IMG] ',
+        |                  CAST(1 + length(text) % 8 AS INT))) || ' ' || text
+        |           ELSE text END, ' ') AS toks
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - len(toks) AS start_off
+        |  FROM t),
+        |e AS (
+        |  SELECT source, start_off, n_tokens, toks,
+        |    unnest(generate_series(CAST(floor(start_off / 512.0) AS BIGINT),
+        |                           CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT))) AS chunk
+        |  FROM a),
+        |p AS (
+        |  SELECT source, chunk, start_off,
+        |    greatest(chunk*512 - start_off, 0) AS ls,
+        |    least((chunk+1)*512 - start_off, n_tokens) AS le,
+        |    toks
+        |  FROM e),
+        |s AS (SELECT source, chunk, start_off, le - ls AS np,
+        |        CAST(len(list_filter(toks[ls+1:le], x -> x = '[IMG]')) AS BIGINT) AS n_patch,
+        |        array_to_string(toks[ls+1:le], ' ') AS piece FROM p)
+        |SELECT source AS shard, chunk, count(*) AS n_docs,
+        |  CAST(sum(np) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_patch) AS BIGINT) AS n_patches,
+        |  md5(string_agg(piece, ' ' ORDER BY start_off)) AS text_md5
+        |FROM s GROUP BY source, chunk ORDER BY shard, chunk""".stripMargin,
 
     // same learned chain, consumed through the vocabulary join
     "q141_bpe_tokenize" -> bpeOracle(8,

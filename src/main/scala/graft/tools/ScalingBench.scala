@@ -196,7 +196,8 @@ object ScalingBench {
       "q146_phrase_scrub",
       "q147_ann_pq",
       "q148_gram_novelty",
-      "q149_tfidf_pairs")
+      "q149_tfidf_pairs",
+      "q150_multimodal_pack")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
