@@ -821,7 +821,9 @@ object TextAnalysis {
     : org.apache.spark.sql.DataFrame = {
     val first = dict.columns(0)
     val second = dict.columns(1)
-    val d = dict.select(col(first).as("g"), col(second).as("plen"))
+    // int-normalize the length column so an external dictionary with a
+    // BIGINT length (the natural type of a SQL count) plugs in unchanged
+    val d = dict.select(col(first).as("g"), col(second).cast("int").as("plen"))
     // distinct phrase lengths: dictionary-bounded driver pull (the
     // dictionary is broadcast-small by contract; its length SET is
     // smaller still)
