@@ -50,8 +50,25 @@ object SuffixIndex {
   /** Rank tables from one build: `ranks` = (d, p, r) final suffix ranks
     * (dense; ties = genuinely equal suffixes), `levels` = (h, table) for
     * h = 1, 2, 4, … — level h ranks compare suffix prefixes of length h
-    * (cut at doc end) — and `maxLen` the longest document in tokens. */
+    * (cut at doc end) — and `maxLen` the longest document in tokens.
+    *
+    * The level tables are lineage-truncated materializations: ⌈log2
+    * maxDocLen⌉ corpus-position-sized block sets that live until the
+    * ContextCleaner reclaims them (return-and-forget, the
+    * minHashLshPairs doctrine). A long-lived session indexing many
+    * corpora should `close()` each build once its consumers have
+    * materialized — [[Tables.close]] drops every level's blocks
+    * deterministically (after which the DataFrames are CONSUMED:
+    * re-executing them would re-read unpersisted truncated lineage). */
   final case class Tables(ranks: DataFrame, levels: Seq[(Int, DataFrame)], maxLen: Int)
+    extends AutoCloseable {
+    override def close(): Unit =
+      (ranks +: levels.map(_._2)).distinct.foreach { df =>
+        df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+  }
 
   /** Doubling rounds the last build executed (spec hook, the
     * Dedup.lastDistributedRounds pattern). */

@@ -121,6 +121,14 @@ class SuffixIndexSpec extends AnyFunSuite {
     assert(got.head._6 === "q r s t u")
   }
 
+  test("build close() releases every level's blocks after consumption") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b c d", 2L -> "b c d e").toDF("doc_id", "text")
+    val t = SuffixIndex.build(docs, "doc_id", "text")
+    assert(t.ranks.count() === 8L) // consume first (the lifecycle contract)
+    t.close()                      // deterministic release, no throw
+  }
+
   test("crossDocRepeats: no cross-doc repeat of minLen yields empty") {
     import spark.implicits._
     val docs = Seq(1L -> "a a a", 2L -> "b c d")
