@@ -151,7 +151,12 @@ object Bench {
     "q147_ann_pq",          // product-quantization ADC top-k
     "q148_gram_novelty",    // crawl-order marginal-novelty weights
     "q149_tfidf_pairs",     // banded sparse TF-IDF doc-pair cosine
-    "q150_multimodal_pack") // interleaved image-patch + text packing
+    "q150_multimodal_pack", // interleaved image-patch + text packing
+    "q151_script_mix",      // unicode script histogram + homoglyph flag
+    "q152_winsorize",       // rank-walk percentile clamp per source
+    "q153_classifier_kappa", // Cohen's kappa between two filter stacks
+    "q154_embed_cov",       // d x d covariance, row-local pair expansion
+    "q155_url_dedup")       // URL canonicalization dedup groups
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

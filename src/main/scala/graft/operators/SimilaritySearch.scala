@@ -572,4 +572,87 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"), col("adist"))
   }
+
+  // --------------------------------------------------------------------
+  // Embedding second-moment statistics (the PCA/whitening front half)
+  // --------------------------------------------------------------------
+
+  /** Upper-triangle COVARIANCE MATRIX of an embedding column — the d×d
+    * second-moment statistic behind whitening, PCA-based dedup
+    * (SemDeDup's preprocessing), and embedding-drift monitoring between
+    * corpus snapshots. Output: one row per (i ≤ j) dim pair with the
+    * exact-rational covariance cov(i,j) = (n·Σxy − Σx·Σy)/n².
+    *
+    * Plan shape, built for 100 TB: the d²/2 pair products are expanded
+    * ROW-LOCALLY by one nested-HOF projection (no self-join — a join on
+    * vec_id would move every vector d times through an exchange), then a
+    * single groupBy((i,j)) whose aggregation state is d(d+1)/2 cells of
+    * fixed-width DECIMAL partials — map-side combinable, so the exchange
+    * carries only per-partition partials no matter the row count.
+    *
+    * Exactness doctrine (the q149 form taken one step further): inputs
+    * quantize to integer MICRO-units (round(x·1e6) as long — float32
+    * embeddings carry < 7 significant digits, so nothing real is lost),
+    * every sum runs in DECIMAL(38,0) (order-free, overflow-checked to
+    * ~1e19 products per cell ≈ 10M rows · unit-norm dims; beyond that
+    * DECIMAL still holds 38 digits), and the ONE float op is the final
+    * divide, rounded r6 — both engines produce bit-identical output.
+    *
+    * The micro-unit array is computed ONCE behind a projection barrier:
+    * inlining it into the pair lambda would re-round the whole vector per
+    * pair element (HOFs do no CSE — the q142 lesson). */
+  def embeddingCovariance(df: DataFrame, vec: String): DataFrame = {
+    val v6 = df
+      .select(transform(col(vec), x =>
+        round(x.cast("double") * 1e6).cast("long")).as("v6"))
+    val pairs = v6
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("v6")) - 1), i =>
+          transform(sequence(i, size(col("v6")) - 1), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("v6"), i + 1).cast("decimal(38,0)") *
+                element_at(col("v6"), j + 1)).as("xy"),
+              element_at(col("v6"), i + 1).as("x"),
+              element_at(col("v6"), j + 1).as("y"))))))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy"),
+        col("p.x"), col("p.y"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xy")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"))
+      .select(col("i"), col("j"),
+        r6(((col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double")) / 1e12).as("cov"))
+  }
+
+  /** Top principal direction from a covariance matrix via POWER ITERATION
+    * on the driver — the matrix is d² doubles (a 64-dim embedding's
+    * matrix is 32 KB; the codebook-pull class of sanctioned collect, like
+    * q147's PQ codebooks), so iterating distributedly would be theater.
+    * Deterministic: starts from e_0 + tiny uniform tilt, fixed iteration
+    * count, sign-normalized so the first nonzero component is positive.
+    * Returns the unit eigenvector; spec-pinned against a known 2×2. */
+  def topPrincipalDirection(upperTri: Array[(Int, Int, Double)],
+                            d: Int, iters: Int = 64): Array[Double] = {
+    val m = Array.ofDim[Double](d, d)
+    upperTri.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    var x = Array.tabulate(d)(i => if (i == 0) 1.0 else 1e-3 / (i + 1))
+    var it = 0
+    while (it < iters) {
+      val y = Array.tabulate(d)(i => {
+        var s = 0.0; var k = 0
+        while (k < d) { s += m(i)(k) * x(k); k += 1 }
+        s
+      })
+      val nrm = math.sqrt(y.map(a => a * a).sum)
+      if (nrm == 0) return x // zero matrix: any unit vector; keep start
+      x = y.map(_ / nrm)
+      it += 1
+    }
+    val lead = x.find(math.abs(_) > 1e-12).getOrElse(1.0)
+    if (lead < 0) x.map(-_) else x
+  }
 }

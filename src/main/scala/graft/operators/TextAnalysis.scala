@@ -1019,4 +1019,66 @@ object TextAnalysis {
         graft.Tables.r6(col("l1_scaled").cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("drift"))
   }
+
+  // --------------------------------------------------------------------
+  // Unicode script profiling
+  // --------------------------------------------------------------------
+
+  /** Per-class codepoint counts for one Unicode script class: characters
+    * IN the class = total length minus the length after stripping them.
+    * BMP ranges only, where Spark's UTF-16 `length` and DuckDB's
+    * codepoint `length` agree (every listed char is one code unit AND one
+    * codepoint); supplementary-plane text lands in `n_other` on both
+    * engines identically because neither regex class matches it. */
+  private def classCount(text: Column, clazz: String): Column =
+    (length(text) - length(regexp_replace(text, clazz, ""))).cast("long")
+
+  /** Script classes as (name, Java-regex class, DuckDB/RE2 class). Java
+    * accepts \uXXXX escapes in the class; RE2 wants \x{XXXX}. Same
+    * codepoint ranges on both sides. */
+  val ScriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("cjk", "[一-鿿]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("cyrillic", "[Ѐ-ӿ]", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[Ͱ-Ͽ]", "[\\x{0370}-\\x{03FF}]"))
+
+  /** Unicode SCRIPT MIX per document: codepoint counts per script class
+    * (Latin / digit / CJK / Cyrillic / Greek / other), the dominant
+    * script, and a mixed-script flag — the homoglyph-spam and
+    * mislabeled-language signal a multilingual curation pipeline gates on
+    * (a "lang=en" doc that is 40% Cyrillic is either spam or mistagged;
+    * CCNet keeps fastText lang-ID honest with exactly this histogram).
+    *
+    * Purely row-local Column expressions (whole-stage codegen, zero
+    * shuffle at any scale): each class count is one regexp_replace
+    * length-difference; `dominant` is a fixed-priority argmax (first
+    * class in ScriptClasses order holding the max — deterministic under
+    * ties cross-engine); `mixed` = at least two non-digit script classes
+    * present. Space chars count in no class and not in n_chars. */
+  def scriptMix(text: Column): Seq[Column] = {
+    val noSpace = regexp_replace(text, " ", "")
+    val total = length(noSpace).cast("long")
+    val counts = ScriptClasses.map { case (n, j, _) =>
+      n -> classCount(noSpace, j)
+    }
+    val known = counts.map(_._2).reduce(_ + _)
+    val other = (total - known).as("n_other")
+    val scriptCols = counts.map { case (n, c) => c.as(s"n_$n") }
+    val maxCnt = counts.map(_._2).foldLeft(other.cast("long"))(
+      (a, b) => greatest(a, b))
+    // first class in declaration order that attains the max (same CASE
+    // chain the oracle writes) — ties resolve in declaration order, so
+    // the WHEN chain is built left-to-right:
+    val dominantOrdered = counts.foldLeft(Option.empty[Column]) {
+      case (None, (n, c)) => Some(when(c === maxCnt && c > 0, n))
+      case (Some(acc), (n, c)) => Some(acc.when(c === maxCnt && c > 0, n))
+    }.map(_.otherwise("other")).getOrElse(lit("other"))
+    val scriptPresent = counts.filter(_._1 != "digit")
+      .map { case (_, c) => when(c > 0, 1).otherwise(0) }
+      .reduce(_ + _) + when(other > lit(0L), 1).otherwise(0)
+    Seq(total.as("n_chars_nospace")) ++ scriptCols ++ Seq(other,
+      dominantOrdered.as("dominant"),
+      (scriptPresent >= 2).cast("int").as("mixed"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization + URL-level dedup — the FIRST dedup stage of every
+ * crawl pipeline (CommonCrawl dedupes by canonical URL before any content
+ * hash is computed: it is free compared to text hashing and removes the
+ * recrawl bulk). The reference ingests files, not crawls, so this is part
+ * of the training-data-pipeline surface, not §2.
+ *
+ * Canonical form (the standard safe subset of RFC 3986 normalization +
+ * tracker-param stripping):
+ *   - drop the fragment (`#...` never reaches the server),
+ *   - lowercase scheme and host (case-insensitive by RFC),
+ *   - strip a leading `www.` and the scheme's default port
+ *     (:80 http, :443 https),
+ *   - drop tracking query params (utm_*, gclid, fbclid, ref) and SORT the
+ *     survivors (param order is almost always non-semantic; sorting makes
+ *     `?a=1&b=2` ≡ `?b=2&a=1`),
+ *   - collapse trailing slashes on a non-root path.
+ *
+ * Everything is row-local Column expressions — regex part-extraction plus
+ * array HOFs for the param set — so the operator is shuffle-free at any
+ * scale; the dedup groupBy that follows shuffles only the narrow
+ * (canon_url, id) projection on a well-distributed key.
+ */
+object UrlOps {
+
+  private val TrackerParams = Seq("utm_", "gclid=", "fbclid=", "ref=")
+
+  /** Canonicalize one URL column. Absolute http(s) URLs; anything
+    * unparseable canonicalizes to itself lowercased-scheme-and-host-free
+    * (regexp groups come back empty, the reassembly degrades to the
+    * defragmented input). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(noFrag, "^[^:]+://([^/?#]*)", 1))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .otherwise(auth1)
+    val path0 = regexp_extract(noFrag, "^[^:]+://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query0 = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(
+      array_sort(filter(split(query0, "&"), p =>
+        length(p) > 0 && !TrackerParams
+          .map(t => p.startsWith(t)).reduce[Column](_ || _))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** URL-level dedup groups: canonical URL → number of raw variants that
+    * collapse onto it, number of rows, and the keeper (minimum id — the
+    * deterministic first-crawled policy). Emits only groups that actually
+    * collapsed (n_rows > 1), the actionable recrawl-removal set. */
+  def urlDupGroups(df: DataFrame, id: String, url: String): DataFrame =
+    df.select(col(id).as("uid"), col(url).as("raw"))
+      .withColumn("canon_url", canonicalizeUrl(col("raw")))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("raw")).as("n_variants"),
+        min(col("uid")).as("keep_id"))
+      .filter(col("n_rows") > 1)
+}

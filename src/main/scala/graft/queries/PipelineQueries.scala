@@ -44,6 +44,19 @@ object PipelineQueries extends QueryPack {
     s"SELECT doc_id, $b AS band, concat_ws('-', $cols) AS sig FROM mh"
   }.mkString(" UNION ALL ")
 
+  /** One BMP codepoint (0x80..0xFFFF) as a UTF-8 string — the q139
+    * decode(unhex(conv)) construction generalized to 2-byte sequences, so
+    * fixtures can synthesize Cyrillic/Greek as well as CJK. Mirrors the
+    * oracle's chr(cp). */
+  private def utf8Chr(cp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b2 = (lit(192L) + shiftright(cp, 6)) * lit(256L) +
+      (lit(128L) + cp % lit(64L))
+    val b3 = (lit(224L) + shiftright(cp, 12)) * lit(65536L) +
+      (lit(128L) + shiftright(cp, 6) % lit(64L)) * lit(256L) +
+      (lit(128L) + cp % lit(64L))
+    decode(unhex(conv(when(cp < 2048L, b2).otherwise(b3), 10, 16)), "UTF-8")
+  }
+
   // Full MinHash-LSH pair pipeline as a CTE chain ending in
   // pr(id_a, id_b, jaccard) — shared by the q44/q44b/q66 oracles.
   private def minhashPairsCtesOver(src: String) =
@@ -1421,6 +1434,95 @@ object PipelineQueries extends QueryPack {
           col("text"), col("doc_id") % 3 === 0,
           lit(1) + length(col("text")) % 8, 512)
         .orderBy(col("shard"), col("chunk"))
+    }),
+
+    // ---- Unicode script-mix profiling: the q139 codepoint-synthesis
+    // trick rewrites zh docs into real CJK text and plants Cyrillic
+    // (doc_id%13=1) / Greek (%17=2) docs plus one trailing CJK char on
+    // every %97=0 doc (the homoglyph-spam shape); scriptMix's row-local
+    // histogram must classify every codepoint and flag the mixed rows.
+    "q151_script_mix" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val mapped = docs.select(col("doc_id"), col("lang"),
+        concat(
+          array_join(transform(split(col("text"), " "), t =>
+            when(col("lang") === "zh",
+                utf8Chr(lit(19968L) + tokenHash(t) % lit(20000L)))
+              .when(col("doc_id") % 13 === 1,
+                utf8Chr(lit(1072L) + tokenHash(t) % lit(32L)))
+              .when(col("doc_id") % 17 === 2,
+                utf8Chr(lit(945L) + tokenHash(t) % lit(25L)))
+              .otherwise(t)), " "),
+          when(col("doc_id") % 97 === 0,
+            concat(lit(" "), utf8Chr(lit(19968L) + col("doc_id") % 100)))
+            .otherwise(lit(""))).as("text"))
+      mapped.select(Seq(col("lang")) ++ TextAnalysis.scriptMix(col("text")): _*)
+        .groupBy(col("lang"), col("dominant"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("mixed")).as("n_mixed"),
+          sum(col("n_latin")).as("latin_chars"),
+          sum(col("n_digit")).as("digit_chars"),
+          sum(col("n_cjk")).as("cjk_chars"),
+          sum(col("n_cyrillic")).as("cyrillic_chars"),
+          sum(col("n_greek")).as("greek_chars"),
+          sum(col("n_other")).as("other_chars"))
+        .orderBy(col("lang"), col("dominant"))
+    }),
+
+    // ---- Per-source winsorized score stats: exact p05/p95 clamp of
+    // n_chars via the RANK-WALK percentile (spill-safe window sort, no
+    // percentile()-style whole-group aggregation cell — the q103 lesson
+    // applied to q58's semantics). Oracle is DuckDB's quantile_cont.
+    "q152_winsorize" -> ((s, dir) => {
+      Profile.winsorizedStats(load(s, dir, "documents"),
+          "source", "n_chars", 0.05, 0.95)
+        .orderBy(col("source"))
+    }),
+
+    // ---- Cohen's kappa agreement between the q113 hashed linear
+    // classifier and the cheap token-count rule, per source — integer
+    // confusion counts, kappa as ONE rounded rational divide.
+    "q153_classifier_kappa" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      Profile.agreementKappa(docs, "source",
+          TextAnalysis.hashedLinearScore(col("text")) >= 0,
+          TextAnalysis.wsTokenCount(col("text")) >= 15)
+        .orderBy(col("source"))
+    }),
+
+    // ---- Embedding covariance matrix (upper triangle, 64 dims → 2080
+    // cells): row-local nested-HOF pair expansion (NO self-join), one
+    // map-side-combinable groupBy over micro-unit DECIMAL partials —
+    // the whitening/PCA front half, oracle-exact to the last bit.
+    "q154_embed_cov" -> ((s, dir) => {
+      SimilaritySearch.embeddingCovariance(
+          load(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- URL-level dedup over four raw variants per canonical target
+    // (case, www, default port, trailing slash, tracker params, param
+    // order, fragment): the canonicalizer must collapse all four onto
+    // the independently-CONSTRUCTED canonical form the oracle writes
+    // down — a stronger gate than replaying the same normalization.
+    "q155_url_dedup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val k = (col("doc_id") % 50).cast("string")
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Site"), k,
+            lit(".Example.COM:443/a/b?utm_source=feed&id="), k,
+            lit("&z=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://site"), k, lit(".example.com/a/b?z=1&id="), k,
+            lit("&utm_campaign=x")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://Site"), k, lit(".Example.com/a/b/?id="), k,
+            lit("&z=1")))
+        .otherwise(
+          concat(lit("https://site"), k,
+            lit(".example.com:443/a/b?ref=home&z=1&id="), k))
+      UrlOps.urlDupGroups(docs.select(col("doc_id"), raw.as("url")),
+          "doc_id", "url")
+        .orderBy(col("canon_url"))
     })
   )
 
@@ -3201,8 +3303,157 @@ object PipelineQueries extends QueryPack {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dtk
         |JOIN (SELECT w, count(*) AS nsym FROM s8 GROUP BY w) vn USING (w)
         |WHERE length(dtk.w) > 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Same codepoint synthesis (chr ≡ the Spark utf8Chr construction),
+    // same length-difference class counts, same fixed-priority argmax.
+    "q151_script_mix" -> scriptMixOracle,
+
+    // quantile_cont IS the (1-g)·lo + g·hi rule the rank walk implements.
+    "q152_winsorize" ->
+      """WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |q AS (SELECT source,
+        |             round(quantile_cont(v, 0.05)*1000000.0)/1000000.0 AS t_lo,
+        |             round(quantile_cont(v, 0.95)*1000000.0)/1000000.0 AS t_hi
+        |      FROM t GROUP BY source)
+        |SELECT t.source, count(*) AS n,
+        |  CAST(sum(CASE WHEN v < t_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN v > t_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  round(max(t_lo)*10000.0)/10000.0 AS p_lo,
+        |  round(max(t_hi)*10000.0)/10000.0 AS p_hi,
+        |  round(avg(v)*1000000.0)/1000000.0 AS mean_raw,
+        |  round(avg(least(greatest(v, t_lo), t_hi))*1000000.0)/1000000.0 AS mean_wins
+        |FROM t JOIN q ON t.source = q.source
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    // q113's hashed-margin chain for classifier A; token-count rule for
+    // B; kappa as the integer rational with one rounded divide.
+    "q153_classifier_kappa" ->
+      (s"""WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |w AS (SELECT doc_id, source,
+        |             (${TextAnalysis.md5Hash48Sql("tok")}) % 17 - 8 AS wgt FROM t),
+        |d AS (SELECT doc_id, source,
+        |        CASE WHEN sum(wgt) >= 0 THEN 1 ELSE 0 END AS a,
+        |        CASE WHEN count(*) >= 15 THEN 1 ELSE 0 END AS b
+        |      FROM w GROUP BY doc_id, source),
+        |c AS (SELECT source,
+        |        CAST(sum(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |        CAST(sum(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |        CAST(sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |        CAST(sum(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |      FROM d GROUP BY source)
+        |SELECT source, n00, n01, n10, n11,
+        |  CASE WHEN (n00+n01+n10+n11)*(n00+n01+n10+n11)
+        |            - ((n00+n01)*(n00+n10) + (n10+n11)*(n01+n11)) = 0 THEN 1.0
+        |       ELSE round(
+        |         CAST((n00+n01+n10+n11)*(n00+n11)
+        |              - ((n00+n01)*(n00+n10) + (n10+n11)*(n01+n11)) AS DOUBLE)
+        |         / CAST((n00+n01+n10+n11)*(n00+n01+n10+n11)
+        |              - ((n00+n01)*(n00+n10) + (n10+n11)*(n01+n11)) AS DOUBLE)
+        |         * 1000000.0)/1000000.0 END AS kappa
+        |FROM c ORDER BY source""".stripMargin),
+
+    // Micro-unit integer quantization, DECIMAL(38,0) order-free sums,
+    // one final rounded divide — identical to embeddingCovariance.
+    "q154_embed_cov" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |                  unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+        |             CAST(round(embedding[i]*1000000.0) AS BIGINT) AS v
+        |      FROM e),
+        |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |             sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+        |             sum(CAST(a.v AS HUGEINT)) AS sx,
+        |             sum(CAST(b.v AS HUGEINT)) AS sy
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY a.i, b.i)
+        |SELECT i, j,
+        |  round(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+        |        / (CAST(n AS DOUBLE)*n) / 1000000000000.0
+        |        * 1000000.0)/1000000.0 AS cov
+        |FROM p ORDER BY i, j""".stripMargin,
+
+    // The INDEPENDENTLY-constructed canonical form: the Spark side must
+    // normalize four raw variants (case/www/port/slash/params/fragment)
+    // onto exactly this string — not a replay of the same normalizer.
+    "q155_url_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |  'https://site' || (doc_id%50) || '.example.com/a/b?id=' || (doc_id%50)
+        |    || '&z=1' AS canon_url,
+        |  CASE WHEN doc_id%4=0 THEN 'HTTPS://WWW.Site' || (doc_id%50)
+        |         || '.Example.COM:443/a/b?utm_source=feed&id=' || (doc_id%50)
+        |         || '&z=1#frag'
+        |       WHEN doc_id%4=1 THEN 'https://site' || (doc_id%50)
+        |         || '.example.com/a/b?z=1&id=' || (doc_id%50) || '&utm_campaign=x'
+        |       WHEN doc_id%4=2 THEN 'https://Site' || (doc_id%50)
+        |         || '.Example.com/a/b/?id=' || (doc_id%50) || '&z=1'
+        |       ELSE 'https://site' || (doc_id%50)
+        |         || '.example.com:443/a/b?ref=home&z=1&id=' || (doc_id%50)
+        |  END AS raw
+        |  FROM documents)
+        |SELECT canon_url, count(*) AS n_rows,
+        |       count(DISTINCT raw) AS n_variants, min(doc_id) AS keep_id
+        |FROM f GROUP BY canon_url HAVING count(*) > 1
+        |ORDER BY canon_url""".stripMargin
   )
+
+  /** q151 oracle: rebuild the script fixture with chr(), then mirror
+    * scriptMix's length-difference counts, fixed-priority dominant, and
+    * ≥2-scripts mixed flag. RE2 spells BMP ranges \x{....}. */
+  private def scriptMixOracle: String = {
+    val classes = TextAnalysis.ScriptClasses.map { case (n, _, re2) =>
+      n -> s"length(ns) - length(regexp_replace(ns, '$re2', '', 'g'))"
+    }
+    val classCols = classes.map { case (n, e) => s"CAST($e AS BIGINT) AS n_$n" }
+      .mkString(",\n        ")
+    val known = classes.map { case (n, _) => s"n_$n" }.mkString(" + ")
+    val domCase = classes.map { case (n, _) =>
+      s"WHEN n_$n = mx AND n_$n > 0 THEN '$n'"
+    }.mkString(" ")
+    val present = (classes.map(_._1).filter(_ != "digit") :+ "other")
+      .map(n => s"CASE WHEN n_$n > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val maxArgs = (classes.map { case (n, _) => s"n_$n" } :+ "n_other").mkString(", ")
+    s"""WITH x AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+       |tk AS (SELECT doc_id, lang, i, ts[i] AS t
+       |       FROM x, unnest(generate_series(1, len(ts))) AS u(i)),
+       |mp AS (SELECT doc_id, lang, i,
+       |         CASE WHEN lang = 'zh'
+       |                THEN chr(CAST(19968 + (${tokenHashSql("t")} % 20000) AS INTEGER))
+       |              WHEN doc_id % 13 = 1
+       |                THEN chr(CAST(1072 + (${tokenHashSql("t")} % 32) AS INTEGER))
+       |              WHEN doc_id % 17 = 2
+       |                THEN chr(CAST(945 + (${tokenHashSql("t")} % 25) AS INTEGER))
+       |              ELSE t END AS piece
+       |       FROM tk),
+       |d2 AS (SELECT doc_id, lang,
+       |         string_agg(piece, ' ' ORDER BY i) ||
+       |           CASE WHEN doc_id % 97 = 0
+       |                THEN ' ' || chr(CAST(19968 + doc_id % 100 AS INTEGER))
+       |                ELSE '' END AS text
+       |       FROM mp GROUP BY doc_id, lang),
+       |c AS (SELECT doc_id, lang, CAST(length(ns) AS BIGINT) AS total,
+       |        $classCols
+       |      FROM (SELECT doc_id, lang, replace(text, ' ', '') AS ns FROM d2)),
+       |e AS (SELECT doc_id, lang, n_latin, n_digit, n_cjk, n_cyrillic, n_greek,
+       |             total - ($known) AS n_other FROM c),
+       |f AS (SELECT *, greatest($maxArgs) AS mx FROM e),
+       |g AS (SELECT lang,
+       |        CASE $domCase ELSE 'other' END AS dominant,
+       |        CASE WHEN ($present) >= 2 THEN 1 ELSE 0 END AS mixed,
+       |        n_latin, n_digit, n_cjk, n_cyrillic, n_greek, n_other
+       |      FROM f)
+       |SELECT lang, dominant, count(*) AS n_docs,
+       |  CAST(sum(mixed) AS BIGINT) AS n_mixed,
+       |  CAST(sum(n_latin) AS BIGINT) AS latin_chars,
+       |  CAST(sum(n_digit) AS BIGINT) AS digit_chars,
+       |  CAST(sum(n_cjk) AS BIGINT) AS cjk_chars,
+       |  CAST(sum(n_cyrillic) AS BIGINT) AS cyrillic_chars,
+       |  CAST(sum(n_greek) AS BIGINT) AS greek_chars,
+       |  CAST(sum(n_other) AS BIGINT) AS other_chars
+       |FROM g GROUP BY lang, dominant ORDER BY lang, dominant""".stripMargin
+  }
 
   // Unrolled-round BPE replay: per round, pair counts over adjacent
   // positions, a (n DESC, sa, sb) argmax, greedy-leftmost merge selection

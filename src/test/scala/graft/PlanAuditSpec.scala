@@ -407,4 +407,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(3000))
   }
+
+  test("q154 covariance: row-local pair expansion — NO join, one combined aggregate") {
+    val p = plan("q154_embed_cov")
+    // a self-join on vec_id would move every vector d times through an
+    // exchange; the nested-HOF expansion keeps the d²/2 products inside
+    // the scan task and the groupBy state at d(d+1)/2 fixed-width cells
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000)) // agg + sort only
+  }
+
+  test("q151 script mix: row-local histogram, single aggregation exchange") {
+    val p = plan("q151_script_mix")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q152 winsorize: threshold relation joins back WITHOUT a forced broadcast hint") {
+    val p = plan("q152_winsorize")
+    // the |groups|-sized thresholds may legitimately broadcast under
+    // AQE's own sizing, but never a cartesian / nested loop; and the
+    // table-side percentile never runs through an object-buffer
+    // aggregate (the percentile() state bomb) — only sort windows
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+    assert(!p.contains("ObjectHashAggregate"), p.take(3000))
+  }
 }
