@@ -605,23 +605,39 @@ object SimilaritySearch {
     val v6 = df
       .select(transform(col(vec), x =>
         round(x.cast("double") * 1e6).cast("long")).as("v6"))
-    val pairs = v6
-      .select(explode(flatten(transform(
+    // The hot path explodes PURE LONGS, nothing else: per row, one
+    // flattened upper-triangle product array (element arithmetic stays in
+    // long — micro-products are ≤ 1e12, nowhere near 2^63; Decimal's
+    // object arithmetic inside the lambda measured 1.25× slower, and a
+    // 5-field struct per element another 2× on top). posexplode tags each
+    // product with its triangle POSITION; (i, j) are decoded after the
+    // aggregate by joining the 2080-cell result against a position→(i,j)
+    // mapping built once from a 1-row relation (broadcast — it is
+    // d(d+1)/2 rows of three ints). Per-dim sums Σx come from a separate
+    // 64-cell posexplode aggregate joined in the same way; the DECIMAL
+    // conversion happens once per VALUE inside the aggregates, keeping
+    // every sum order-free and exact.
+    val prods = v6
+      .select(posexplode(flatten(transform(
         sequence(lit(0), size(col("v6")) - 1), i =>
           transform(sequence(i, size(col("v6")) - 1), j =>
-            struct(i.as("i"), j.as("j"),
-              (element_at(col("v6"), i + 1).cast("decimal(38,0)") *
-                element_at(col("v6"), j + 1)).as("xy"),
-              element_at(col("v6"), i + 1).as("x"),
-              element_at(col("v6"), j + 1).as("y"))))))
-        .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy"),
-        col("p.x"), col("p.y"))
-    pairs.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("xy")).as("sxy"),
-        sum(col("x").cast("decimal(38,0)")).as("sx"),
-        sum(col("y").cast("decimal(38,0)")).as("sy"))
+            element_at(col("v6"), i + 1) * element_at(col("v6"), j + 1))))))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(38,0)")).as("sxy"))
+    val dimSums = v6
+      .select(posexplode(col("v6")))
+      .groupBy(col("pos").as("dim"))
+      .agg(sum(col("col").cast("decimal(38,0)")).as("s"))
+    // position → (i, j) mapping: same nested-sequence shape as the
+    // product expansion, evaluated once over a single literal row
+    val d = size(col("v6"))
+    val posMap = v6.limit(1)
+      .select(posexplode(flatten(transform(sequence(lit(0), d - 1), i =>
+        transform(sequence(i, d - 1), j => struct(i.as("i"), j.as("j")))))))
+      .select(col("pos"), col("col.i").as("i"), col("col.j").as("j"))
+    prods.join(broadcast(posMap), "pos")
+      .join(broadcast(dimSums.select(col("dim").as("i"), col("s").as("sx"))), "i")
+      .join(broadcast(dimSums.select(col("dim").as("j"), col("s").as("sy"))), "j")
       .select(col("i"), col("j"),
         r6(((col("n").cast("decimal(38,0)") * col("sxy") -
           col("sx") * col("sy")).cast("double") /

@@ -197,7 +197,12 @@ object ScalingBench {
       "q147_ann_pq",
       "q148_gram_novelty",
       "q149_tfidf_pairs",
-      "q150_multimodal_pack")
+      "q150_multimodal_pack",
+      "q151_script_mix",
+      "q152_winsorize",
+      "q153_classifier_kappa",
+      "q154_embed_cov",
+      "q155_url_dedup")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

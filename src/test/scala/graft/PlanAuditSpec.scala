@@ -408,14 +408,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
-  test("q154 covariance: row-local pair expansion — NO join, one combined aggregate") {
+  test("q154 covariance: vector data never joins — only d-bounded broadcasts attach") {
     val p = plan("q154_embed_cov")
     // a self-join on vec_id would move every vector d times through an
     // exchange; the nested-HOF expansion keeps the d²/2 products inside
-    // the scan task and the groupBy state at d(d+1)/2 fixed-width cells
-    assert(!p.contains("Join"), p.take(3000))
+    // the scan task and the groupBy state at d(d+1)/2 fixed-width cells.
+    // The only joins are the (i,j) decode + per-dim sums — ≤ d(d+1)/2
+    // rows each, broadcast.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
-    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000)) // agg + sort only
   }
 
   test("q151 script mix: row-local histogram, single aggregation exchange") {
