@@ -644,6 +644,40 @@ object SimilaritySearch {
           (col("n") * col("n")).cast("double")) / 1e12).as("cov"))
   }
 
+  /** Pairwise COSINE BETWEEN GROUP CENTROIDS of an embedding column — the
+    * embedding-drift / cluster-similarity monitor (are two sources, two
+    * crawl snapshots, or two k-means clusters converging?). Exact and
+    * scale-invariant: cosine(mean_a, mean_b) = cosine(sum_a, sum_b), so
+    * no division by n ever happens — the dot products run on the integer
+    * micro-unit SUM vectors directly (order-free DECIMAL cells), and the
+    * only float ops are the final sqrt+divide, rounded r6.
+    *
+    * Plan: one groupBy((label, dim)) over the posexploded micro units
+    * (|labels|·d fixed cells, map-side combinable — corpus rows never
+    * pair-join), then self-dots and cross-dots on the |labels|·d
+    * relation, which is broadcast-sized by construction. */
+  def labelCentroidCosine(df: DataFrame, label: String, vec: String)
+    : DataFrame = {
+    val sums = df
+      .select(col(label).as("lbl"), posexplode(transform(col(vec), x =>
+        round(x.cast("double") * 1e6).cast("long"))))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("col").cast("decimal(38,0)")).as("s"))
+    val norms = sums.groupBy(col("lbl"))
+      .agg(sum(col("s") * col("s")).as("s2"))
+    val a = sums.select(col("lbl").as("label_a"), col("pos"), col("s").as("sa"))
+    val b = sums.select(col("lbl").as("label_b"), col("pos"), col("s").as("sb"))
+    a.join(b, "pos").filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .join(norms.select(col("lbl").as("label_a"), col("s2").as("na2")), "label_a")
+      .join(norms.select(col("lbl").as("label_b"), col("s2").as("nb2")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        r6(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cosine"))
+  }
+
   /** Top principal direction from a covariance matrix via POWER ITERATION
     * on the driver — the matrix is d² doubles (a 64-dim embedding's
     * matrix is 32 KB; the codebook-pull class of sanctioned collect, like

@@ -195,4 +195,63 @@ object Temporal {
       .agg(graft.Tables.dsum(value * col("_w")).as("decayed_value"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Event-TRANSITION matrix: per (from_type → to_type) adjacent pair in
+    * each user's time-ordered stream, the count and the conditional
+    * probability P(to | from) — the Markov-chain statistic behind
+    * next-event training data, funnel diagnostics, and bot detection
+    * (bots walk improbable transitions). The last event of each user has
+    * no successor and contributes nothing.
+    *
+    * Plan: one lead() window per user (bounded state — a user's events,
+    * sorted; external sort spills), then a map-side-combinable pair
+    * count. P(to|from) derives from the pair counts themselves (sum per
+    * from-side via a second tiny aggregate joined back — type-count²
+    * rows, NOT a window over the corpus). Tie order within a timestamp
+    * is pinned by (ts, tieBreak) so both engines walk the same sequence. */
+  def eventTransitions(events: DataFrame, user: Column, ts: Column,
+                       typ: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, tieBreak)
+    val pairs = events
+      .withColumn("_next", lead(typ, 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(typ.as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        graft.Tables.r6(col("n").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+  }
+
+  /** Per-group OLS TREND SLOPE of a micro-quantized y over an integer x
+    * (e.g. quality over crawl day): slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²), every sum an order-free DECIMAL(38,0) over integer
+    * inputs, ONE rounded double divide at the end (the kappa/bm25
+    * rational doctrine). The drift monitor a corpus-refresh pipeline
+    * alarms on; four 16-byte aggregation cells per group, map-side
+    * combinable at any scale. y is quantized by the CALLER (pass micro
+    * units; the slope comes back in micro-y per x unit — divide by 1e6
+    * at the call site if raw units are wanted). Groups whose x never
+    * varies have a zero denominator → NULL slope (undefined trend). */
+  def trendSlope(df: DataFrame, group: Column, x: Column, y: Column)
+    : DataFrame = {
+    val dec = "decimal(38,0)"
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    df.groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(xl.cast(dec)).as("sx"),
+        sum(yl.cast(dec)).as("sy"),
+        sum((xl * yl).cast(dec)).as("sxy"),
+        sum((xl * xl).cast(dec)).as("sxx"))
+      .select(col("g"), col("n"),
+        {
+          val num = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")
+          val den = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+          graft.Tables.r6(when(den === 0, lit(null))
+            .otherwise(num.cast("double") / den.cast("double"))).as("slope")
+        })
+  }
 }

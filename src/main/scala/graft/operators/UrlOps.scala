@@ -66,4 +66,38 @@ object UrlOps {
         count_distinct(col("raw")).as("n_variants"),
         min(col("uid")).as("keep_id"))
       .filter(col("n_rows") > 1)
+
+  /** Host and path of an absolute URL (no normalization — feed
+    * canonicalizeUrl output when canonical parts are wanted). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[^:]+://([^/?#]*)", 1)
+  def urlPath(url: Column): Column = {
+    val p = regexp_extract(url, "^[^:]+://[^/?#]*([^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Robots-style DISALLOW filtering: drop every row whose URL host has a
+    * rule whose path-prefix the URL path starts with (the robots.txt
+    * `Disallow:` subset every polite crawler implements; also the shape
+    * of editorial "kill this section" blocklists). Returns the SURVIVORS.
+    *
+    * Plan, built for a 100 TB crawl against a rules table of any size:
+    * candidates come ONLY from the host equi-join (never a prefix theta
+    * join against the whole rules table); the startswith residual
+    * evaluates inside that join; matched ids then LEFT-ANTI against the
+    * corpus. A URL with no rules on its host never leaves its map task
+    * (left-semi probe side). Rules-per-host is bounded in practice
+    * (robots files are KBs); a hostile million-rule host fans out only
+    * ITS OWN urls × its rules, spread by the hash join. */
+  def robotsFilter(df: DataFrame, id: String, url: String,
+                   rules: DataFrame): DataFrame = {
+    // rules: (host, prefix)
+    val u = df.select(col(id).as("rid"),
+      urlHost(col(url)).as("h"), urlPath(col(url)).as("p"))
+    val blocked = u.join(rules.select(col("host").as("h"),
+        col("prefix").as("pre")), Seq("h"), "inner")
+      .filter(col("p").startsWith(col("pre")))
+      .select(col("rid")).distinct()
+    df.join(blocked.withColumnRenamed("rid", id), Seq(id), "left_anti")
+  }
 }
