@@ -86,7 +86,23 @@ object Tables {
    * unambiguous in both engines (half away from zero on the same binary
    * value), and the final divide is exactly rounded. Use this — not
    * round(_, 6) — for every double the oracle compares. drnd is the
-   * same at any digit count (q58's percentiles round at 4). */
+   * same at any digit count (q58's percentiles round at 4).
+   *
+   * SIGNED ZERO: Spark's `round` routes through BigDecimal, which has no
+   * negative zero, so drnd of a negative value that rounds to zero emits
+   * +0.0 — but DuckDB's C-library round returns -0.0 there and the final
+   * divide keeps it, so the driver's sign-sensitive hash diverges (the r9
+   * q154 failure: one covariance cell of 2080, value-identical otherwise).
+   * Doctrine: drnd itself never emits -0.0 (proven by RoundingDoctrineSpec
+   * on the bit pattern), and every ORACLE expression whose rounded output
+   * can be reached from below appends `+ 0.0` (IEEE -0.0 + 0.0 = +0.0;
+   * identity on every other value, NULL-transparent). Oracles whose
+   * rounded outputs are nonnegative by construction (counts, fractions,
+   * norms, abs-sums, prices, surprisal bits, distances) need no
+   * normalization; the negative-capable set — cosines (q47/q48/q48b/q86/
+   * q117/q135), kappa (q153), covariance (q154), sin/cos (q23) — carries
+   * the suffix. The exact-DECIMAL paths (dsum/davg) are immune: decimal
+   * zero has no sign, so the cast back to DOUBLE is always +0.0. */
   def r6(c: Column): Column = drnd(c, 6)
   def drnd(c: Column, digits: Int): Column = {
     val p = math.pow(10.0, digits)

@@ -477,6 +477,7 @@ object SimilaritySearch {
       .select(col("vec_id"), col("embedding"),
         (size(col("embedding")) / m).as("w"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .filter(pqDivisibleGuard(m).isNull)
       .select(col("vec_id"), col("sub"),
         slice(col("embedding"), col("sub") * col("w") + 1, col("w")).as("sv"))
     val bucketed = sub.withColumn("cid",
@@ -491,6 +492,18 @@ object SimilaritySearch {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
   }
+
+  /** Row-local PQ dimension guard: `size(embedding) % m` must be 0, or
+    * the implicit int truncation of w = d/m would silently DROP the
+    * trailing d mod m dimensions from codebooks, codes, and distances —
+    * degraded recall with no error. assert_true fuses into whichever
+    * scan carries it (no extra pass, no driver action); null on success
+    * so `.filter(_.isNull)` keeps every valid row and cannot be pruned. */
+  private def pqDivisibleGuard(m: Int): Column =
+    assert_true(size(col("embedding")) % m === 0,
+      concat(lit(s"PQ: embedding dimension "), size(col("embedding")).cast("string"),
+        lit(s" is not divisible by m=$m subspaces — the trailing dims would" +
+          " be silently dropped; pick m | d or pad the vectors")))
 
   /** Squared-L2 between a sub-vector slice and a centroid array, summed
     * left-to-right in double (both engines agree order). */
@@ -517,6 +530,7 @@ object SimilaritySearch {
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
     val packed = packCodebooks(codebooks)
     corpus.select(col("vec_id"), col("embedding"))
+      .filter(pqDivisibleGuard(m).isNull)
       .crossJoin(broadcast(packed))
       .withColumn("w", size(col("embedding")) / m)
       .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s => {
@@ -552,6 +566,7 @@ object SimilaritySearch {
     val enc = pqEncode(corpus, cb, m)
     val packed = packCodebooks(cb)
     val qlut = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .filter(pqDivisibleGuard(m).isNull)
       .crossJoin(broadcast(packed))
       .withColumn("w", size(col("embedding")) / m)
       .withColumn("lut", transform(col("cb"), c => struct(
@@ -602,9 +617,24 @@ object SimilaritySearch {
     * inlining it into the pair lambda would re-round the whole vector per
     * pair element (HOFs do no CSE — the q142 lesson). */
   def embeddingCovariance(df: DataFrame, vec: String): DataFrame = {
+    // Uniform-dimension guard: the position→(i,j) decode below fixes d
+    // from ONE row, so a mixed-length corpus would silently assign
+    // products to wrong cells — fail loudly instead. d comes from a
+    // 1-row pull (one split read, not a corpus scan), and every corpus
+    // row then carries a row-local assert_true(size == d) FUSED into the
+    // product expansion's own scan — uniformity is enforced at full
+    // corpus coverage for zero extra passes (a min/max sizing aggregate
+    // would read the whole array column once more).
+    val dRow = df.select(size(col(vec)).as("d")).limit(1).collect()
+    val dLit = if (dRow.isEmpty) 0 else dRow(0).getInt(0)
     val v6 = df
       .select(transform(col(vec), x =>
         round(x.cast("double") * 1e6).cast("long")).as("v6"))
+      .filter(assert_true(size(col("v6")) === dLit,
+        concat(lit(s"embeddingCovariance: mixed vector lengths (first row d=$dLit, got "),
+          size(col("v6")).cast("string"),
+          lit(") — covariance cells are positional; pad or filter to a " +
+            "uniform dimension first"))).isNull)
     // The hot path explodes PURE LONGS, nothing else: per row, one
     // flattened upper-triangle product array (element arithmetic stays in
     // long — micro-products are ≤ 1e12, nowhere near 2^63; Decimal's

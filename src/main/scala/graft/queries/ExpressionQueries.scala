@@ -307,8 +307,8 @@ object ExpressionQueries extends QueryPack {
         |round(pow(l_quantity, 2.0), 6) AS qty_sq,
         |round(ln(l_extendedprice), 6) AS ln_price,
         |round(log10(l_extendedprice), 6) AS log10_price,
-        |round(sin(l_quantity), 6) AS sin_qty,
-        |round(cos(l_quantity), 6) AS cos_qty,
+        |round(sin(l_quantity), 6) + 0.0 AS sin_qty,
+        |round(cos(l_quantity), 6) + 0.0 AS cos_qty,
         |round(atan(l_discount), 6) AS atan_disc,
         |greatest(l_quantity, l_tax * 100) AS greatest_demo,
         |least(l_quantity, l_discount * 100) AS least_demo

@@ -1633,7 +1633,7 @@ object PipelineQueries extends QueryPack {
         |                any_value(nq) AS nq, any_value(nc) AS nc
         |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
         |         GROUP BY query_id, cand_id),
-        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) + 0.0 AS cosine FROM dots)
         |SELECT query_id, rank, cand_id, cosine FROM (
         |  SELECT query_id, cand_id, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
@@ -1655,7 +1655,7 @@ object PipelineQueries extends QueryPack {
         |                any_value(nq) AS nq, any_value(nc) AS nc
         |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
         |         GROUP BY query_id, cand_id),
-        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) + 0.0 AS cosine FROM dots)
         |SELECT query_id, rank, cand_id, cosine FROM (
         |  SELECT query_id, cand_id, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
@@ -1707,7 +1707,7 @@ object PipelineQueries extends QueryPack {
         |         any_value(nq) AS nq, any_value(nc) AS nc
         |  FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
         |  GROUP BY query_id, cand_id),
-        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) + 0.0 AS cosine FROM dots)
         |SELECT query_id, rank, cand_id, cosine FROM (
         |  SELECT query_id, cand_id, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
@@ -1740,7 +1740,7 @@ object PipelineQueries extends QueryPack {
         |scored AS (
         |  SELECT query_id, cand_id,
         |         CASE WHEN na2 > 0 AND nb2 > 0
-        |              THEN round(CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS DOUBLE))), 6)
+        |              THEN round(CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS DOUBLE))), 6) + 0.0
         |              ELSE -1.0 END AS qcos
         |  FROM dots)
         |SELECT query_id, rank, cand_id, qcos FROM (
@@ -2710,7 +2710,7 @@ object PipelineQueries extends QueryPack {
         |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc, same FROM pairs)
         |         GROUP BY query_id, cand_id),
         |scored AS (SELECT query_id, cand_id, same,
-        |                  round(dot/(nq*nc) * 1000000.0) / 1000000.0 AS cosine
+        |                  round(dot/(nq*nc) * 1000000.0) / 1000000.0 + 0.0 AS cosine
         |           FROM dots),
         |top AS (SELECT query_id, cand_id, same, cosine FROM (
         |  SELECT query_id, cand_id, same, cosine,
@@ -2969,7 +2969,7 @@ object PipelineQueries extends QueryPack {
         |qscored AS (
         |  SELECT query_id, cand_id,
         |         CASE WHEN na2 > 0 AND nb2 > 0
-        |              THEN round(CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS DOUBLE))), 6)
+        |              THEN round(CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS DOUBLE))), 6) + 0.0
         |              ELSE -1.0 END AS qcos
         |  FROM qdots),
         |short AS (
@@ -2992,7 +2992,7 @@ object PipelineQueries extends QueryPack {
         |         any_value(nq) AS nq, any_value(nc) AS nc
         |  FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
         |  GROUP BY query_id, cand_id),
-        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) AS cosine FROM dots)
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) + 0.0 AS cosine FROM dots)
         |SELECT query_id, rank, cand_id, cosine FROM (
         |  SELECT query_id, cand_id, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
@@ -3351,11 +3351,16 @@ object PipelineQueries extends QueryPack {
         |              - ((n00+n01)*(n00+n10) + (n10+n11)*(n01+n11)) AS DOUBLE)
         |         / CAST((n00+n01+n10+n11)*(n00+n01+n10+n11)
         |              - ((n00+n01)*(n00+n10) + (n10+n11)*(n01+n11)) AS DOUBLE)
-        |         * 1000000.0)/1000000.0 END AS kappa
+        |         * 1000000.0)/1000000.0 + 0.0 END AS kappa
         |FROM c ORDER BY source""".stripMargin),
 
     // Micro-unit integer quantization, DECIMAL(38,0) order-free sums,
     // one final rounded divide — identical to embeddingCovariance.
+    // `+ 0.0` is the signed-zero normalization of the drnd doctrine
+    // (Tables.drnd): a covariance that rounds to zero FROM BELOW leaves
+    // DuckDB's C round as -0.0 while Spark's BigDecimal round has no
+    // negative zero; IEEE -0.0 + 0.0 = +0.0 makes both engines emit the
+    // same bits (the r9 q154 hash failure — one cell of 2080).
     "q154_embed_cov" ->
       """WITH e AS (SELECT vec_id, embedding,
         |                  unnest(generate_series(1, len(embedding))) AS i
@@ -3372,7 +3377,7 @@ object PipelineQueries extends QueryPack {
         |SELECT i, j,
         |  round(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
         |        / (CAST(n AS DOUBLE)*n) / 1000000000000.0
-        |        * 1000000.0)/1000000.0 AS cov
+        |        * 1000000.0)/1000000.0 + 0.0 AS cov
         |FROM p ORDER BY i, j""".stripMargin,
 
     // The INDEPENDENTLY-constructed canonical form: the Spark side must

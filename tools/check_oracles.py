@@ -59,7 +59,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             a, b = g[c], x[c]
             try:
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    eq = (a.astype(float).fillna(-9e99) == b.astype(float).fillna(-9e99)).all()
+                    # BIT-pattern compare, like the driver's hash: catches
+                    # the -0.0 vs +0.0 signed-zero class that float ==
+                    # treats as equal (the r9 q154 failure mode)
+                    import numpy as np
+                    av = a.astype(float).fillna(-9e99).to_numpy()
+                    bv = b.astype(float).fillna(-9e99).to_numpy()
+                    eq = (av.view(np.int64) == bv.view(np.int64)).all()
                 else:
                     eq = (a.astype(str) == b.astype(str)).all()
             except Exception:
