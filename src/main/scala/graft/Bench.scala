@@ -156,7 +156,9 @@ object Bench {
     "q152_winsorize",       // rank-walk percentile clamp per source
     "q153_classifier_kappa", // Cohen's kappa between two filter stacks
     "q154_embed_cov",       // d x d covariance, row-local pair expansion
-    "q155_url_dedup")       // URL canonicalization dedup groups
+    "q155_url_dedup",       // URL canonicalization dedup groups
+    "q156_centroid_cosine", // label-centroid pairwise cosine drift monitor
+    "q157_trend_slope")     // per-source OLS drift slope, decimal rational
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

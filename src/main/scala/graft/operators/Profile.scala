@@ -65,6 +65,77 @@ object Profile {
         col("n_distinct"), col("min_str"), col("max_str"))
   }
 
+  /** Per-group row numbers by value WITHOUT a per-group window sort: a
+    * `row_number().over(partitionBy(g).orderBy(v))` serializes each
+    * group onto ONE task (per-group parallelism = 1 — at 100 TB with ~20
+    * sources that is corpus/20 through a single external sort). Instead
+    * the SuffixIndex.rangeDenseRank shape, specialized to grouped row
+    * numbers: range-repartition on (g, v) — equal and adjacent keys
+    * co-locate, every partition holds a contiguous slice of the (g, v)
+    * order — local 1-based per-group counters in one imperative
+    * per-partition pass (the sanctioned mapPartitions case), then
+    * per-(partition, group) offsets. The offsets pull is bounded by
+    * P + G − 1 rows (each partition holds a contiguous slice, so the sum
+    * of distinct groups per partition telescopes) — the q70 sizing-class
+    * driver pull, NOT O(rows). Returns (input columns, rn) plus the
+    * per-group total relation (g, n) computed from the same offsets for
+    * free. Ranks are invariant to the sampled range boundaries; tied
+    * values get arbitrary rank ORDER but the value AT a rank is still
+    * the r-th smallest — all any percentile interpolation reads. */
+  private def rangeGroupRowNumbers(sel: DataFrame)
+    : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val spark = sel.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // pin the input: RangePartitioner samples in a separate pass, an
+    // unpinned input would execute twice (the rangeDenseRank doctrine)
+    val pinnedIn = Dedup.truncateLineage(sel)
+    val sorted = pinnedIn.repartitionByRange(p, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+    val schema = sel.schema.add("wz_pid", IntegerType).add("wz_lr", LongType)
+    val gIdx = sel.schema.fieldIndex("g")
+    val withLr = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var lr = 0L
+        var prev: Any = null
+        var started = false
+        it.map { r =>
+          val g = r.get(gIdx)
+          if (!started || g != prev) { lr = 0L; prev = g; started = true }
+          lr += 1
+          Row.fromSeq(r.toSeq :+ pid :+ lr)
+        }
+      }, schema)
+    // one materialization read by BOTH consumers (ranks + offsets), so
+    // they cannot see different range boundaries
+    val pinned = Dedup.truncateLineage(withLr)
+    val offs = pinned.groupBy(col("wz_pid"), col("g"))
+      .agg(max(col("wz_lr")).as("nk")).collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val gType = sel.schema("g").dataType
+    val offRows = offs.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, nk) =>
+        val o = acc; acc += nk; Row(pid, g, o)
+      }
+    }
+    val cntRows = offs.groupBy(_._2).toSeq.map { case (g, rows) =>
+      Row(g, rows.map(_._3).sum)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      new StructType().add("wz_pid", IntegerType).add("g", gType)
+        .add("wz_off", LongType))
+    val cntDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cntRows, 1),
+      new StructType().add("g", gType).add("n", LongType))
+    val ranked = pinned.join(broadcast(offDf), Seq("wz_pid", "g"))
+      .withColumn("rn", col("wz_lr") + col("wz_off"))
+      .drop("wz_pid", "wz_lr", "wz_off")
+    (ranked, cntDf)
+  }
+
   /** Per-group WINSORIZED statistics: clamp `value` to its group's
     * [pLo, pHi] exact interpolated percentiles and report the before/
     * after means plus clip counts — the outlier-robust score
@@ -76,48 +147,44 @@ object Profile {
     * interpolation as q58 / DuckDB quantile_cont. But NOT via the
     * `percentile` aggregate — that buffers every group value in ONE
     * aggregation cell (the q103-class state bomb: a 10B-row source is a
-    * multi-GB cell). Instead the RANK-WALK form: row_number per group
-    * (sort-based window — Spark's external sorter SPILLS, an aggregate
-    * buffer cannot), keep only the ≤4 bracketing ranks per group, and
-    * interpolate from those. State per task is the sort spill plus four
-    * rows per group; the threshold relation is |groups|-sized and joins
-    * back under AQE's own broadcast sizing (no forced hint — the q120
-    * rule).
+    * multi-GB cell). And NOT via a per-group window sort — that
+    * serializes each group onto one task (per-group parallelism 1, the
+    * fixed-parallelism scale killer). [[rangeGroupRowNumbers]] ranks
+    * WITHIN groups in parallel; both percentiles' ≤8 bracketing rows per
+    * group come out of ONE filter pass; the |groups|-sized threshold
+    * relation joins back under AQE's own broadcast sizing (no forced
+    * hint — the q120 rule).
     *
-    * Ties: row_number over (value) — tied values make rank assignment
-    * among equals arbitrary, but the value AT a rank is unique, which is
-    * all the interpolation reads. */
+    * Means are DECIMAL-image exact ([[graft.Tables.davg]]): avg(double)
+    * is run-order dependent in the last bits, a latent oracle flake the
+    * repo's own dsum doctrine exists to prevent. */
   def winsorizedStats(df: DataFrame, group: String, value: String,
                       pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(col("g")).orderBy(col("v"))
-    val ranked = df
-      .select(col(group).as("g"), col(value).cast("double").as("v"))
-      .withColumn("rn", row_number().over(win))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val sel = df.select(col(group).as("g"), col(value).cast("double").as("v"))
+    val (ranked, cntDf) = rangeGroupRowNumbers(sel)
+    val withN = ranked.join(broadcast(cntDf), "g")
     // pos is 1-based: 1 + p*(n-1); keep floor and ceil ranks only
     def pos(p: Double) = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
-    def bracket(p: Double, name: String) = {
-      val lo = floor(pos(p)).cast("long")
-      val hi = ceil(pos(p)).cast("long")
+    def interp(p: Double) = {
       val g = pos(p) - floor(pos(p))
       // threshold rounded to 6dp BEFORE clamping: the two engines'
       // interpolation float-op orders differ by ~1 ulp ((1-g)·lo + g·hi
       // vs lo + g·(hi-lo)); clamping against the rounded value makes the
       // comparison identical cross-engine (the r6 doctrine applied to an
       // INTERMEDIATE, because it feeds comparisons, not just output)
-      ranked.filter(col("rn") === lo || col("rn") === hi)
-        .groupBy(col("g"))
-        .agg(graft.Tables.r6((lit(1.0) - max(g)) *
-            max(when(col("rn") === floor(pos(p)).cast("long"), col("v"))) +
-          max(g) *
-            max(when(col("rn") === ceil(pos(p)).cast("long"), col("v"))))
-          .as(name))
+      graft.Tables.r6((lit(1.0) - max(g)) *
+          max(when(col("rn") === floor(pos(p)).cast("long"), col("v"))) +
+        max(g) *
+          max(when(col("rn") === ceil(pos(p)).cast("long"), col("v"))))
     }
-    val thresholds = bracket(pLo, "t_lo").join(bracket(pHi, "t_hi"), "g")
-    val clipped = df
-      .select(col(group).as("g"), col(value).cast("double").as("v"))
+    def isBracket(p: Double) =
+      col("rn") === floor(pos(p)).cast("long") ||
+        col("rn") === ceil(pos(p)).cast("long")
+    val thresholds = withN.filter(isBracket(pLo) || isBracket(pHi))
+      .groupBy(col("g"))
+      .agg(interp(pLo).as("t_lo"), interp(pHi).as("t_hi"))
+    val clipped = sel
       .join(thresholds, "g")
       .withColumn("w", least(greatest(col("v"), col("t_lo")), col("t_hi")))
     clipped.groupBy(col("g"))
@@ -126,8 +193,8 @@ object Profile {
         sum(when(col("v") > col("t_hi"), 1).otherwise(0)).as("n_clip_hi"),
         graft.Tables.drnd(max(col("t_lo")), 4).as("p_lo"),
         graft.Tables.drnd(max(col("t_hi")), 4).as("p_hi"),
-        graft.Tables.r6(avg(col("v"))).as("mean_raw"),
-        graft.Tables.r6(avg(col("w"))).as("mean_wins"))
+        graft.Tables.r6(graft.Tables.davg(col("v"))).as("mean_raw"),
+        graft.Tables.r6(graft.Tables.davg(col("w"))).as("mean_wins"))
       .withColumnRenamed("g", group)
   }
 
@@ -151,11 +218,15 @@ object Profile {
         sum(when(ai === 1 && bi === 1, 1).otherwise(0)).as("n11"))
       .select(col(group), col("n00"), col("n01"), col("n10"), col("n11"),
         {
+          // marginal products in DECIMAL (cast one factor first): LONG
+          // n·n wraps past 2^63 for >3e9-row groups with ANSI off — the
+          // trendSlope overflow class, closed the same way
+          val dec = "decimal(38,0)"
           val n = col("n00") + col("n01") + col("n10") + col("n11")
-          val pe2 = (col("n00") + col("n01")) * (col("n00") + col("n10")) +
-            (col("n10") + col("n11")) * (col("n01") + col("n11"))
-          val num = n * (col("n00") + col("n11")) - pe2
-          val den = n * n - pe2
+          val pe2 = (col("n00") + col("n01")).cast(dec) * (col("n00") + col("n10")) +
+            (col("n10") + col("n11")).cast(dec) * (col("n01") + col("n11"))
+          val num = n.cast(dec) * (col("n00") + col("n11")) - pe2
+          val den = n.cast(dec) * n - pe2
           graft.Tables.r6(when(den === 0, lit(1.0))
             .otherwise(num.cast("double") / den.cast("double"))).as("kappa")
         })

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -60,7 +60,8 @@ object SuffixIndex {
     * materialized — [[Tables.close]] drops every level's blocks
     * deterministically (after which the DataFrames are CONSUMED:
     * re-executing them would re-read unpersisted truncated lineage). */
-  final case class Tables(ranks: DataFrame, levels: Seq[(Int, DataFrame)], maxLen: Int)
+  final case class Tables(ranks: DataFrame, levels: Seq[(Int, DataFrame)],
+                          maxLen: Int, capTokens: Int = 0)
     extends AutoCloseable {
     override def close(): Unit =
       (ranks +: levels.map(_._2)).distinct.foreach { df =>
@@ -138,8 +139,25 @@ object SuffixIndex {
       .select(col("d"), (col("p0") + 1).as("p"), col("t"))
 
   /** Build the index: O(⌈log2 maxDocLen⌉) doubling rounds. Early exit when
-    * every rank is unique (all suffixes distinguished). */
-  def build(docs: DataFrame, id: String, text: String): Tables = {
+    * every rank is unique (all suffixes distinguished).
+    *
+    * `capTokens` (0 = uncapped) SEGMENTS giant documents: the round count
+    * is ⌈log2 maxDocLen⌉ over the WHOLE corpus position table, so one
+    * pathological 10M-token document forces ~24 corpus-wide doubling
+    * rounds on everyone. With a cap, suffix comparison is cut at the
+    * containing cap-aligned segment boundary exactly as it is cut at doc
+    * end (the successor join simply requires the successor position to
+    * share the segment — no id rewriting, no extra shuffle: `seg` is
+    * derived from `p` row-locally), so rounds ≤ ⌈log2 cap⌉ + 1 no matter
+    * the longest document. This is the Lee et al. 2022 segmenting
+    * practice: a repeat CROSSING a segment boundary is reported truncated
+    * at the boundary; repeats wholly inside a segment are exact. Ranks of
+    * documents shorter than the cap are IDENTICAL to the uncapped build
+    * (every suffix's doc-end cut lands before its segment cut —
+    * spec-pinned). */
+  def build(docs: DataFrame, id: String, text: String,
+            capTokens: Int = 0): Tables = {
+    require(capTokens >= 0, "capTokens must be >= 0 (0 = uncapped)")
     val toks = tokenStream(docs, id, text)
     // 1-row sizing pull (sanctioned): longest doc bounds the rounds; total
     // positions bounds the all-unique early exit
@@ -148,17 +166,24 @@ object SuffixIndex {
     if (n == 0L) {
       val empty = toks.select(col("d"), col("p"), lit(0L).as("r")).limit(0)
       lastRounds = 0
-      return Tables(empty, Seq(1 -> empty), 0)
+      return Tables(empty, Seq(1 -> empty), 0, capTokens)
     }
     val maxLen = sizing.getInt(0)
+    val effLen = if (capTokens > 0) math.min(maxLen, capTokens) else maxLen
     val (r0, n0) = rangeDenseRankN(toks, Seq("t"), "r")
     var r = r0.select(col("d"), col("p"), col("r"))
     var nDistinct = n0
     var levels = Vector(1 -> r)
     var h = 1
     var rounds = 1
-    while (h < maxLen && nDistinct < n) {
-      val succ = r.select(col("d"), (col("p") - h).as("p"), col("r").as("rs"))
+    while (h < effLen && nDistinct < n) {
+      var succ = r.select(col("d"), (col("p") - h).as("p"), col("r").as("rs"))
+      if (capTokens > 0)
+        // keep only successors inside the target position's segment: a
+        // cross-segment successor reads as "suffix ended" (rs -> 0),
+        // identical to the doc-end cut
+        succ = succ.filter(
+          expr(s"(p - 1) div $capTokens") === expr(s"(p - 1 + $h) div $capTokens"))
       val paired = r.join(succ, Seq("d", "p"), "left").na.fill(0L, Seq("rs"))
       val (rNext, nd) = rangeDenseRankN(paired, Seq("r", "rs"), "r2")
       r = rNext.select(col("d"), col("p"), col("r2").as("r"))
@@ -168,13 +193,15 @@ object SuffixIndex {
       levels = levels :+ (h -> r)
     }
     lastRounds = rounds
-    Tables(r, levels, maxLen)
+    Tables(r, levels, maxLen, capTokens)
   }
 
   /** The suffix array itself: (id, pos, srank) — srank is the dense rank of
-    * the token suffix starting at pos among ALL corpus suffixes. */
-  def suffixRanks(docs: DataFrame, id: String, text: String): DataFrame =
-    build(docs, id, text).ranks
+    * the token suffix starting at pos among ALL corpus suffixes (capped at
+    * the segment boundary when `capTokens` > 0, see [[build]]). */
+  def suffixRanks(docs: DataFrame, id: String, text: String,
+                  capTokens: Int = 0): DataFrame =
+    build(docs, id, text, capTokens).ranks
       .select(col("d").as(id), col("p").cast("long").as("pos"), col("r").as("srank"))
 
   /** Exact cross-document repeated substrings: for every ADJACENT pair in
@@ -195,23 +222,48 @@ object SuffixIndex {
     * adjacent-pair table: O(n log n) total join rows, the published bound.
     *
     * Returns the top `topK` by (lcp DESC, da, pa, db, pb) with the repeated
-    * text materialized, filtered to lcp ≥ minLen. */
+    * text materialized, filtered to lcp ≥ minLen.
+    *
+    * `capTokens` passes through to [[build]]: with a cap, a repeat
+    * crossing a segment boundary is reported truncated at the boundary
+    * (the remaining-length clamp uses the containing segment's end, not
+    * the doc end), and repeats wholly inside a segment stay exact.
+    *
+    * DEAD-PAIR PRUNING per level: before the level-h joins, drop every
+    * pair that can no longer reach minLen. The descend maintains
+    * trueLcp − lcp < 2h at that point (if the previous level's ranks had
+    * matched, lcp would have grown), so the pair's final lcp is at most
+    * lcp + min(2h − 1, remaining tokens) — when that bound is < minLen
+    * the pair can never pass the output filter and carrying it through
+    * the remaining levels is pure join volume. At the last levels this
+    * removes the bulk of the table (most adjacent cross-doc pairs share
+    * almost nothing), exactly the tail the r9 plan audit flagged. */
   def crossDocRepeats(docs: DataFrame, id: String, text: String,
-                      minLen: Int = 3, topK: Int = 10): DataFrame = {
-    val t = build(docs, id, text)
+                      minLen: Int = 3, topK: Int = 10,
+                      capTokens: Int = 0): DataFrame = {
+    val t = build(docs, id, text, capTokens)
     val lens = docs.select(col(id).as("d"), size(split(col(text), " ")).as("len"))
     // total order (r, d, p) -> srow; keys are unique so dense rank = row number
     val rn = rangeDenseRank(t.ranks, Seq("r", "d", "p"), "srow")
     val a = rn.select(col("d").as("da"), col("p").as("pa"), col("srow"))
     val b = rn.select(col("d").as("db"), col("p").as("pb"), (col("srow") - 1).as("srow"))
+    def effEnd(len: Column, pos: Column): Column =
+      if (capTokens > 0)
+        least(len, ((pos - 1).cast("long") / capTokens).cast("long") * capTokens + capTokens)
+      else len
     var pairs = a.join(b, "srow").filter(col("da") =!= col("db"))
       .join(lens.select(col("d").as("da"), col("len").as("la")), "da")
       .join(lens.select(col("d").as("db"), col("len").as("lb")), "db")
+      .withColumn("ea", effEnd(col("la"), col("pa")))
+      .withColumn("eb", effEnd(col("lb"), col("pb")))
       .withColumn("lcp", lit(0L))
     for (((h, lev), i) <- t.levels.reverse.zipWithIndex) {
       val la = lev.select(col("d").as("da"), col("p").as("qa"), col("r").as(s"ra$i"))
       val lb = lev.select(col("d").as("db"), col("p").as("qb"), col("r").as(s"rb$i"))
+      val headroom = least(col("ea") - col("pa") + 1,
+        col("eb") - col("pb") + 1) - col("lcp")
       pairs = pairs
+        .filter(col("lcp") + least(lit(2L * h - 1), headroom) >= minLen)
         .withColumn("qa", col("pa") + col("lcp"))
         .withColumn("qb", col("pb") + col("lcp"))
         .join(la, Seq("da", "qa"), "left")
@@ -220,8 +272,8 @@ object SuffixIndex {
           when(col(s"ra$i").isNotNull && col(s"rb$i").isNotNull &&
                col(s"ra$i") === col(s"rb$i"),
             col("lcp") + least(lit(h.toLong),
-              col("la") - col("pa") + 1 - col("lcp"),
-              col("lb") - col("pb") + 1 - col("lcp")))
+              col("ea") - col("pa") + 1 - col("lcp"),
+              col("eb") - col("pb") + 1 - col("lcp")))
           .otherwise(col("lcp")))
         .drop("qa", "qb", s"ra$i", s"rb$i")
     }

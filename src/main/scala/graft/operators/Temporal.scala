@@ -240,12 +240,16 @@ object Temporal {
     val dec = "decimal(38,0)"
     val xl = x.cast("long")
     val yl = y.cast("long")
+    // multiply IN decimal (cast one factor first): an xl*yl LONG product
+    // wraps past 2^63 silently with ANSI off — epoch-scale x times
+    // micro-unit y is exactly that magnitude — which would contradict the
+    // order-free DECIMAL exactness this operator promises
     df.groupBy(group.as("g"))
       .agg(count(lit(1)).as("n"),
         sum(xl.cast(dec)).as("sx"),
         sum(yl.cast(dec)).as("sy"),
-        sum((xl * yl).cast(dec)).as("sxy"),
-        sum((xl * xl).cast(dec)).as("sxx"))
+        sum(xl.cast(dec) * yl).as("sxy"),
+        sum(xl.cast(dec) * xl).as("sxx"))
       .select(col("g"), col("n"),
         {
           val num = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")

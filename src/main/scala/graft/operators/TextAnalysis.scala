@@ -1026,12 +1026,14 @@ object TextAnalysis {
 
   /** Per-class codepoint counts for one Unicode script class: characters
     * IN the class = total length minus the length after stripping them.
-    * BMP ranges only, where Spark's UTF-16 `length` and DuckDB's
-    * codepoint `length` agree (every listed char is one code unit AND one
-    * codepoint); supplementary-plane text lands in `n_other` on both
-    * engines identically because neither regex class matches it. */
+    * Spark's string `length` counts CODEPOINTS (UTF8String.numChars walks
+    * UTF-8 lead bytes), exactly like DuckDB's `length` — so the
+    * difference is a codepoint count on both engines even for astral
+    * text, which neither BMP class matches and which therefore lands in
+    * `n_other` identically (spec-pinned on an emoji fixture). */
   private def classCount(text: Column, clazz: String): Column =
     (length(text) - length(regexp_replace(text, clazz, ""))).cast("long")
+
 
   /** Script classes as (name, Java-regex class, DuckDB/RE2 class). Java
     * accepts \uXXXX escapes in the class; RE2 wants \x{XXXX}. Same
@@ -1058,6 +1060,12 @@ object TextAnalysis {
     * present. Space chars count in no class and not in n_chars. */
   def scriptMix(text: Column): Seq[Column] = {
     val noSpace = regexp_replace(text, " ", "")
+    // length() here is CODEPOINT parity with DuckDB, astral text
+    // included: Spark's string length walks UTF-8 lead bytes
+    // (UTF8String.numChars — a 4-byte emoji counts ONCE, not as two
+    // UTF-16 units), same as DuckDB's codepoint length. Measured, not
+    // assumed: the CurationSpec astral fixture pins n_chars_nospace = 3
+    // and n_other = 1 for "a<U+1F600>1".
     val total = length(noSpace).cast("long")
     val counts = ScriptClasses.map { case (n, j, _) =>
       n -> classCount(noSpace, j)

@@ -30,10 +30,14 @@ object UrlOps {
 
   private val TrackerParams = Seq("utm_", "gclid=", "fbclid=", "ref=")
 
-  /** Canonicalize one URL column. Absolute http(s) URLs; anything
-    * unparseable canonicalizes to itself lowercased-scheme-and-host-free
-    * (regexp groups come back empty, the reassembly degrades to the
-    * defragmented input). */
+  /** Canonicalize one URL column. Absolute `scheme://` URLs are fully
+    * normalized; anything unparseable (relative path, missing scheme,
+    * mailto:) passes through DEFRAGMENTED BUT OTHERWISE UNTOUCHED — a
+    * guard, not a normalization: without it the empty regex groups would
+    * reassemble every unparseable input onto the near-constant key
+    * `:///?query`, and urlDupGroups would falsely merge distinct pages
+    * (min-id keep = silent data loss). Crawl frontiers do carry relative
+    * hrefs, so the degraded case is real, not theoretical. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -50,8 +54,9 @@ object UrlOps {
       array_sort(filter(split(query0, "&"), p =>
         length(p) > 0 && !TrackerParams
           .map(t => p.startsWith(t)).reduce[Column](_ || _))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    when(scheme === "", noFrag)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
   /** URL-level dedup groups: canonical URL → number of raw variants that

@@ -1523,6 +1523,29 @@ object PipelineQueries extends QueryPack {
       UrlOps.urlDupGroups(docs.select(col("doc_id"), raw.as("url")),
           "doc_id", "url")
         .orderBy(col("canon_url"))
+    }),
+
+    // ---- Pairwise cosine between label CENTROIDS: the embedding-drift /
+    // cluster-similarity monitor. cosine(mean_a, mean_b) ≡
+    // cosine(sum_a, sum_b) — no division by n, so every input to the one
+    // rounded divide is an order-free DECIMAL sum of integer micro units.
+    // The corpus is reduced to |labels|·d cells in ONE map-side-combinable
+    // pass; only that fixed-size relation ever pair-joins.
+    "q156_centroid_cosine" -> ((s, dir) => {
+      SimilaritySearch.labelCentroidCosine(
+          load(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // ---- Per-source OLS trend slope of doc length over a pseudo crawl
+    // day (doc_id mod 37): four integer DECIMAL sums per group, one
+    // rounded rational divide — the corpus-refresh drift alarm. Slope is
+    // negative-capable, so the oracle carries the drnd +0.0 suffix.
+    "q157_trend_slope" -> ((s, dir) => {
+      Temporal.trendSlope(load(s, dir, "documents"),
+          col("source"), col("doc_id") % 37, col("n_chars"))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -3310,8 +3333,11 @@ object PipelineQueries extends QueryPack {
     "q151_script_mix" -> scriptMixOracle,
 
     // quantile_cont IS the (1-g)·lo + g·hi rule the rank walk implements.
+    // Means are DECIMAL-image (davgSql): avg(double) is run-order
+    // dependent in the last bits — stable at sf0.01 group sizes but a
+    // latent flake at larger ones, the exact-sum doctrine's whole point.
     "q152_winsorize" ->
-      """WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+      s"""WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
         |q AS (SELECT source,
         |             round(quantile_cont(v, 0.05)*1000000.0)/1000000.0 AS t_lo,
         |             round(quantile_cont(v, 0.95)*1000000.0)/1000000.0 AS t_hi
@@ -3321,8 +3347,8 @@ object PipelineQueries extends QueryPack {
         |  CAST(sum(CASE WHEN v > t_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
         |  round(max(t_lo)*10000.0)/10000.0 AS p_lo,
         |  round(max(t_hi)*10000.0)/10000.0 AS p_hi,
-        |  round(avg(v)*1000000.0)/1000000.0 AS mean_raw,
-        |  round(avg(least(greatest(v, t_lo), t_hi))*1000000.0)/1000000.0 AS mean_wins
+        |  round((${graft.Tables.davgSql("v")})*1000000.0)/1000000.0 AS mean_raw,
+        |  round((${graft.Tables.davgSql("least(greatest(v, t_lo), t_hi)")})*1000000.0)/1000000.0 AS mean_wins
         |FROM t JOIN q ON t.source = q.source
         |GROUP BY t.source ORDER BY t.source""".stripMargin,
 
@@ -3356,6 +3382,14 @@ object PipelineQueries extends QueryPack {
 
     // Micro-unit integer quantization, DECIMAL(38,0) order-free sums,
     // one final rounded divide — identical to embeddingCovariance.
+    // CAST(embedding[i] AS DOUBLE) is load-bearing: DuckDB types a bare
+    // FLOAT × decimal-literal product as FLOAT, so round() would see the
+    // float-rounded product (…668.5f) where Spark's cast-to-double sees
+    // …668.4936 — 109 of 640 (label,pos) micro-sums at sf0.01 differ by
+    // one unit without the cast. q154's covariance is insensitive to
+    // one-unit v shifts (Δcov ≈ 2e-9 ≪ the 5e-7 rounding grain) but
+    // q156's cancellation-heavy cosine is not; both oracles carry the
+    // cast so the quantization contract is exact, not luck.
     // `+ 0.0` is the signed-zero normalization of the drnd doctrine
     // (Tables.drnd): a covariance that rounds to zero FROM BELOW leaves
     // DuckDB's C round as -0.0 while Spark's BigDecimal round has no
@@ -3366,7 +3400,7 @@ object PipelineQueries extends QueryPack {
         |                  unnest(generate_series(1, len(embedding))) AS i
         |           FROM embeddings),
         |u AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
-        |             CAST(round(embedding[i]*1000000.0) AS BIGINT) AS v
+        |             CAST(round(CAST(embedding[i] AS DOUBLE)*1000000.0) AS BIGINT) AS v
         |      FROM e),
         |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
         |             sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
@@ -3401,7 +3435,51 @@ object PipelineQueries extends QueryPack {
         |SELECT canon_url, count(*) AS n_rows,
         |       count(DISTINCT raw) AS n_variants, min(doc_id) AS keep_id
         |FROM f GROUP BY canon_url HAVING count(*) > 1
-        |ORDER BY canon_url""".stripMargin
+        |ORDER BY canon_url""".stripMargin,
+
+    // Same micro-unit quantization as q154 (round half away from zero on
+    // the identical binary double), HUGEINT sums, one rounded divide.
+    // `+ 0.0` = the drnd signed-zero normalization (a cross-label cosine
+    // can round to zero from below).
+    "q156_centroid_cosine" ->
+      """WITH e AS (SELECT label, embedding,
+        |                  unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |u AS (SELECT label, CAST(i AS INTEGER) AS pos,
+        |             CAST(round(CAST(embedding[i] AS DOUBLE)*1000000.0) AS BIGINT) AS v
+        |      FROM e),
+        |s AS (SELECT label, pos, sum(CAST(v AS HUGEINT)) AS s FROM u
+        |      GROUP BY label, pos),
+        |n AS (SELECT label, sum(s*s) AS s2 FROM s GROUP BY label),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b,
+        |             sum(a.s*b.s) AS dot
+        |      FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE)))
+        |        * 1000000.0)/1000000.0 + 0.0 AS cosine
+        |FROM d JOIN n na ON na.label = d.label_a
+        |       JOIN n nb ON nb.label = d.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // HUGEINT sums ≡ the Spark DECIMAL(38,0) images (both exact, both
+    // order-free); one rounded rational divide, NULL on a degenerate
+    // (x never varies) denominator; `+ 0.0` for the negative-capable
+    // slope (NULL-transparent).
+    "q157_trend_slope" ->
+      """WITH t AS (SELECT source, doc_id % 37 AS x, n_chars AS y FROM documents),
+        |a AS (SELECT source, count(*) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT)*y) AS sxy,
+        |             sum(CAST(x AS HUGEINT)*x) AS sxx
+        |      FROM t GROUP BY source)
+        |SELECT source, n,
+        |  CASE WHEN CAST(n AS HUGEINT)*sxx - sx*sx = 0 THEN NULL
+        |       ELSE round(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+        |            / CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)
+        |            * 1000000.0)/1000000.0 + 0.0 END AS slope
+        |FROM a ORDER BY source""".stripMargin
   )
 
   /** q151 oracle: rebuild the script fixture with chr(), then mirror

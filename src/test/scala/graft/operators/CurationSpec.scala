@@ -37,6 +37,15 @@ class CurationSpec extends AnyFunSuite {
       === Seq("https://ex.com/p"))
   }
 
+  test("canonicalizeUrl: unparseable URLs pass through defragmented, never merge") {
+    // no scheme -> defragment only; distinct relatives stay distinct
+    assert(canon("foo.html?x=1#frag", "bar.html?x=1", "mailto:u@ex.com")
+      === Seq("foo.html?x=1", "bar.html?x=1", "mailto:u@ex.com"))
+    // and urlDupGroups must NOT merge them onto a shared synthetic key
+    val df = Seq((1L, "foo.html?x=1"), (2L, "bar.html?x=1")).toDF("doc_id", "url")
+    assert(UrlOps.urlDupGroups(df, "doc_id", "url").count() === 0L)
+  }
+
   test("urlDupGroups: variants collapse, keeper is min id, singletons drop") {
     val df = Seq(
       (1L, "https://A.com/x?id=1"),
@@ -68,6 +77,38 @@ class CurationSpec extends AnyFunSuite {
     assert(row(4) === ((2L, 1L, 0L, "latin", 1)))
   }
 
+  test("scriptMix counts astral chars as ONE codepoint (DuckDB length parity)") {
+    // "a" + U+1F600 (surrogate pair) + "1": codepoints = 3, UTF-16 len = 4
+    val out = Seq("a😀1").toDF("text")
+      .select(TextAnalysis.scriptMix(col("text")): _*).collect()(0)
+    assert(out.getLong(0) === 3L)   // n_chars_nospace: codepoints, not units
+    assert(out.getLong(1) === 1L)   // n_latin
+    assert(out.getLong(2) === 1L)   // n_digit
+    assert(out.getLong(6) === 1L)   // n_other: the astral char counts once
+  }
+
+  test("trendSlope survives epoch-scale x whose x*x LONG product would wrap") {
+    // x ~ 4e9: x*x = 1.6e19 > 2^63 — a LONG multiply wraps negative with
+    // ANSI off; the decimal-first multiply keeps the slope exact (=1.0)
+    val df = Seq((4000000000L, 0L), (4000000001L, 1L)).toDF("x", "y")
+      .withColumn("g", lit("s"))
+    val r = Temporal.trendSlope(df, col("g"), col("x"), col("y")).collect()(0)
+    assert(r.getAs[Double]("slope") === 1.0)
+  }
+
+  test("labelCentroidCosine: orthogonal and opposite centroids") {
+    val df = Seq(
+      (0, Array(1f, 0f)), (0, Array(3f, 0f)),   // centroid along +x
+      (1, Array(0f, 2f)),                        // +y -> cos 0 vs label 0
+      (2, Array(-5f, 0f))                        // -x -> cos -1 vs label 0
+    ).toDF("label", "embedding")
+    val m = SimilaritySearch.labelCentroidCosine(df, "label", "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(m((0, 1)) === 0.0)
+    assert(m((0, 2)) === -1.0)
+    assert(m((1, 2)) === 0.0)
+  }
+
   test("winsorizedStats matches a hand-computed p10/p90 clamp") {
     // one group, values 1..10: pos10 = 1 + 0.1*9 = 1.9 -> 0.1*1 + 0.9*2 = 1.9
     // pos90 = 9.1 -> 0.9*9 + 0.1*10 = 9.1 ; clamped mean:
@@ -81,6 +122,45 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p_hi") === 9.1)
     assert(r.getAs[Double]("mean_raw") === 5.5)
     assert(r.getAs[Double]("mean_wins") === 5.5)
+  }
+
+  test("winsorizedStats plan has no Window (no single-task-per-group sort)") {
+    // the r9 shape ranked via row_number().over(partitionBy(g)) — exact,
+    // but per-group parallelism 1; the range-rank rewrite must leave NO
+    // window operator anywhere in the physical plan
+    val df = (1 to 100).map(v => (s"g${v % 3}", v.toLong)).toDF("src", "score")
+    val plan = Profile.winsorizedStats(df, "src", "score", 0.10, 0.90)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window operator in plan:\n$plan")
+  }
+
+  test("winsorizedStats: groups spanning range-partition boundaries rank correctly") {
+    // many groups x many values with shuffle.partitions=32 forces group
+    // slices across partition boundaries; compare against local compute
+    val n = 500
+    val df = (1 to n).map(v => (s"g${v % 7}", (v * 37 % 101).toLong))
+      .toDF("src", "score")
+    val out = Profile.winsorizedStats(df, "src", "score", 0.25, 0.75)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    def localStats(g: String): (Long, Double, Double) = {
+      val vs = (1 to n).filter(v => s"g${v % 7}" == g)
+        .map(v => (v * 37 % 101).toDouble).sorted
+      def q(p: Double) = {
+        val pos = 1.0 + p * (vs.size - 1)
+        val lo = vs((math.floor(pos) - 1).toInt)
+        val hi = vs((math.ceil(pos) - 1).toInt)
+        val fr = pos - math.floor(pos)
+        math.round(((1.0 - fr) * lo + fr * hi) * 1e6) / 1e6
+      }
+      (vs.size.toLong, q(0.25), q(0.75))
+    }
+    for (g <- (0 until 7).map(i => s"g$i")) {
+      val (cnt, lo, hi) = localStats(g)
+      val r = out(g)
+      assert(r.getAs[Long]("n") === cnt, s"n for $g")
+      assert(r.getAs[Double]("p_lo") === math.round(lo * 1e4) / 1e4, s"p_lo for $g")
+      assert(r.getAs[Double]("p_hi") === math.round(hi * 1e4) / 1e4, s"p_hi for $g")
+    }
   }
 
   test("agreementKappa: perfect agreement 1.0, independence ~0, known value") {

@@ -121,6 +121,57 @@ class SuffixIndexSpec extends AnyFunSuite {
     assert(got.head._6 === "q r s t u")
   }
 
+  test("capped build is identical to uncapped when every doc fits the cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "ab", "ba", "c")
+    val docs = (1L to 10L).map(d =>
+      d -> Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val capped = SuffixIndex
+      .suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text", capTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uncapped = SuffixIndex
+      .suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped === uncapped)
+  }
+
+  test("capped crossDocRepeats truncates a boundary-crossing repeat at the segment") {
+    import spark.implicits._
+    // cap 4: doc 1 segments [a b c d][e f g h]; the shared "c d e f" run
+    // crosses doc 1's boundary, so its reportable prefix from (1,3) is
+    // "c d" (2 tokens to the segment end)
+    val docs = Seq(1L -> "a b c d e f g h", 2L -> "x c d e f y")
+    val got = SuffixIndex.crossDocRepeats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 2, topK = 10, capTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got === Seq((1L, 3L, 2L, 2L, 2L, "c d")))
+    // uncapped finds the full 4-token run (sanity that the cap did it)
+    val full = SuffixIndex.crossDocRepeats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 2, topK = 1)
+      .collect()(0)
+    assert(full.getLong(4) === 4L && full.getString(5) === "c d e f")
+  }
+
+  test("giant document: rounds bounded by the cap, not maxDocLen (10^6 tokens)") {
+    import spark.implicits._
+    // one pathological 1M-token repetitive doc (no all-unique early exit)
+    // next to a normal corpus: uncapped this forces ⌈log2 1e6⌉+1 = 21
+    // corpus-wide rounds; cap 1024 must hold rounds to ⌈log2 1024⌉+1 = 11
+    val giant = (0 until 1000000).map(i => s"w${i % 7}").mkString(" ")
+    val docs = (Seq(1L -> "a b c d e f", 2L -> "b c d") :+ (99L -> giant))
+      .toDF("doc_id", "text")
+    val t = SuffixIndex.build(docs, "doc_id", "text", capTokens = 1024)
+    try {
+      assert(t.ranks.count() === 1000009L)
+      assert(SuffixIndex.lastRounds <= 11,
+        s"rounds=${SuffixIndex.lastRounds} exceeded the cap bound")
+      assert(t.maxLen === 1000000)
+    } finally t.close()
+  }
+
   test("build close() releases every level's blocks after consumption") {
     import spark.implicits._
     val docs = Seq(1L -> "a b c d", 2L -> "b c d e").toDF("doc_id", "text")
