@@ -149,6 +149,7 @@ object Bench {
     "q145_backoff_trigram", // pruned Stupid Backoff trigram LM scoring
     "q146_phrase_scrub",    // corpus-derived stop-phrase dictionary scrub
     "q147_ann_pq",          // product-quantization ADC top-k
+    "q147b_ann_pq256",      // PQ at production k=256, dense-packed LUT
     "q148_gram_novelty",    // crawl-order marginal-novelty weights
     "q149_tfidf_pairs",     // banded sparse TF-IDF doc-pair cosine
     "q150_multimodal_pack", // interleaved image-patch + text packing
@@ -158,7 +159,9 @@ object Bench {
     "q154_embed_cov",       // d x d covariance, row-local pair expansion
     "q155_url_dedup",       // URL canonicalization dedup groups
     "q156_centroid_cosine", // label-centroid pairwise cosine drift monitor
-    "q157_trend_slope")     // per-source OLS drift slope, decimal rational
+    "q157_trend_slope",     // per-source OLS drift slope, decimal rational
+    "q158_robots_filter",   // host-join + prefix-residual disallow filter
+    "q159_event_transitions") // per-user Markov transition matrix
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

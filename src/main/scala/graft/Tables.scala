@@ -100,8 +100,12 @@ object Tables {
    * rounded outputs are nonnegative by construction (counts, fractions,
    * norms, abs-sums, prices, surprisal bits, distances) need no
    * normalization; the negative-capable set — cosines (q47/q48/q48b/q86/
-   * q117/q135), kappa (q153), covariance (q154), sin/cos (q23) — carries
-   * the suffix. The exact-DECIMAL paths (dsum/davg) are immune: decimal
+   * q117/q135), kappa (q153), covariance (q154), sin/cos (q23), centroid
+   * cosine (q156), OLS slope (q157) — carries the suffix. Audited clean
+   * r10: q136 drift (sum of abs), q149 tf-idf cosine (all weights > 0
+   * since df ≤ N, plus a ≥0.9 gate), q152 winsorize (n_chars ≥ 0) are
+   * nonnegative by construction. The exact-DECIMAL paths (dsum/davg) are
+   * immune: decimal
    * zero has no sign, so the cast back to DOUBLE is always +0.0. */
   def r6(c: Column): Column = drnd(c, 6)
   def drnd(c: Column, digits: Int): Column = {

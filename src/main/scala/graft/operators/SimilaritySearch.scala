@@ -130,7 +130,7 @@ object SimilaritySearch {
       .select(signBucket(col("embedding"), bits).as("cid"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+      .agg((sum(col("x").cast("double").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
@@ -333,7 +333,7 @@ object SimilaritySearch {
     assigned
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+      .agg((sum(col("x").cast("double").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
@@ -487,7 +487,7 @@ object SimilaritySearch {
     bucketed
       .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("cid"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+      .agg((sum(col("x").cast("double").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
       .groupBy(col("sub"), col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
@@ -548,20 +548,27 @@ object SimilaritySearch {
   }
 
   /** PQ top-k by ASYMMETRIC distance (ADC): queries stay full-precision;
-    * each query precomputes its per-(sub, cid) squared-L2 lookup table
-    * against the broadcast codebook (one row-local fold — m·k·(d/m)
-    * multiplies per QUERY, not per pair), then every corpus candidate is
-    * scored as Σ_sub lut[sub, codes[sub]] — a fold over the m·k LUT
-    * entries per pair. With this engine's small k (≤2^signBits) the
-    * sparse fold IS the ADC table walk; a production k=256 codebook
-    * would dense-pack the LUT as array<array<double>> for O(m) lookups —
-    * same plan shape, noted here for the scale path. Ranking:
-    * r6 total distance ASC, cand_id tie-break, row_number per query
-    * (WindowGroupLimit keeps k+1 rows per partition pre-exchange — the
-    * q106-proven distributed top-k). Corpus side carries only (vec_id,
-    * codes): m longs instead of d floats — the PQ memory win. */
+    * each query precomputes its squared-L2 lookup table against the
+    * broadcast codebook (one row-local fold — m·k·(d/m) multiplies per
+    * QUERY, not per pair), DENSE-PACKED as array<array<double>> indexed
+    * [sub][cid] with 2^signBits slots per subspace (empty sign-bucket
+    * cells hold null — no corpus code can reference them). Every corpus
+    * candidate is then scored as Σ_sub lut[sub][codes[sub]] — m
+    * positional element_at lookups per pair, O(m) regardless of k. (The
+    * pre-r10 form folded over the full m·k sparse LUT per pair — fine at
+    * k ≤ 16, an O(m·k) per-pair walk at the production k=256 this now
+    * serves.) The m r6'd terms are summed in DECIMAL(28,6) — each term
+    * is exactly a 6-decimal value, so the sum is exact and order-free
+    * on both engines (a double fold diverged from DuckDB's
+    * arbitrary-order sum() by one midpoint ulp at m=8), and one oracle
+    * gates both geometries. Ranking: r6 total distance ASC,
+    * cand_id tie-break, row_number per query (WindowGroupLimit keeps k+1
+    * rows per partition pre-exchange — the q106-proven distributed
+    * top-k). Corpus side carries only (vec_id, codes): m longs instead
+    * of d floats — the PQ memory win. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, signBits: Int,
              k: Int): DataFrame = {
+    val kCells = 1 << signBits
     val cb = pqCodebooks(corpus, m, signBits)
     val enc = pqEncode(corpus, cb, m)
     val packed = packCodebooks(cb)
@@ -569,17 +576,28 @@ object SimilaritySearch {
       .filter(pqDivisibleGuard(m).isNull)
       .crossJoin(broadcast(packed))
       .withColumn("w", size(col("embedding")) / m)
-      .withColumn("lut", transform(col("cb"), c => struct(
-        c.getField("sub").as("sub"), c.getField("cid").as("cid"),
-        r6(subDist2(
-          slice(col("embedding"), c.getField("sub") * col("w") + 1, col("w")),
-          c.getField("centroid"))).as("d"))))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s => {
+        val sv = slice(col("embedding"), s * col("w") + 1, col("w"))
+        transform(sequence(lit(0), lit(kCells - 1)), cid => {
+          val cell = element_at(filter(col("cb"),
+            c => c.getField("sub") === s && c.getField("cid") === cid), 1)
+          when(cell.isNull, lit(null).cast("double"))
+            .otherwise(r6(subDist2(sv, cell.getField("centroid"))))
+        })
+      }))
       .select(col("query_id"), col("lut"))
+    // Sum the m r6'd LUT terms in DECIMAL(28,6): each term IS a 6-decimal
+    // value, so the decimal sum is exact and ORDER-FREE — a plain double
+    // fold (sub-ascending) diverged from DuckDB's arbitrary-order sum()
+    // by one midpoint ulp at m=8 (q147b found it; m=4 never rolled it).
+    val decZero = lit(new java.math.BigDecimal(0)).cast("decimal(28,6)")
     val scored = enc.crossJoin(broadcast(qlut))
       .filter(col("vec_id") =!= col("query_id"))  // the q47 family convention
-      .withColumn("adist", r6(aggregate(col("lut"), lit(0.0), (acc, l) =>
-        acc + when(element_at(col("codes"), l.getField("sub") + 1) === l.getField("cid"),
-          l.getField("d")).otherwise(lit(0.0)))))
+      .withColumn("adist", r6(aggregate(sequence(lit(0), lit(m - 1)), decZero,
+        (acc, s) => (acc + element_at(element_at(col("lut"), s + 1),
+          element_at(col("codes"), s + 1).cast("int") + 1)
+            .cast("decimal(28,6)")).cast("decimal(28,6)"))
+        .cast("double")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     scored

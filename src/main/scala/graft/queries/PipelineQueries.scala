@@ -1389,6 +1389,16 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- Production-geometry PQ: m=8 subspaces x 2^8 = 256 cells — the
+    // codebook size every billion-vector ANN service ships. Exercises
+    // the dense-packed [sub][cid] LUT path (O(m) per pair, not O(m*k));
+    // same oracle family as q147 with the k=256 parameters.
+    "q147b_ann_pq256" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.pqTopK(emb.filter(col("vec_id") < 10), emb, 8, 8, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- Crawl-order 8-gram novelty: fraction of a doc's positional
     // grams whose corpus-first occurrence is its own — the marginal-
     // contribution weight a dedup-aware sampler uses (planted duplicates
@@ -1546,6 +1556,40 @@ object PipelineQueries extends QueryPack {
           col("source"), col("doc_id") % 37, col("n_chars"))
         .withColumnRenamed("g", "source")
         .orderBy(col("source"))
+    }),
+
+    // ---- Robots-style DISALLOW filtering: candidates from the host
+    // equi-join only (never a prefix theta join), startswith residual
+    // inside that join, matched ids LEFT-ANTI against the corpus — a URL
+    // with no rules on its host never leaves its map task. Rules include
+    // a whole-host block ('/'), an exact-page prefix, and a host with
+    // no matching traffic.
+    "q158_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val url = concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com/s"), (col("doc_id") % 7).cast("string"),
+        lit("/p"), (col("doc_id") % 11).cast("string"))
+      val rules = Seq(
+        ("site3.example.com", "/s2"),
+        ("site3.example.com", "/s4/p1"),
+        ("site7.example.com", "/"),
+        ("site11.example.com", "/s5")).toDF("host", "prefix")
+      UrlOps.robotsFilter(docs.select(col("doc_id"), url.as("url")),
+          "doc_id", "url", rules)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Event-transition Markov matrix: P(to_type | from_type) over
+    // each user's time-ordered stream — next-event training data, funnel
+    // diagnostics, bot detection. One per-user lead() window (bounded,
+    // spillable), pair counts map-side combined, P from a type-count²
+    // relation joined back (never a corpus window). (ts, event_id) pins
+    // tie order cross-engine.
+    "q159_event_transitions" -> ((s, dir) => {
+      Temporal.eventTransitions(load(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -1698,7 +1742,7 @@ object PipelineQueries extends QueryPack {
         |  FROM embeddings),
         |cent AS (
         |  SELECT cid, j AS pos,
-        |         CAST(sum(CAST(embedding[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+        |         CAST(sum(CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
         |  FROM base, unnest(generate_series(0, 63)) AS t(j)
         |  GROUP BY cid, j),
         |cent_arr AS (
@@ -3194,44 +3238,13 @@ object PipelineQueries extends QueryPack {
     // Identical codebook construction (sign buckets per subspace, decimal
     // means), r6 sub-distances with smaller-cid argmin ties, ADC as the
     // (sub, cid)-keyed LUT join, rank by (adist ASC, cand_id).
-    "q147_ann_pq" ->
-      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
-        |sub AS (SELECT vec_id, sub, list_slice(embedding, sub*16+1, sub*16+16) AS sv
-        |        FROM base, unnest(generate_series(0, 3)) AS s(sub)),
-        |bkt AS (SELECT vec_id, sub, sv,
-        |               (SELECT CAST(sum(CASE WHEN sv[j+1] > 0
-        |                        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |                FROM unnest(generate_series(0, 3)) AS t(j)) AS cid
-        |        FROM sub),
-        |cent AS (SELECT sub, cid, j AS pos,
-        |                CAST(sum(CAST(sv[j+1] AS DECIMAL(28,10))) AS DOUBLE)
-        |                  / count(*) AS c
-        |         FROM bkt, unnest(generate_series(0, 15)) AS t(j)
-        |         GROUP BY sub, cid, j),
-        |cb AS (SELECT sub, cid, array_agg(c ORDER BY pos) AS centroid
-        |       FROM cent GROUP BY sub, cid),
-        |ed AS (SELECT b.vec_id, b.sub, c.cid,
-        |              round(list_sum(list_transform(range(1, 17),
-        |                    j -> (CAST(b.sv[j] AS DOUBLE) - c.centroid[j])
-        |                       * (CAST(b.sv[j] AS DOUBLE) - c.centroid[j]))), 6) AS d
-        |       FROM bkt b JOIN cb c USING (sub)),
-        |codes AS (SELECT vec_id, sub, cid FROM (
-        |            SELECT vec_id, sub, cid,
-        |                   row_number() OVER (PARTITION BY vec_id, sub
-        |                                      ORDER BY d, cid) AS rk
-        |            FROM ed) WHERE rk = 1),
-        |adc AS (SELECT lq.vec_id AS query_id, cd.vec_id AS cand_id,
-        |               round(sum(lq.d), 6) AS adist
-        |        FROM codes cd
-        |        JOIN ed lq ON lq.sub = cd.sub AND lq.cid = cd.cid
-        |                   AND lq.vec_id < 10 AND lq.vec_id <> cd.vec_id
-        |        GROUP BY lq.vec_id, cd.vec_id)
-        |SELECT query_id, rank, cand_id, adist FROM (
-        |  SELECT query_id, cand_id, adist,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |                                 ORDER BY adist, cand_id) AS INT) AS rank
-        |  FROM adc) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q147_ann_pq" -> pqOracle(m = 4, w = 16, signBits = 4, topK = 5),
+
+    // Same chain at production geometry (m=8, 2^8-cell codebooks) — on
+    // the oracle side the dense vs sparse LUT distinction doesn't exist
+    // (the LUT is a join either way), which is the point: the Spark
+    // dense-packed path must land on the same relation.
+    "q147b_ann_pq256" -> pqOracle(m = 8, w = 8, signBits = 8, topK = 5),
 
     // Identical gram construction (md5 of space-joined token 8-gram),
     // lexicographic struct-min ownership, per-doc novel share. The
@@ -3479,8 +3492,91 @@ object PipelineQueries extends QueryPack {
         |       ELSE round(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
         |            / CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)
         |            * 1000000.0)/1000000.0 + 0.0 END AS slope
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+
+    // NOT EXISTS over the same host+prefix rule table the Spark side
+    // joins — the survivors must agree row-for-row.
+    "q158_robots_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://site' || (doc_id%50) || '.example.com/s' || (doc_id%7)
+        |    || '/p' || (doc_id%11) AS url
+        |  FROM documents),
+        |r AS (SELECT * FROM (VALUES
+        |  ('site3.example.com', '/s2'), ('site3.example.com', '/s4/p1'),
+        |  ('site7.example.com', '/'), ('site11.example.com', '/s5'))
+        |  AS v(host, prefix))
+        |SELECT doc_id, url FROM d
+        |WHERE NOT EXISTS (SELECT 1 FROM r
+        |  WHERE r.host = 'site' || (d.doc_id%50) || '.example.com'
+        |    AND starts_with('/s' || (d.doc_id%7) || '/p' || (d.doc_id%11),
+        |                    r.prefix))
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same lead() walk with the same (ts, event_id) tie order; counts
+    // re-cast BIGINT (DuckDB sums to HUGEINT); p is a nonnegative ratio,
+    // no signed-zero exposure.
+    "q159_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS nxt
+        |           FROM events),
+        |pr AS (SELECT event_type AS from_type, nxt AS to_type,
+        |              count(*) AS n
+        |       FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM pr GROUP BY from_type)
+        |SELECT pr.from_type, pr.to_type, pr.n, f.n_from,
+        |  round(CAST(pr.n AS DOUBLE)/CAST(f.n_from AS DOUBLE)
+        |        *1000000.0)/1000000.0 AS p
+        |FROM pr JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin
   )
+
+  /** PQ/ADC oracle, parametric in the codebook geometry: `m` subspaces of
+    * width `w` dims, 2^`signBits` sign-bucket cells, top-`topK` per query.
+    * Text is the q147 chain verbatim with the constants substituted, so
+    * q147 (m=4, k=16) and q147b (m=8, k=256) gate the same construction
+    * at both geometries. */
+  private def pqOracle(m: Int, w: Int, signBits: Int, topK: Int): String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |sub AS (SELECT vec_id, sub, list_slice(embedding, sub*$w+1, sub*$w+$w) AS sv
+       |        FROM base, unnest(generate_series(0, ${m - 1})) AS s(sub)),
+       |bkt AS (SELECT vec_id, sub, sv,
+       |               (SELECT CAST(sum(CASE WHEN sv[j+1] > 0
+       |                        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |                FROM unnest(generate_series(0, ${signBits - 1})) AS t(j)) AS cid
+       |        FROM sub),
+       |cent AS (SELECT sub, cid, j AS pos,
+       |                CAST(sum(CAST(CAST(sv[j+1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+       |                  / count(*) AS c
+       |         FROM bkt, unnest(generate_series(0, ${w - 1})) AS t(j)
+       |         GROUP BY sub, cid, j),
+       |cb AS (SELECT sub, cid, array_agg(c ORDER BY pos) AS centroid
+       |       FROM cent GROUP BY sub, cid),
+       |ed AS (SELECT b.vec_id, b.sub, c.cid,
+       |              round(list_sum(list_transform(range(1, ${w + 1}),
+       |                    j -> (CAST(b.sv[j] AS DOUBLE) - c.centroid[j])
+       |                       * (CAST(b.sv[j] AS DOUBLE) - c.centroid[j])))
+       |                    *1000000.0)/1000000.0 AS d
+       |       FROM bkt b JOIN cb c USING (sub)),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |            SELECT vec_id, sub, cid,
+       |                   row_number() OVER (PARTITION BY vec_id, sub
+       |                                      ORDER BY d, cid) AS rk
+       |            FROM ed) WHERE rk = 1),
+       |adc AS (SELECT lq.vec_id AS query_id, cd.vec_id AS cand_id,
+       |               round(CAST(sum(CAST(lq.d AS DECIMAL(28,6))) AS DOUBLE)
+       |                     *1000000.0)/1000000.0 AS adist
+       |        FROM codes cd
+       |        JOIN ed lq ON lq.sub = cd.sub AND lq.cid = cd.cid
+       |                   AND lq.vec_id < 10 AND lq.vec_id <> cd.vec_id
+       |        GROUP BY lq.vec_id, cd.vec_id)
+       |SELECT query_id, rank, cand_id, adist FROM (
+       |  SELECT query_id, cand_id, adist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adist, cand_id) AS INT) AS rank
+       |  FROM adc) WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q151 oracle: rebuild the script fixture with chr(), then mirror
     * scriptMix's length-difference counts, fixed-priority dominant, and
@@ -3622,7 +3718,7 @@ object PipelineQueries extends QueryPack {
       |  FROM embeddings),
       |cent0 AS (
       |  SELECT bkt AS cid, j AS pos,
-      |         CAST(sum(CAST(embedding[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+      |         CAST(sum(CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
       |  FROM base, unnest(generate_series(0, 63)) AS t(j)
       |  GROUP BY bkt, j),
       |cent0_n AS (
@@ -3641,7 +3737,7 @@ object PipelineQueries extends QueryPack {
       |    FROM s0) WHERE rk = 1),
       |cent1 AS (
       |  SELECT c1 AS cid, j AS pos,
-      |         CAST(sum(CAST(b.embedding[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+      |         CAST(sum(CAST(CAST(b.embedding[j+1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
       |  FROM a1 JOIN base b USING (vec_id), unnest(generate_series(0, 63)) AS t(j)
       |  GROUP BY c1, j),
       |cent1_n AS (

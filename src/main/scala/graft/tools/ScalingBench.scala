@@ -118,8 +118,10 @@ object ScalingBench {
 
   private def generateEmb(spark: SparkSession, dir: String, nVecs: Long): Unit = {
     import spark.implicits._
-    spark.range(nVecs).map(id => (id, embVec(id)))
-      .toDF("vec_id", "embedding")
+    // label mirrors the driver table's int32 label column (16 groups,
+    // deterministic from id) — q156 centroid cosine groups on it
+    spark.range(nVecs).map(id => (id, embVec(id), (mix(id, -2).abs % 16).toInt))
+      .toDF("vec_id", "embedding", "label")
       .coalesce(4)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
@@ -151,8 +153,12 @@ object ScalingBench {
       println(s"[scaling] generating corpus at $tenxDir ($nDocsGen docs, heaps=$heapsGen)")
       generate(spark, tenxDir, nDocsGen, heapsGen)
     }
-    if (!new java.io.File(s"$tenxDir/embeddings.parquet").exists()) {
-      println(s"[scaling] generating 10x embeddings at $tenxDir (20k vectors)")
+    val embPath = s"$tenxDir/embeddings.parquet"
+    val embStale = new java.io.File(embPath).exists() &&
+      !spark.read.parquet(embPath).columns.contains("label")
+    if (!new java.io.File(embPath).exists() || embStale) {
+      println(s"[scaling] generating 10x embeddings at $tenxDir (20k vectors)" +
+        (if (embStale) " [regenerating: pre-r10 file lacks label]" else ""))
       generateEmb(spark, tenxDir, 20000L)
     }
 
@@ -195,6 +201,7 @@ object ScalingBench {
       "q145_backoff_trigram",
       "q146_phrase_scrub",
       "q147_ann_pq",
+      "q147b_ann_pq256",
       "q148_gram_novelty",
       "q149_tfidf_pairs",
       "q150_multimodal_pack",
@@ -202,7 +209,10 @@ object ScalingBench {
       "q152_winsorize",
       "q153_classifier_kappa",
       "q154_embed_cov",
-      "q155_url_dedup")
+      "q155_url_dedup",
+      "q156_centroid_cosine",
+      "q157_trend_slope",
+      "q158_robots_filter")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

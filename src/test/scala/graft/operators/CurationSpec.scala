@@ -77,6 +77,16 @@ class CurationSpec extends AnyFunSuite {
     assert(row(4) === ((2L, 1L, 0L, "latin", 1)))
   }
 
+  test("robotsFilter: host equi-join + prefix residual, survivors only") {
+    val df = Seq(
+      (1L, "https://a.com/x/1"), (2L, "https://a.com/y/1"),
+      (3L, "https://b.com/x/1"), (4L, "https://c.com/q")).toDF("doc_id", "url")
+    val rules = Seq(("a.com", "/x"), ("b.com", "/")).toDF("host", "prefix")
+    val kept = UrlOps.robotsFilter(df, "doc_id", "url", rules)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(2L, 4L))
+  }
+
   test("scriptMix counts astral chars as ONE codepoint (DuckDB length parity)") {
     // "a" + U+1F600 (surrogate pair) + "1": codepoints = 3, UTF-16 len = 4
     val out = Seq("a😀1").toDF("text")

@@ -31,6 +31,75 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts: each event lands in all four overlapping 15-min slides") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    // minute 30 and 31 share one 15-min slide cell (the base epoch sits
+    // 800 s into a cell, so m=30 is at offset 800 and m=31 at 860 —
+    // minute 35 would cross into the NEXT cell and share only 3 windows)
+    input.addData(
+      EventStreams.Event(1, ts(30), 10, "click", 1.0),
+      EventStreams.Event(2, ts(31), 10, "click", 1.0), // same slide cell
+      EventStreams.Event(3, ts(200), 11, "view", 1.0))
+    val q = EventStreams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sliding").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events")))
+      // user 10: both events within 5 min -> 4 shared windows of n=2
+      // (slide 15 min, width 60 min => 60/15 = 4 windows cover a point)
+      assert(rows.count(_._2 == 10L) === 4)
+      assert(rows.filter(_._2 == 10L).forall(_._3 == 2L))
+      assert(rows.count(_._2 == 11L) === 4)
+    } finally q.stop()
+  }
+
+  test("runFileStream: parquet-dir source to parquet sink equals batch hourlyCounts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("efs").toString
+    val (src, out, chk) = (s"$base/src", s"$base/out", s"$base/chk")
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(10), 10, "click", 2.0),
+      EventStreams.Event(3, ts(70), 11, "view", 3.0),
+      EventStreams.Event(4, ts(80), 12, "view", 4.0))
+    def writeFile(evs: Seq[EventStreams.Event]): Unit =
+      evs.toDF().withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(src)
+    writeFile(events)
+    val q = EventStreams.runFileStream(spark, src, out, chk)
+    try {
+      // APPEND mode emits a window only once the watermark (max event
+      // time − 2 h, computed from the PREVIOUS batch) passes its end —
+      // so advance it with a late flush file, then trigger one more
+      // batch so the newly-finalized state is actually emitted. This is
+      // the real deploy behavior: an hourly window leaves the sink two
+      // hours (+ one trigger) after it closes.
+      q.processAllAvailable()
+      writeFile(Seq(EventStreams.Event(5, ts(300), 99, "flush", 0.0)))
+      q.processAllAvailable()
+      writeFile(Seq(EventStreams.Event(6, ts(301), 99, "flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[String]("event_type")) -> (r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toMap
+    val batch = EventStreams.hourlyCounts(events.toDF())
+      .collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[String]("event_type")) -> (r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toMap
+    // every main-event window is closed and flushed; the flush events'
+    // own window is still open and must NOT have been emitted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("row-local curation kernels run unchanged in a streaming query") {
     // simhash / top-bigram / PII scrub are stateless projections, so the
     // SAME Column expressions drive a micro-batch stream — the streaming
