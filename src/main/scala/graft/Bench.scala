@@ -161,7 +161,12 @@ object Bench {
     "q156_centroid_cosine", // label-centroid pairwise cosine drift monitor
     "q157_trend_slope",     // per-source OLS drift slope, decimal rational
     "q158_robots_filter",   // host-join + prefix-residual disallow filter
-    "q159_event_transitions") // per-user Markov transition matrix
+    "q159_event_transitions", // per-user Markov transition matrix
+    "q160_mixture_weights", // target-distribution source reweighting
+    "q161_char_collision",  // native codepoint Simpson-index gate
+    "q162_margin_mining",   // top-2 margin bitext alignment criterion
+    "q163_gate_funnel",     // cumulative gate attrition per source
+    "q164_event_funnel")    // ordered view->click->purchase funnel
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

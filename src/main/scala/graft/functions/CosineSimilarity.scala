@@ -162,6 +162,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "start"), intLit(children(2), "digits"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_stats"),
+      new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_char_stats takes exactly 1 argument")
+        CharStats(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hashed_margin"),
       new ExpressionInfo(classOf[HashedMargin].getName, "graft_hashed_margin"),
       (children: Seq[Expression]) => {

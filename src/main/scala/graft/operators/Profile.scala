@@ -231,4 +231,31 @@ object Profile {
             .otherwise(num.cast("double") / den.cast("double"))).as("kappa")
         })
   }
+
+  /** Gate-funnel attrition report: per group, how many rows survive each
+    * PREFIX of an ordered gate chain — the "where did my corpus go"
+    * table every curation pipeline publishes next to its final mix
+    * (raw → length gate → lang gate → quality gate → …). Cumulative
+    * conjunctions, not per-gate counts: n_after_k counts rows passing
+    * gates 1..k TOGETHER, so each column minus the next is exactly the
+    * attrition attributable to that gate given everything before it —
+    * the ordering a pipeline actually executes.
+    *
+    * ONE map-side-combinable aggregate pass (|gates|+1 long cells per
+    * group); the gate predicates evaluate row-local inside the scan
+    * projection. Adding a gate never adds a pass. NULL predicate results
+    * count as NOT passing (a gate that cannot evaluate must not wave a
+    * row through). */
+  def gateFunnel(df: DataFrame, group: Column, gates: Seq[(String, Column)])
+    : DataFrame = {
+    require(gates.nonEmpty, "gateFunnel needs at least one gate")
+    val prefixes = gates.scanLeft(lit(true)) { case (acc, (_, g)) =>
+      acc && coalesce(g, lit(false))
+    }.tail
+    val aggs = count(lit(1)).as("n_total") +:
+      gates.zip(prefixes).map { case ((name, _), pred) =>
+        sum(pred.cast("long")).as(s"n_after_$name")
+      }
+    df.groupBy(group.as("g")).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -321,4 +321,50 @@ object Sampling {
         lit(s).as("s"))): _*)
     array_max(best).getField("s")
   }
+
+  /** Source-mixture reweighting toward a TARGET token distribution — the
+    * mixing-weights table every multi-source pretraining recipe ships
+    * (web X%, code Y%, academic Z% of the token budget): for each
+    * stratum, weight = target_share / actual_share, the factor to
+    * multiply that source's sampling rate by so the sampled mixture
+    * lands on the target. Weight > 1 means the source must be upsampled
+    * (epochUpsample is the executor), < 1 downsampled (hashSample).
+    *
+    * `targets` is (stratum, target_ppm): the desired token share in
+    * parts-per-million — integer, so the weight is the exact rational
+    * target_ppm·total_tokens / (10⁶·stratum_tokens) evaluated as ONE
+    * correctly-rounded double divide of DECIMAL(38,0) products (the
+    * kappa/trendSlope doctrine; a long product of two token counts can
+    * pass 2^63 at corpus scale). Strata absent from `targets` get NULL
+    * weight (caller decides drop-vs-keep); target rows with no corpus
+    * presence don't appear (there is nothing to reweight).
+    *
+    * Scale: ONE map-side-combinable groupBy over the corpus (|strata|
+    * cells of two longs); the grand total is a PARTITION-BY-less window
+    * over the already-aggregated |strata|-row relation (the q37
+    * pre-aggregated pattern — the single-task stage sees tens of rows,
+    * never the corpus, and the corpus is scanned exactly once, with no
+    * reliance on runtime exchange reuse); then a broadcast join against
+    * the user's target table. Nothing downstream of the scan is
+    * corpus-sized. */
+  def mixtureWeights(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                     tokens: Column, targets: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val agg = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+    agg.withColumn("_total",
+        sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .join(broadcast(targets.select(col("stratum").as("_s"),
+        col("target_ppm").cast("long").as("target_ppm"))),
+        col("stratum") === col("_s"), "left")
+      .select(col("stratum"), col("n_docs"), col("n_tokens"), col("target_ppm"),
+        graft.Tables.r6(col("n_tokens").cast("double") / col("_total").cast("double"))
+          .as("actual_share"),
+        graft.Tables.r6((col("target_ppm").cast(dec) * col("_total"))
+          .cast("double") /
+          (col("n_tokens").cast(dec) * lit(1000000L)).cast("double"))
+          .as("weight"))
+  }
 }

@@ -753,4 +753,48 @@ object SimilaritySearch {
     val lead = x.find(math.abs(_) > 1e-12).getOrElse(1.0)
     if (lead < 0) x.map(-_) else x
   }
+
+  /** MARGIN-based top-match mining (the bitext / cross-source alignment
+    * criterion of LASER/CCMatrix, absolute-margin form): for each query
+    * vector, the best corpus match is accepted only if its cosine beats
+    * the SECOND-best by at least `marginMicro`·1e-6 — the second-best
+    * acts as a per-query noise floor, killing hubness false positives
+    * that a bare threshold lets through (a "hub" vector close to
+    * everything has best ≈ second → margin ≈ 0 → rejected).
+    *
+    * Determinism: per-pair cosines are r6'd (the q47 doctrine); best and
+    * second are picked by (cosine DESC, cand_id) so best ≥ second always
+    * and the margin — a double subtraction of two identical-on-both-
+    * engines operands — is nonnegative (no signed-zero exposure) and
+    * bit-identical cross-engine. A query with <2 candidates gets NULL
+    * second/margin and is not accepted (no noise floor = no evidence).
+    *
+    * Scale: this is the EXACT variant — query set broadcast against the
+    * corpus (the bruteForceTopK regime: queries bounded, corpus
+    * streamed, WindowGroupLimit keeps 2 rows per partition before the
+    * rank exchange). At a billion-pair workload, shortlist first
+    * (lshTopK / ivfTopK / pqTopK) and run this margin rule on the
+    * shortlist — the criterion only ever needs the top 2. */
+  def marginTopMatch(queries: DataFrame, corpus: DataFrame,
+                     marginMicro: Long = 10000L): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        r6(cosine(col("qv"), col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("query_id"))
+      .agg(max(when(col("rk") === 1, col("cand_id"))).as("best_id"),
+        max(when(col("rk") === 1, col("cosine"))).as("best_cos"),
+        max(when(col("rk") === 2, col("cosine"))).as("second_cos"))
+      .select(col("query_id"), col("best_id"), col("best_cos"), col("second_cos"),
+        r6(col("best_cos") - col("second_cos")).as("margin"),
+        when(col("second_cos").isNotNull &&
+          r6(col("best_cos") - col("second_cos")) >=
+            lit(marginMicro).cast("double") / 1000000.0, 1).otherwise(0)
+          .as("accepted"))
+  }
 }

@@ -258,4 +258,50 @@ object Temporal {
             .otherwise(num.cast("double") / den.cast("double"))).as("slope")
         })
   }
+
+  /** ORDERED step funnel over an event stream: for each user, the first
+    * time they reach step k STRICTLY AFTER their first reach of step k−1
+    * (view → click → purchase); the report is per-step reached-user
+    * counts and step-over-step conversion rates — the product-analytics
+    * staple next to [[eventTransitions]]'s unordered matrix. Strictly
+    * ordered, first-touch semantics: a purchase BEFORE the first view
+    * does not count, and later re-reaches never improve a user's time.
+    *
+    * Plan: step 1 is one groupBy(user) min; each later step is ONE
+    * equi-join on user (events filtered to that step's type UPSTREAM of
+    * the join — the scan prunes to one type's rows) + one groupBy(user)
+    * min. k−1 user-keyed joins total, all AQE-sized; per-user state is
+    * k timestamps. The final report aggregates the user-level relation
+    * once and `stack`s the 1-row result into k rows — rates are exact
+    * long-count rationals, r6'd, nonnegative (no signed-zero exposure).
+    * NULL rate for step 1 (no prior step) and 0-denominator steps. */
+  def eventFunnel(events: DataFrame, user: Column, ts: Column, typ: Column,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "eventFunnel needs at least two steps")
+    var reach = events.filter(typ === steps.head)
+      .groupBy(user.as("u")).agg(min(ts).as("t1"))
+    steps.tail.zipWithIndex.foreach { case (s, i) =>
+      val k = i + 2
+      val cand = events.filter(typ === s)
+        .select(user.as("_u"), ts.as("_ts"))
+      reach = reach.join(cand,
+          col("u") === col("_u") && col("_ts") > col(s"t${k - 1}"), "left")
+        .groupBy((col("u") +: (1 until k).map(j => col(s"t$j"))): _*)
+        .agg(min(col("_ts")).as(s"t$k"))
+    }
+    val one = reach.agg(
+      count(col("t1")).as("n1"),
+      (2 to steps.size).map(k => count(col(s"t$k")).as(s"n$k")): _*)
+    val stackArgs = steps.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(i + 1), lit(s), col(s"n${i + 1}"),
+        if (i == 0) lit(null).cast("double")
+        else graft.Tables.r6(when(col(s"n$i") === 0, lit(null))
+          .otherwise(col(s"n${i + 1}").cast("double") / col(s"n$i").cast("double"))))
+    }
+    one.select(stackArgs.zipWithIndex.map { case (c, j) => c.as(s"_c$j") }: _*)
+      .select(expr(s"stack(${steps.size}, " +
+        stackArgs.indices.map(j => s"_c$j").mkString(", ") +
+        ") as (step_idx, step, n_users, conv_rate)"))
+      .select(col("step_idx"), col("step"), col("n_users"), col("conv_rate"))
+  }
 }

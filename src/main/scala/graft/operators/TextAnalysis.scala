@@ -1089,4 +1089,39 @@ object TextAnalysis {
       dominantOrdered.as("dominant"),
       (scriptPresent >= 2).cast("int").as("mixed"))
   }
+
+  /** Per-string codepoint frequency moments [n, Σcnt², n_distinct] via the
+    * native one-pass kernel (functions.CharStats) — codegen'd, row-local,
+    * zero shuffle. */
+  def charStats(text: Column): Column = call_function("graft_char_stats", text)
+
+  /** Character COLLISION (Simpson) index per document: Σ_c cnt(c)² / n² —
+    * the probability two random character draws from the doc coincide.
+    * The gibberish / repetition gate one alphabet below Gopher's token
+    * rules: keyboard mash, "aaaa…" padding, and single-char ASCII art
+    * score near 1, natural language near its unigram collision rate
+    * (~0.06 English); works on text too short or too alien for token
+    * rules. Chosen over character ENTROPY deliberately: entropy is a sum
+    * of irrational p·log p terms whose float order differs cross-engine
+    * (the priority-sampling A-ES argument), while the collision index is
+    * integer moments and ONE correctly-rounded divide — oracle-exact by
+    * construction. Codepoint counts (not UTF-16 units), matching DuckDB's
+    * string_split(text, '') — the scriptMix parity rule.
+    *
+    * Scale: a pure projection over the scan — the histogram never leaves
+    * the row (the TopBigramCount argument, one alphabet down). n² in
+    * DECIMAL: a 10M-codepoint doc squares past 2^63. */
+  def charCollisionIndex(docs: org.apache.spark.sql.DataFrame, id: String,
+                         text: String): org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    docs
+      .select(col(id), charStats(col(text)).as("cs"))
+      .select(col(id),
+        element_at(col("cs"), 1).as("n_chars"),
+        element_at(col("cs"), 3).as("n_distinct_chars"),
+        graft.Tables.r6(element_at(col("cs"), 2).cast("double") /
+          (element_at(col("cs"), 1).cast(dec) * element_at(col("cs"), 1))
+            .cast("double")).as("collision"))
+      .filter(col("n_chars") > 0)
+  }
 }

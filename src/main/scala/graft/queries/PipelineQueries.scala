@@ -1590,6 +1590,67 @@ object PipelineQueries extends QueryPack {
       Temporal.eventTransitions(load(s, dir, "events"),
           col("user_id"), col("ts"), col("event_type"), col("event_id"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // ---- Source-mixture reweighting toward a target token distribution:
+    // per source, the factor to multiply its sampling rate by so the
+    // sampled mixture lands on the user's target shares. One corpus
+    // aggregate + two broadcast joins; the weight is the exact rational
+    // target_ppm·total/(10⁶·tokens) — one DECIMAL-product double divide.
+    // src3 is deliberately absent from the target (NULL weight).
+    "q160_mixture_weights" -> ((s, dir) => {
+      import s.implicits._
+      val targets = Seq(("src0", 300000L), ("src1", 200000L),
+        ("src2", 150000L), ("src5", 100000L), ("src7", 50000L))
+        .toDF("stratum", "target_ppm")
+      Sampling.mixtureWeights(load(s, dir, "documents"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")), targets)
+        .orderBy(col("stratum"))
+    }),
+
+    // ---- Character collision (Simpson) index: the gibberish gate one
+    // alphabet below Gopher's token rules. Native one-pass codepoint
+    // kernel (graft_char_stats) — the histogram never leaves the row;
+    // the only float op is one divide of exact integer moments.
+    "q161_char_collision" -> ((s, dir) => {
+      TextAnalysis.charCollisionIndex(load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Margin-based top-match mining (the LASER/CCMatrix bitext
+    // criterion, absolute-margin form): label-0 vectors aligned against
+    // the rest of the corpus; a match is accepted only if best beats
+    // second-best by ≥ 0.01 cosine — the per-query noise floor that
+    // kills hubness false positives.
+    "q162_margin_mining" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.marginTopMatch(emb.filter(col("label") === 0),
+          emb.filter(col("label") =!= 0), 10000L)
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- Gate-funnel attrition: per source, survivors of each PREFIX of
+    // the length → lang → token-count → ascii-ratio gate chain — the
+    // "where did my corpus go" report. One map-side-combinable pass;
+    // the ascii gate compares integers (len_ascii·10 ≥ len·9), no float.
+    "q163_gate_funnel" -> ((s, dir) => {
+      Profile.gateFunnel(load(s, dir, "documents"), col("source"), Seq(
+          "len" -> (col("n_chars") >= 200),
+          "lang" -> col("lang").isin("en", "de", "fr", "es"),
+          "tokens" -> (TextAnalysis.wsTokenCount(col("text")) >= 30),
+          "ascii" -> (length(regexp_replace(col("text"), "[^\\x20-\\x7E]", ""))
+            * 10 >= length(col("text")) * 9)))
+        .orderBy(col("g"))
+    }),
+
+    // ---- Ordered step funnel view → click → purchase: first-touch,
+    // strictly-after semantics; k−1 user-keyed joins, per-user state is
+    // k timestamps, report stacked from one 1-row aggregate.
+    "q164_event_funnel" -> ((s, dir) => {
+      Temporal.eventFunnel(load(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"))
     })
   )
 
@@ -3529,7 +3590,129 @@ object PipelineQueries extends QueryPack {
         |  round(CAST(pr.n AS DOUBLE)/CAST(f.n_from AS DOUBLE)
         |        *1000000.0)/1000000.0 AS p
         |FROM pr JOIN f USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Same token counting (len of space-split), HUGEINT products for the
+    // exact weight rational, LEFT join so untargeted sources carry NULL.
+    // All outputs nonnegative — no signed-zero suffix needed.
+    "q160_mixture_weights" ->
+      """WITH a AS (SELECT source AS stratum, count(*) AS n_docs,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM a),
+        |tg AS (SELECT * FROM (VALUES ('src0', 300000), ('src1', 200000),
+        |         ('src2', 150000), ('src5', 100000), ('src7', 50000))
+        |       AS v(stratum, ppm))
+        |SELECT a.stratum, a.n_docs, a.n_tokens,
+        |       CAST(tg.ppm AS BIGINT) AS target_ppm,
+        |       round(CAST(a.n_tokens AS DOUBLE)/CAST(t.total AS DOUBLE)
+        |             *1000000.0)/1000000.0 AS actual_share,
+        |       round(CAST(CAST(tg.ppm AS HUGEINT)*t.total AS DOUBLE)
+        |             / CAST(CAST(a.n_tokens AS HUGEINT)*1000000 AS DOUBLE)
+        |             *1000000.0)/1000000.0 AS weight
+        |FROM a CROSS JOIN t LEFT JOIN tg USING (stratum)
+        |ORDER BY stratum""".stripMargin,
+
+    // Codepoint histogram per doc (string_split '' = codepoints, the
+    // scriptMix parity rule); collision = Σcnt²/n² from exact integers.
+    "q161_char_collision" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |           FROM documents WHERE length(text) > 0),
+        |g AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |             count(*) AS n_distinct_chars,
+        |             CAST(sum(CAST(cnt AS HUGEINT)*cnt) AS BIGINT) AS ss
+        |      FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  round(CAST(ss AS DOUBLE)
+        |        / CAST(CAST(n_chars AS HUGEINT)*n_chars AS DOUBLE)
+        |        *1000000.0)/1000000.0 AS collision
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // The q47 cosine chain with label partitioning + the top-2 margin
+    // pivot. Cosines carry the signed-zero suffix; the margin is a
+    // difference of identical-on-both-engines nonnegative-ordered
+    // doubles (best ≥ second by ranking), so it needs none.
+    "q162_margin_mining" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding, label,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.embedding qv, c.embedding cv,
+        |                 q.nrm nq, c.nrm nc
+        |          FROM norms q JOIN norms c
+        |            ON q.label = 0 AND c.label <> 0 AND q.vec_id <> c.vec_id),
+        |dots AS (SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(nq) AS nq, any_value(nc) AS nc
+        |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
+        |         GROUP BY query_id, cand_id),
+        |scored AS (SELECT query_id, cand_id, round(dot/(nq*nc), 6) + 0.0 AS cosine FROM dots),
+        |top2 AS (SELECT query_id, cand_id, cosine,
+        |                row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY cosine DESC, cand_id) AS rk
+        |         FROM scored),
+        |piv AS (SELECT query_id,
+        |               max(CASE WHEN rk = 1 THEN cand_id END) AS best_id,
+        |               max(CASE WHEN rk = 1 THEN cosine END) AS best_cos,
+        |               max(CASE WHEN rk = 2 THEN cosine END) AS second_cos
+        |        FROM top2 WHERE rk <= 2 GROUP BY query_id)
+        |SELECT query_id, best_id, best_cos, second_cos,
+        |       round((best_cos - second_cos)*1000000.0)/1000000.0 AS margin,
+        |       CASE WHEN second_cos IS NOT NULL
+        |                  AND round((best_cos - second_cos)*1000000.0)/1000000.0
+        |                      >= 10000/1000000.0
+        |            THEN 1 ELSE 0 END AS accepted
+        |FROM piv ORDER BY query_id""".stripMargin,
+
+    // Cumulative conjunction sums, one pass; the ascii gate is the
+    // integer cross-multiply (no float threshold). RE2/Java agree on the
+    // printable-ASCII class; 'g' flag for replace-all.
+    "q163_gate_funnel" ->
+      """SELECT source AS g, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
+        |  CAST(sum(CASE WHEN n_chars >= 200
+        |                 AND lang IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+        |  CAST(sum(CASE WHEN n_chars >= 200
+        |                 AND lang IN ('en','de','fr','es')
+        |                 AND len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_tokens,
+        |  CAST(sum(CASE WHEN n_chars >= 200
+        |                 AND lang IN ('en','de','fr','es')
+        |                 AND len(string_split(text, ' ')) >= 30
+        |                 AND length(regexp_replace(text, '[^\x20-\x7E]', '', 'g')) * 10
+        |                     >= length(text) * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_ascii
+        |FROM documents GROUP BY source ORDER BY g""".stripMargin,
+
+    // The same strictly-after first-touch chain: each step is a LEFT
+    // join on (user, type, ts > prev) + a per-user min. Rates are exact
+    // long rationals, nonnegative.
+    "q164_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, any_value(s1.t1) AS t1, min(e.ts) AS t2
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |            AND e.ts > s1.t1
+        |       GROUP BY s1.user_id),
+        |s3 AS (SELECT s2.user_id, min(e.ts) AS t3
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |            AND e.ts > s2.t2
+        |       GROUP BY s2.user_id),
+        |agg AS (SELECT count(s1.t1) AS n1, count(s2.t2) AS n2, count(s3.t3) AS n3
+        |        FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users,
+        |       CAST(NULL AS DOUBLE) AS conv_rate FROM agg
+        |UNION ALL
+        |SELECT 2, 'click', n2,
+        |       CASE WHEN n1 = 0 THEN NULL
+        |            ELSE round(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)*1000000.0)/1000000.0 END
+        |FROM agg
+        |UNION ALL
+        |SELECT 3, 'purchase', n3,
+        |       CASE WHEN n2 = 0 THEN NULL
+        |            ELSE round(CAST(n3 AS DOUBLE)/CAST(n2 AS DOUBLE)*1000000.0)/1000000.0 END
+        |FROM agg
+        |ORDER BY step_idx""".stripMargin
   )
 
   /** PQ/ADC oracle, parametric in the codebook geometry: `m` subspaces of

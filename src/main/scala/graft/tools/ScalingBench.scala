@@ -212,7 +212,11 @@ object ScalingBench {
       "q155_url_dedup",
       "q156_centroid_cosine",
       "q157_trend_slope",
-      "q158_robots_filter")
+      "q158_robots_filter",
+      "q160_mixture_weights",
+      "q161_char_collision",
+      "q162_margin_mining",
+      "q163_gate_funnel")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
