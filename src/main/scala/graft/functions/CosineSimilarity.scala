@@ -162,6 +162,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "start"), intLit(children(2), "digits"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "graft_pq_argmin"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_pq_argmin takes exactly 2 arguments")
+        PqArgmin(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_sub_dists"),
+      new ExpressionInfo(classOf[PqSubDists].getName, "graft_pq_sub_dists"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_pq_sub_dists takes exactly 2 arguments")
+        PqSubDists(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_char_stats"),
       new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
       (children: Seq[Expression]) => {

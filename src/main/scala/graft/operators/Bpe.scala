@@ -96,4 +96,28 @@ object Bpe {
       .agg(sum(col("nsym")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
       .select(col("did").as(id), col("n_bpe_tokens"), col("n_words"))
   }
+
+  /** Tokenizer FERTILITY per group (BPE pieces per whitespace word) under
+    * the learned merges — the tokenizer-efficiency dashboard number a
+    * multilingual pretraining run watches per language: a vocabulary
+    * trained on English spends ~1.1 pieces/word there and 2–4× on
+    * underrepresented scripts, silently shrinking their effective token
+    * budget (the "tokenizer tax"). Same scale shape as [[bpeTokenize]]
+    * (vocabulary join, never a per-doc walk); fertility is the exact
+    * rational Σnsym/Σwords per group — two map-side-combinable longs and
+    * ONE correctly-rounded divide (nonnegative, no signed-zero
+    * exposure). */
+  def bpeFertility(docs: DataFrame, group: String, text: String,
+                   rounds: Int): DataFrame = {
+    val vocab = learn(docs, text, rounds).vocab
+      .select(col("w"), size(col("syms")).cast("long").as("nsym"))
+    docs.select(col(group).as("g"), explode(split(col(text), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col("g"))
+      .agg(sum(col("nsym")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+      .select(col("g").as(group), col("n_bpe_tokens"), col("n_words"),
+        graft.Tables.r6(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"))
+  }
 }

@@ -258,4 +258,50 @@ object Profile {
       }
     df.groupBy(group.as("g")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-source DATA CARD: the one-table summary published next to a
+    * released corpus (the Datasheets/Dolma practice) — volume, token
+    * count, language share, exact-duplicate fraction, and the mean
+    * char-collision (gibberish) score, one row per source. A composition
+    * showcase: every signal reuses an audited kernel (wsTokenCount,
+    * graft_char_stats, the q42 md5 dup grouping) in ONE doc-level
+    * projection + one corpus-wide md5 join + one final aggregate.
+    *
+    * Exactness: counts and token sums are longs; mean_chars and shares
+    * are single divides of exact longs; mean_collision averages the
+    * per-doc MICRO-UNIT collision (round(Σcnt²/n²·10⁶) as long — the
+    * drnd numerator), so the mean is Σmicro/(n·10⁶): exact integer
+    * sums, one divide — never an order-dependent double sum (the
+    * winsorize lesson). All outputs nonnegative.
+    *
+    * Scale: the md5 group-join is the q42 exact-dedup shuffle (hash of
+    * text, narrow rows); everything else is map-side combinable per
+    * source. */
+  def dataCard(docs: DataFrame, source: String, lang: String,
+               nChars: String, text: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hCounts = docs.groupBy(md5(col(text)).as("h"))
+      .agg(count(lit(1)).as("hc"))
+    val cs = TextAnalysis.charStats(col(text))
+    val n = element_at(cs, 1)
+    val perDoc = docs.select(col(source).as("g"), col(lang).as("l"),
+        col(nChars).cast("long").as("nc"),
+        TextAnalysis.wsTokenCount(col(text)).cast("long").as("tok"),
+        md5(col(text)).as("h"),
+        when(n > 0, round(element_at(cs, 2).cast("double") /
+          (n.cast(dec) * n).cast("double") * 1000000.0).cast("long"))
+          .as("cmicro"))
+      .join(hCounts, "h")
+    perDoc.groupBy(col("g").as(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        graft.Tables.r6(sum(col("nc")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"),
+        graft.Tables.r6(sum(when(col("l") === "en", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("pct_en"),
+        graft.Tables.r6(sum(when(col("hc") > 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("dup_frac"),
+        graft.Tables.r6(sum(col("cmicro")).cast("double") /
+          (count(lit(1)) * 1000000L).cast("double")).as("mean_collision"))
+  }
 }

@@ -506,20 +506,45 @@ object SimilaritySearch {
           " be silently dropped; pick m | d or pad the vectors")))
 
   /** Squared-L2 between a sub-vector slice and a centroid array, summed
-    * left-to-right in double (both engines agree order). */
-  private def subDist2(sv: Column, cent: Column): Column =
+    * left-to-right in double (both engines agree order). Kept as the
+    * composable reference form: PqEquivalenceSpec pins the native
+    * kernels' bit-parity against r6(subDist2(...)). */
+  private[operators] def subDist2(sv: Column, cent: Column): Column =
     aggregate(zip_with(sv, cent, (x, y) => {
       val d = x.cast("double") - y
       d * d
     }), lit(0.0), (acc, v) => acc + v)
 
-  /** The whole codebook packed into ONE row — array of (sub, cid,
-    * centroid) structs, (sub, cid)-ascending — for broadcast row-local
-    * encode/LUT folds (the [[assignToCentroids]] shape: the corpus is
-    * never shuffled for encoding). */
-  private def packCodebooks(cb: DataFrame): DataFrame =
-    cb.select(struct(col("sub"), col("cid"), col("centroid")).as("s"))
-      .agg(array_sort(collect_list(col("s"))).as("cb"))
+  /** The whole codebook packed into ONE row — array indexed [sub] of
+    * cid-ASCENDING (cid, centroid) struct arrays — for broadcast
+    * row-local encode folds (the [[assignToCentroids]] shape: the corpus
+    * is never shuffled for encoding). Per-sub arrays, so a subspace's
+    * fold touches its own k cells only — the pre-r10 flat (sub, cid)
+    * array forced a filter SCAN of all m·k structs per subspace, an
+    * O(m²k) interpreted walk per vector that q147b's 10× sweep measured
+    * at 24 s for what should be a 2 s query. */
+  private def packCodebooksBySub(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+        .as("cells"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cells")))),
+        s => s.getField("cells")).as("scb"))
+
+  /** The codebook DENSE-packed into ONE row: array<array<array<double>>>
+    * indexed [sub][cid] with `kCells` slots per subspace (empty
+    * sign-bucket cells hold null — no corpus code can reference them),
+    * built by two tiny aggregates over the m·k codebook relation. A
+    * query's LUT cell is then ONE positional lookup. */
+  private def packCodebooksDense(cb: DataFrame, kCells: Int): DataFrame =
+    cb.groupBy(col("sub"))
+      .agg(map_from_entries(collect_list(
+        struct(col("cid").cast("int"), col("centroid")))).as("mp"))
+      .select(col("sub"), transform(sequence(lit(0), lit(kCells - 1)),
+        c => element_at(col("mp"), c)).as("cells"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cells")))),
+        s => s.getField("cells")).as("dcb"))
 
   /** PQ-encode: per vector, per subspace, the cid of the nearest codebook
     * centroid by r6-rounded squared L2 (first strict minimum wins — the
@@ -528,22 +553,15 @@ object SimilaritySearch {
     * fold — no shuffle, no window. Returns (vec_id, codes: array<bigint>,
     * codes[sub] = chosen cid). */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
-    val packed = packCodebooks(codebooks)
+    val packed = packCodebooksBySub(codebooks)
     corpus.select(col("vec_id"), col("embedding"))
       .filter(pqDivisibleGuard(m).isNull)
       .crossJoin(broadcast(packed))
       .withColumn("w", size(col("embedding")) / m)
-      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s => {
-        val sv = slice(col("embedding"), s * col("w") + 1, col("w"))
-        aggregate(
-          filter(col("cb"), c => c.getField("sub") === s),
-          struct(lit(-1L).as("cid"), lit(Double.MaxValue).as("d")),
-          (acc, c) => {
-            val d = r6(subDist2(sv, c.getField("centroid")))
-            when(d < acc.getField("d"),
-              struct(c.getField("cid").as("cid"), d.as("d"))).otherwise(acc)
-          }).getField("cid")
-      }))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s =>
+        call_function("graft_pq_argmin",
+          slice(col("embedding"), s * col("w") + 1, col("w")),
+          element_at(col("scb"), s + 1))))
       .select(col("vec_id"), col("codes"))
   }
 
@@ -571,20 +589,15 @@ object SimilaritySearch {
     val kCells = 1 << signBits
     val cb = pqCodebooks(corpus, m, signBits)
     val enc = pqEncode(corpus, cb, m)
-    val packed = packCodebooks(cb)
+    val packed = packCodebooksDense(cb, kCells)
     val qlut = queries.select(col("vec_id").as("query_id"), col("embedding"))
       .filter(pqDivisibleGuard(m).isNull)
       .crossJoin(broadcast(packed))
       .withColumn("w", size(col("embedding")) / m)
-      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s => {
-        val sv = slice(col("embedding"), s * col("w") + 1, col("w"))
-        transform(sequence(lit(0), lit(kCells - 1)), cid => {
-          val cell = element_at(filter(col("cb"),
-            c => c.getField("sub") === s && c.getField("cid") === cid), 1)
-          when(cell.isNull, lit(null).cast("double"))
-            .otherwise(r6(subDist2(sv, cell.getField("centroid"))))
-        })
-      }))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s =>
+        call_function("graft_pq_sub_dists",
+          slice(col("embedding"), s * col("w") + 1, col("w")),
+          element_at(col("dcb"), s + 1))))
       .select(col("query_id"), col("lut"))
     // Sum the m r6'd LUT terms in DECIMAL(28,6): each term IS a 6-decimal
     // value, so the decimal sum is exact and ORDER-FREE — a plain double

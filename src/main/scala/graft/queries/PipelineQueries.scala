@@ -1625,7 +1625,13 @@ object PipelineQueries extends QueryPack {
     // kills hubness false positives.
     "q162_margin_mining" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
-      SimilaritySearch.marginTopMatch(emb.filter(col("label") === 0),
+      // query side BOUNDED (vec_id < 1000, a no-op at sf0.01): the exact
+      // variant's contract is a broadcastable query set scored against a
+      // streamed corpus — an unbounded query side grows the pair volume
+      // quadratically with the corpus (the brute-pair class the ANN
+      // ladder exists to avoid; at scale: shortlist, then this margin)
+      SimilaritySearch.marginTopMatch(
+          emb.filter(col("label") === 0 && col("vec_id") < 1000),
           emb.filter(col("label") =!= 0), 10000L)
         .orderBy(col("query_id"))
     }),
@@ -1651,6 +1657,25 @@ object PipelineQueries extends QueryPack {
       Temporal.eventFunnel(load(s, dir, "events"), col("user_id"),
           col("ts"), col("event_type"), Seq("view", "click", "purchase"))
         .orderBy(col("step_idx"))
+    }),
+
+    // ---- Tokenizer fertility per language under the q140 merges: BPE
+    // pieces per whitespace word — the "tokenizer tax" dashboard a
+    // multilingual pretraining run watches. Vocabulary join, never a
+    // per-doc walk; fertility = exact rational Σnsym/Σwords.
+    "q165_bpe_fertility" -> ((s, dir) => {
+      Bpe.bpeFertility(load(s, dir, "documents"), "lang", "text", 8)
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Per-source data card: volume, tokens, mean length, language
+    // share, exact-dup fraction, mean char-collision — the released-
+    // corpus summary table, composed entirely from audited kernels in
+    // one projection + the q42 md5 join + one aggregate.
+    "q166_data_card" -> ((s, dir) => {
+      Profile.dataCard(load(s, dir, "documents"),
+          "source", "lang", "n_chars", "text")
+        .orderBy(col("source"))
     })
   )
 
@@ -3641,7 +3666,8 @@ object PipelineQueries extends QueryPack {
         |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.embedding qv, c.embedding cv,
         |                 q.nrm nq, c.nrm nc
         |          FROM norms q JOIN norms c
-        |            ON q.label = 0 AND c.label <> 0 AND q.vec_id <> c.vec_id),
+        |            ON q.label = 0 AND q.vec_id < 1000
+        |               AND c.label <> 0 AND q.vec_id <> c.vec_id),
         |dots AS (SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
         |                any_value(nq) AS nq, any_value(nc) AS nc
         |         FROM (SELECT query_id, cand_id, unnest(qv) AS x1, unnest(cv) AS x2, nq, nc FROM pairs)
@@ -3712,7 +3738,53 @@ object PipelineQueries extends QueryPack {
         |       CASE WHEN n2 = 0 THEN NULL
         |            ELSE round(CAST(n3 AS DOUBLE)/CAST(n2 AS DOUBLE)*1000000.0)/1000000.0 END
         |FROM agg
-        |ORDER BY step_idx""".stripMargin
+        |ORDER BY step_idx""".stripMargin,
+
+    // Same learned chain as q140/q141, consumed per-language: the
+    // fertility rational from the same two sums.
+    "q165_bpe_fertility" -> bpeOracle(8,
+      """SELECT lang,
+        |       CAST(sum(vn.nsym) AS BIGINT) AS n_bpe_tokens,
+        |       count(*) AS n_words,
+        |       round(CAST(sum(vn.nsym) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |             *1000000.0)/1000000.0 AS fertility
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) dtk
+        |JOIN (SELECT w, count(*) AS nsym FROM s8 GROUP BY w) vn USING (w)
+        |WHERE length(dtk.w) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Every signal rebuilt independently: codepoint moments via
+    // string_split(''), md5 dup groups, micro-unit collision mean
+    // (Σmicro/(n·10⁶) — exact integer sums, one divide). All outputs
+    // nonnegative — no signed-zero suffix.
+    "q166_data_card" ->
+      """WITH h AS (SELECT md5(text) AS h, count(*) AS hc
+        |           FROM documents GROUP BY 1),
+        |cc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |              CAST(sum(CAST(cnt AS HUGEINT)*cnt) AS BIGINT) AS ss
+        |       FROM (SELECT doc_id, ch, count(*) AS cnt FROM
+        |             (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |              FROM documents) GROUP BY 1, 2)
+        |       GROUP BY doc_id),
+        |d AS (SELECT d0.source AS g, d0.lang AS l, d0.n_chars AS nc,
+        |             len(string_split(d0.text, ' ')) AS tok,
+        |             md5(d0.text) AS hm,
+        |             CASE WHEN cc.n > 0 THEN CAST(round(CAST(cc.ss AS DOUBLE)
+        |               / CAST(CAST(cc.n AS HUGEINT)*cc.n AS DOUBLE)
+        |               * 1000000.0) AS BIGINT) END AS cmicro
+        |      FROM documents d0 LEFT JOIN cc USING (doc_id))
+        |SELECT g AS source, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(nc) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |        *1000000.0)/1000000.0 AS mean_chars,
+        |  round(CAST(sum(CASE WHEN l = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE)*1000000.0)/1000000.0 AS pct_en,
+        |  round(CAST(sum(CASE WHEN hh.hc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE)*1000000.0)/1000000.0 AS dup_frac,
+        |  round(CAST(sum(cmicro) AS DOUBLE)
+        |        / CAST(count(*)*1000000 AS DOUBLE)*1000000.0)/1000000.0 AS mean_collision
+        |FROM d JOIN h hh ON hh.h = d.hm
+        |GROUP BY g ORDER BY source""".stripMargin
   )
 
   /** PQ/ADC oracle, parametric in the codebook geometry: `m` subspaces of
