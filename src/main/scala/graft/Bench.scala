@@ -166,7 +166,9 @@ object Bench {
     "q161_char_collision",  // native codepoint Simpson-index gate
     "q162_margin_mining",   // top-2 margin bitext alignment criterion
     "q163_gate_funnel",     // cumulative gate attrition per source
-    "q164_event_funnel")    // ordered view->click->purchase funnel
+    "q164_event_funnel",    // ordered view->click->purchase funnel
+    "q165_bpe_fertility",   // BPE pieces-per-word per language
+    "q166_data_card")       // per-source released-corpus summary
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

@@ -216,7 +216,8 @@ object ScalingBench {
       "q160_mixture_weights",
       "q161_char_collision",
       "q162_margin_mining",
-      "q163_gate_funnel")
+      "q163_gate_funnel",
+      "q166_data_card")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
