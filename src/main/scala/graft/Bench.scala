@@ -23,6 +23,12 @@ import org.apache.spark.sql.SparkSession
  *    under test;
  *  - "contaminated": true when calibration drifts >1.5× start-to-end or
  *    any query's run-to-run spread exceeds 2× — the artifact flags itself.
+ *  - "parallel_efficiency" (r10): nproc concurrent calibration loops vs
+ *    one — catches host co-tenancy/CPU-quota drift that the
+ *    single-threaded loop is blind to (the r10 bisect: calibration 1.0×
+ *    while 32-way throughput sat at 0.61, uniformly inflating every
+ *    shuffle-parallel query ~1.3× vs the r8 capture). An environment
+ *    property for cross-round normalization, not a contamination flag.
  *
  * A flagged capture is a FAILED capture, not a record: main() re-runs the
  * whole sweep (up to MaxAttempts) until one comes back clean, prints only
@@ -168,7 +174,8 @@ object Bench {
     "q163_gate_funnel",     // cumulative gate attrition per source
     "q164_event_funnel",    // ordered view->click->purchase funnel
     "q165_bpe_fertility",   // BPE pieces-per-word per language
-    "q166_data_card")       // per-source released-corpus summary
+    "q166_data_card",       // per-source released-corpus summary
+    "q167_reliability")     // classifier calibration curve, ranked buckets
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it
@@ -192,6 +199,28 @@ object Bench {
       i += 1
     }
     ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  /** PARALLEL efficiency probe: nproc copies of the calibration loop run
+    * concurrently; returns single-copy wall / parallel wall — 1.0 when
+    * the container delivers its advertised cores, lower under host
+    * co-tenancy or CPU quota. The r10 drift bisect (SCALING.md) showed
+    * single-threaded calibration reading 1.0× while 32-way throughput
+    * had dropped to 0.61 — invisible to every earlier capture. Reported
+    * per capture so cross-ROUND comparisons can normalize shuffle-bound
+    * queries; not part of the contamination flag (co-tenancy is an
+    * environment property, not a dirty capture). */
+  def parallelEfficiency(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val (serial, _) = calibrate()
+    val threads = (1 to n).map { _ =>
+      new Thread(() => { calibrate(); () })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    serial / wall
   }
 
   def main(args: Array[String]): Unit = {
@@ -281,9 +310,11 @@ object Bench {
         "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
+      val parEff = parallelEfficiency()
       val line =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f}""" +
+        f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f""" +
+        f""","parallel_efficiency":$parEff%.2f}""" +
         f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated,"attempt":$attempt}"""
       (line, contaminated, spreadMax, total)
     }

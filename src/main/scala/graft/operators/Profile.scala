@@ -259,6 +259,44 @@ object Profile {
     df.groupBy(group.as("g")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** RELIABILITY (calibration) curve of a score against a binary
+    * reference: corpus-wide score quantile buckets × positive rate —
+    * the diagram read next to [[agreementKappa]] when deciding a
+    * classifier's quality-gate threshold (kappa says WHETHER the two
+    * agree; this says WHERE on the score axis the agreement lives, and
+    * whether the score is monotone against the reference at all).
+    *
+    * Bucketing needs a corpus-wide rank. NOT a window (`row_number()
+    * OVER (ORDER BY …)` is a single-task global sort — the q152 lesson,
+    * corpus-wide this time): [[rangeGroupRowNumbers]] under a constant
+    * group ranks in parallel, ordered by (score, id) — a TOTAL order, so
+    * tied scores with different labels land deterministically and the
+    * oracle replays bucket membership exactly. bucket = (rn−1)·k div n
+    * — exact integer division on both engines. Per bucket: exact count/
+    * score-sum/positive-count longs, two r6 rationals.
+    *
+    * Scale: one range exchange (the rank), then |buckets| aggregation
+    * cells. The score itself is whatever integer-exact Column the caller
+    * passes (the q113 hashed margin here — integer end to end). */
+  def reliabilityCurve(df: DataFrame, id: Column, score: Column,
+                       label: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val sel = df.select(lit(0).as("g"), struct(score, id).as("v"),
+      score.cast("long").as("s"), label.cast("int").as("y"))
+    val (ranked, cntDf) = rangeGroupRowNumbers(sel)
+    ranked.join(broadcast(cntDf), "g")
+      .withColumn("bucket", expr(s"((rn - 1) * $buckets) div n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s")).as("sum_score"),
+        sum(col("y")).as("n_pos"))
+      .select(col("bucket"), col("n_docs"), col("sum_score"), col("n_pos"),
+        graft.Tables.r6(col("sum_score").cast("double") /
+          col("n_docs").cast("double")).as("mean_score"),
+        graft.Tables.r6(col("n_pos").cast("double") /
+          col("n_docs").cast("double")).as("pos_rate"))
+  }
+
   /** Per-source DATA CARD: the one-table summary published next to a
     * released corpus (the Datasheets/Dolma practice) — volume, token
     * count, language share, exact-duplicate fraction, and the mean

@@ -1676,6 +1676,19 @@ object PipelineQueries extends QueryPack {
       Profile.dataCard(load(s, dir, "documents"),
           "source", "lang", "n_chars", "text")
         .orderBy(col("source"))
+    }),
+
+    // ---- Reliability curve of the q113 hashed-margin classifier vs the
+    // q153 token-count rule: score-decile buckets × positive rate — the
+    // calibration diagram behind a quality-gate threshold decision.
+    // Corpus rank via the range-partitioned parallel walk (never a
+    // single-task global window); (score, doc_id) total order so tied
+    // scores bucket deterministically.
+    "q167_reliability" -> ((s, dir) => {
+      Profile.reliabilityCurve(load(s, dir, "documents"), col("doc_id"),
+          TextAnalysis.hashedLinearScore(col("text")),
+          TextAnalysis.wsTokenCount(col("text")) >= 15, 10)
+        .orderBy(col("bucket"))
     })
   )
 
@@ -3784,7 +3797,35 @@ object PipelineQueries extends QueryPack {
         |  round(CAST(sum(cmicro) AS DOUBLE)
         |        / CAST(count(*)*1000000 AS DOUBLE)*1000000.0)/1000000.0 AS mean_collision
         |FROM d JOIN h hh ON hh.h = d.hm
-        |GROUP BY g ORDER BY source""".stripMargin
+        |GROUP BY g ORDER BY source""".stripMargin,
+
+    // The q113 integer score chain + a (score, doc_id)-ordered global
+    // row_number; bucket = exact integer division. mean_score is
+    // negative-capable (hashed margins span [-8,8] per token) → the
+    // signed-zero suffix; pos_rate is a nonnegative rational.
+    "q167_reliability" ->
+      (s"""WITH t AS (
+        |  SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |w AS (SELECT doc_id, (${TextAnalysis.md5Hash48Sql("tok")}) % 17 - 8 AS wgt
+        |      FROM t),
+        |d AS (SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS s FROM w GROUP BY doc_id),
+        |lbl AS (SELECT doc_id,
+        |               CASE WHEN len(string_split(text, ' ')) >= 15 THEN 1 ELSE 0 END AS y
+        |        FROM documents),
+        |r AS (SELECT d.doc_id, d.s, lbl.y,
+        |             row_number() OVER (ORDER BY d.s, d.doc_id) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM d JOIN lbl USING (doc_id)),
+        |b AS (SELECT ((rn - 1) * 10) // n AS bucket, s, y FROM r)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(s) AS BIGINT) AS sum_score,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(s) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |        *1000000.0)/1000000.0 + 0.0 AS mean_score,
+        |  round(CAST(sum(y) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |        *1000000.0)/1000000.0 AS pos_rate
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
   /** PQ/ADC oracle, parametric in the codebook geometry: `m` subspaces of

@@ -217,7 +217,8 @@ object ScalingBench {
       "q161_char_collision",
       "q162_margin_mining",
       "q163_gate_funnel",
-      "q166_data_card")
+      "q166_data_card",
+      "q167_reliability")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

@@ -438,4 +438,25 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
     assert(!p.contains("ObjectHashAggregate"), p.take(3000))
   }
+
+  test("q161 char collision: pure projection — no join, window, or aggregate") {
+    val p = plan("q161_char_collision")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("q163 gate funnel: ONE aggregate pass, no join, map-side partials") {
+    val p = plan("q163_gate_funnel")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q167 reliability: corpus rank is range-partitioned, never a global window") {
+    val p = plan("q167_reliability")
+    // a row_number() OVER (ORDER BY …) would plan Window over a
+    // SinglePartition exchange — the one shape this operator exists to
+    // avoid; the rank must come from the range exchange + local pass
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("rangepartitioning"), p.take(4000))
+  }
 }
