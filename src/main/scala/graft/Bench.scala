@@ -175,7 +175,8 @@ object Bench {
     "q164_event_funnel",    // ordered view->click->purchase funnel
     "q165_bpe_fertility",   // BPE pieces-per-word per language
     "q166_data_card",       // per-source released-corpus summary
-    "q167_reliability")     // classifier calibration curve, ranked buckets
+    "q167_reliability",     // classifier calibration curve, ranked buckets
+    "q168_k_anonymity")     // quasi-identifier suppression release gate
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

@@ -297,6 +297,43 @@ object Profile {
           col("n_docs").cast("double")).as("pos_rate"))
   }
 
+  /** K-ANONYMITY annotation over quasi-identifier columns — the release
+    * governance gate beyond regex PII scrubbing: a row whose
+    * quasi-identifier combination (lang × length bucket × …) is shared
+    * by fewer than k rows re-identifies its subject by JOINING public
+    * side tables, even with every direct identifier scrubbed (Sweeney
+    * 2002 — 87% of the US population is unique under
+    * {zip, birthdate, sex}). Annotates each row with its equivalence-
+    * class size and a `suppressed` flag (size < k); the caller filters
+    * or generalizes — returning the annotation rather than the filtered
+    * relation keeps the suppressed MASS reportable (a release note must
+    * say what was withheld).
+    *
+    * Scale: one map-side-combinable groupBy over the quasi tuple + one
+    * equi-join back on it (AQE sizes the |classes| relation — usually a
+    * broadcast). NOT a count window over the quasi key: same
+    * fixed-parallelism class as every other window-vs-join call in this
+    * repo. NULL quasi values form their own class (SQL groupBy
+    * semantics) — correct for anonymity: all-NULL rows are
+    * indistinguishable from each other, not from everyone. */
+  def kAnonymityAnnotate(df: DataFrame, quasi: Seq[Column], k: Int)
+    : DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    val qs = quasi.zipWithIndex.map { case (c, i) => c.as(s"qa_$i") }
+    val sizes = df.groupBy(qs: _*).agg(count(lit(1)).as("qa_class_n"))
+      .select((qs.indices.map(i => col(s"qa_$i").as(s"qb_$i")) :+
+        col("qa_class_n")): _*)
+    // null-SAFE equi keys: a plain equi-join drops NULL quasi values,
+    // silently exempting all-NULL rows from suppression
+    val cond = qs.indices.map(i => col(s"qa_$i") <=> col(s"qb_$i"))
+      .reduce(_ && _)
+    df.select(col("*") +: qs: _*)
+      .join(sizes, cond)
+      .withColumn("suppressed", (col("qa_class_n") < k).cast("int"))
+      .drop((qs.indices.map(i => s"qa_$i") ++
+        qs.indices.map(i => s"qb_$i")): _*)
+  }
+
   /** Per-source DATA CARD: the one-table summary published next to a
     * released corpus (the Datasheets/Dolma practice) — volume, token
     * count, language share, exact-duplicate fraction, and the mean

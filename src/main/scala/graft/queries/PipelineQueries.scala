@@ -1689,6 +1689,22 @@ object PipelineQueries extends QueryPack {
           TextAnalysis.hashedLinearScore(col("text")),
           TextAnalysis.wsTokenCount(col("text")) >= 15, 10)
         .orderBy(col("bucket"))
+    }),
+
+    // ---- k-anonymity release gate over (lang, length-bucket) quasi
+    // identifiers: rows in equivalence classes smaller than k=5 are
+    // flagged; the gate reports the suppressed mass per source — what a
+    // release note must disclose. Exact integer length buckets (div).
+    "q168_k_anonymity" -> ((s, dir) => {
+      Profile.kAnonymityAnnotate(load(s, dir, "documents"),
+          Seq(col("lang"), expr("n_chars div 100")), 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("suppressed").cast("long")).as("n_suppressed"))
+        .select(col("source"), col("n_docs"), col("n_suppressed"),
+          graft.Tables.r6(col("n_suppressed").cast("double") /
+            col("n_docs").cast("double")).as("suppressed_frac"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3825,7 +3841,20 @@ object PipelineQueries extends QueryPack {
         |        *1000000.0)/1000000.0 + 0.0 AS mean_score,
         |  round(CAST(sum(y) AS DOUBLE)/CAST(count(*) AS DOUBLE)
         |        *1000000.0)/1000000.0 AS pos_rate
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // Equivalence classes rebuilt independently (integer-div buckets,
+    // USING join — the fixture has no NULL quasi values; the null-safe
+    // semantics are spec-pinned instead). Fractions nonnegative.
+    "q168_k_anonymity" ->
+      """WITH q AS (SELECT source, lang, n_chars // 100 AS b FROM documents),
+        |c AS (SELECT lang, b, count(*) AS n FROM q GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+        |  round(CAST(sum(CASE WHEN c.n < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE)*1000000.0)/1000000.0 AS suppressed_frac
+        |FROM q JOIN c USING (lang, b)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** PQ/ADC oracle, parametric in the codebook geometry: `m` subspaces of

@@ -218,7 +218,8 @@ object ScalingBench {
       "q162_margin_mining",
       "q163_gate_funnel",
       "q166_data_card",
-      "q167_reliability")
+      "q167_reliability",
+      "q168_k_anonymity")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

@@ -85,6 +85,17 @@ class FunnelMixSpec extends AnyFunSuite {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.getInt(5) === 0)
   }
 
+  test("kAnonymityAnnotate: NULL quasi values form their own class, not dropped") {
+    val df = Seq((1L, Some("en")), (2L, Some("en")), (3L, None),
+      (4L, None), (5L, Some("de"))).toDF("id", "lang")
+    val out = Profile.kAnonymityAnnotate(df, Seq(col("lang")), 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out.size === 5)                  // a plain equi-join would lose 3,4
+    assert(out(1L) === ((2L, 0)))           // en class of 2: kept
+    assert(out(3L) === ((2L, 0)))           // the two NULLs are ONE class of 2
+    assert(out(5L) === ((1L, 1)))           // de singleton: suppressed
+  }
+
   test("eventFunnel: strictly-after first-touch; pre-step events ignored") {
     // u1: full ordered funnel. u2: purchase BEFORE first view → no step 3
     // (and the click at the same minute as the view does NOT count —
