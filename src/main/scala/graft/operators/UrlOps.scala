@@ -105,4 +105,30 @@ object UrlOps {
       .select(col("rid")).distinct()
     df.join(blocked.withColumnRenamed("rid", id), Seq(id), "left_anti")
   }
+
+  /** Crawl POLITENESS schedule: per host, assign each URL a fetch slot
+    * and offset so no host is hit more than once per `delaySeconds` —
+    * the frontier-scheduling step between the robots filter and the
+    * fetcher fleet. Slot order is (priority DESC, id) within host:
+    * deterministic, and high-priority pages fetch first when the crawl
+    * is cut short mid-budget.
+    *
+    * Plan: ONE per-host row_number window. A per-group window is the
+    * scale-killer when groups are FEW (the q152/q167 lesson: 20 sources
+    * → parallelism 20); here the group is the HOST — crawl frontiers
+    * carry millions of them, parallelism is group-cardinality-bound,
+    * and per-host state (one external sort of that host's URLs) is
+    * exactly the bounded spillable case windows exist for. Same
+    * operator, opposite cardinality, opposite verdict — the choice is
+    * an argument about |groups|, never a habit. */
+  def politenessSchedule(df: DataFrame, id: String, url: String,
+                         priority: Column, delaySeconds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_h"))
+      .orderBy(priority.desc, col(id))
+    df.withColumn("_h", urlHost(col(url)))
+      .withColumn("slot", row_number().over(w).cast("long") - 1L)
+      .select(col(id), col("_h").as("host"), col("slot"),
+        (col("slot") * delaySeconds).as("fetch_offset_s"))
+  }
 }

@@ -1691,6 +1691,23 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // ---- Crawl politeness schedule: per-host fetch slots spaced
+    // delaySeconds apart, high-priority (longer) pages first — the
+    // frontier step between q158's robots filter and the fetchers. One
+    // per-HOST window: groups are frontier hosts (millions at scale), so
+    // the window parallelism is cardinality-bound — the deliberate
+    // opposite of the q152/q167 few-groups rule.
+    "q169_crawl_schedule" -> ((s, dir) => {
+      val url = concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com/s"), (col("doc_id") % 7).cast("string"),
+        lit("/p"), (col("doc_id") % 11).cast("string"))
+      UrlOps.politenessSchedule(
+          load(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            col("n_chars")),
+          "doc_id", "url", col("n_chars"), 5)
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // ---- k-anonymity release gate over (lang, length-bucket) quasi
     // identifiers: rows in equivalence classes smaller than k=5 are
     // flagged; the gate reports the suppressed mass per source — what a
@@ -3842,6 +3859,19 @@ object PipelineQueries extends QueryPack {
         |  round(CAST(sum(y) AS DOUBLE)/CAST(count(*) AS DOUBLE)
         |        *1000000.0)/1000000.0 AS pos_rate
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // Same (priority DESC, id) slot order within host; slots 0-based,
+    // offsets exact integer multiples.
+    "q169_crawl_schedule" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  'site' || (doc_id%50) || '.example.com' AS host
+        |  FROM documents)
+        |SELECT doc_id, host,
+        |  row_number() OVER (PARTITION BY host
+        |                     ORDER BY n_chars DESC, doc_id) - 1 AS slot,
+        |  (row_number() OVER (PARTITION BY host
+        |                      ORDER BY n_chars DESC, doc_id) - 1) * 5 AS fetch_offset_s
+        |FROM d ORDER BY host, slot""".stripMargin,
 
     // Equivalence classes rebuilt independently (integer-div buckets,
     // USING join — the fixture has no NULL quasi values; the null-safe

@@ -219,7 +219,8 @@ object ScalingBench {
       "q163_gate_funnel",
       "q166_data_card",
       "q167_reliability",
-      "q168_k_anonymity")
+      "q168_k_anonymity",
+      "q169_crawl_schedule")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

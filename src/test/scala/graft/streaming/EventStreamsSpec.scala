@@ -115,7 +115,9 @@ class EventStreamsSpec extends AnyFunSuite {
       df.select(col("doc_id"),
         call_function("graft_simhash32", col("text")).as("fp"),
         call_function("graft_top_bigram_count", split(col("text"), " ")).as("top_bg"),
-        graft.operators.TextAnalysis.redactPii(col("text")).as("redacted"))
+        graft.operators.TextAnalysis.redactPii(col("text")).as("redacted"),
+        // r10: the char-collision moments kernel is stateless too
+        graft.operators.TextAnalysis.charStats(col("text")).as("cs"))
     val input = MemoryStream[(Long, String)]
     input.addData(docs: _*)
     val q = curate(input.toDF().toDF("doc_id", "text"))
@@ -123,9 +125,11 @@ class EventStreamsSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val streamed = spark.table("curated").collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getInt(2), r.getString(3), r.getSeq[Long](4))).toMap
       val batch = curate(docs.toDF("doc_id", "text")).collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getInt(2), r.getString(3), r.getSeq[Long](4))).toMap
       assert(streamed == batch)
       assert(streamed(2L)._3.contains("<EMAIL>"))
       assert(streamed(1L)._2 == 2) // "the quick" and "quick brown" tie at 2
