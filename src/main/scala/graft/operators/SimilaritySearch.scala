@@ -599,24 +599,93 @@ object SimilaritySearch {
           slice(col("embedding"), s * col("w") + 1, col("w")),
           element_at(col("dcb"), s + 1))))
       .select(col("query_id"), col("lut"))
-    // Sum the m r6'd LUT terms in DECIMAL(28,6): each term IS a 6-decimal
-    // value, so the decimal sum is exact and ORDER-FREE — a plain double
-    // fold (sub-ascending) diverged from DuckDB's arbitrary-order sum()
-    // by one midpoint ulp at m=8 (q147b found it; m=4 never rolled it).
-    val decZero = lit(new java.math.BigDecimal(0)).cast("decimal(28,6)")
     val scored = enc.crossJoin(broadcast(qlut))
       .filter(col("vec_id") =!= col("query_id"))  // the q47 family convention
-      .withColumn("adist", r6(aggregate(sequence(lit(0), lit(m - 1)), decZero,
-        (acc, s) => (acc + element_at(element_at(col("lut"), s + 1),
-          element_at(col("codes"), s + 1).cast("int") + 1)
-            .cast("decimal(28,6)")).cast("decimal(28,6)"))
-        .cast("double")))
+      .withColumn("adist", adcScore(m))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"), col("adist"))
+  }
+
+  /** ADC total distance from a query's dense LUT + a candidate's codes:
+    * the m r6'd terms are summed in DECIMAL(28,6) — each term IS a
+    * 6-decimal value, so the sum is exact and ORDER-FREE (a plain double
+    * fold diverged from DuckDB's arbitrary-order sum() by one midpoint
+    * ulp at m=8; q147b found it, m=4 never rolled it). */
+  private def adcScore(m: Int): Column = {
+    val decZero = lit(new java.math.BigDecimal(0)).cast("decimal(28,6)")
+    r6(aggregate(sequence(lit(0), lit(m - 1)), decZero,
+      (acc, s) => (acc + element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1)
+          .cast("decimal(28,6)")).cast("decimal(28,6)"))
+      .cast("double"))
+  }
+
+  /** IVF + PQ/ADC — the FAISS "IVFADC" layout, the architecture every
+    * billion-vector ANN service actually deploys: a coarse quantizer
+    * (sign-bucket Voronoi cells, the q48b machinery) shortlists nprobe
+    * cells per query, and the ADC table walk scores ONLY those cells'
+    * members. [[pqTopK]]'s cross join touches every corpus code per
+    * query — right for auditing PQ itself, wrong at a billion vectors;
+    * here the scoring join is an EQUI join on the cell id, so per-query
+    * candidate volume is the probed fraction (nprobe/2^coarseBits of
+    * the corpus, in expectation) and the corpus side shuffles once on a
+    * high-cardinality key. Codes and coarse cell are computed in ONE
+    * row-local corpus pass (broadcast codebook — the corpus is never
+    * shuffled to be coded). Probe ranking and ADC scoring reuse the
+    * audited q48b/q147 constructions unchanged, so the oracle is their
+    * composition. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, m: Int,
+                signBits: Int, coarseBits: Int, nprobe: Int,
+                k: Int): DataFrame = {
+    val kCells = 1 << signBits
+    val cb = pqCodebooks(corpus, m, signBits)
+    val packedSub = packCodebooksBySub(cb)
+    val enc = corpus.select(col("vec_id"), col("embedding"))
+      .filter(pqDivisibleGuard(m).isNull)
+      .crossJoin(broadcast(packedSub))
+      .withColumn("w", size(col("embedding")) / m)
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s =>
+        call_function("graft_pq_argmin",
+          slice(col("embedding"), s * col("w") + 1, col("w")),
+          element_at(col("scb"), s + 1))))
+      .select(col("vec_id"), col("codes"),
+        signBucket(col("embedding"), coarseBits).as("cid"))
+    val cents = ivfCentroids(corpus, coarseBits)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid"),
+        r6(dot(col("qv"), col("centroid")) /
+          (l2norm(col("qv")) * l2norm(col("centroid")))).as("csim"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val packedDense = packCodebooksDense(cb, kCells)
+    val qlut = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .filter(pqDivisibleGuard(m).isNull)
+      .crossJoin(broadcast(packedDense))
+      .withColumn("w", size(col("embedding")) / m)
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s =>
+        call_function("graft_pq_sub_dists",
+          slice(col("embedding"), s * col("w") + 1, col("w")),
+          element_at(col("dcb"), s + 1))))
+      .select(col("query_id"), col("lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    broadcast(probes.join(qlut, "query_id"))
+      .join(enc, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adcScore(m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"),
+        col("adist"))
   }
 
   // --------------------------------------------------------------------

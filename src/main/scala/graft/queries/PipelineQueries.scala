@@ -1691,6 +1691,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // ---- IVF + PQ/ADC (the FAISS IVFADC layout): coarse sign-bucket
+    // cells shortlist nprobe lists per query; the ADC walk scores only
+    // their members through an EQUI join on the cell id — the
+    // billion-vector architecture, composed from the audited q48b probe
+    // and q147b dense-LUT constructions.
+    "q170_ann_ivfpq" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+          8, 8, 4, 4, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- Crawl politeness schedule: per-host fetch slots spaced
     // delaySeconds apart, high-priority (longer) pages first — the
     // frontier step between q158's robots filter and the fetchers. One
@@ -3860,6 +3872,11 @@ object PipelineQueries extends QueryPack {
         |        *1000000.0)/1000000.0 AS pos_rate
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
 
+    // The q147 PQ chain + the q48b coarse-probe chain, ADC restricted to
+    // probed cells — the composition IS the oracle.
+    "q170_ann_ivfpq" -> ivfPqOracle(m = 8, w = 8, signBits = 8, topK = 5,
+      coarseBits = 4, nprobe = 4),
+
     // Same (priority DESC, id) slot order within host; slots 0-based,
     // offsets exact integer multiples.
     "q169_crawl_schedule" ->
@@ -3887,12 +3904,9 @@ object PipelineQueries extends QueryPack {
         |GROUP BY source ORDER BY source""".stripMargin
   )
 
-  /** PQ/ADC oracle, parametric in the codebook geometry: `m` subspaces of
-    * width `w` dims, 2^`signBits` sign-bucket cells, top-`topK` per query.
-    * Text is the q147 chain verbatim with the constants substituted, so
-    * q147 (m=4, k=16) and q147b (m=8, k=256) gate the same construction
-    * at both geometries. */
-  private def pqOracle(m: Int, w: Int, signBits: Int, topK: Int): String =
+  /** The shared PQ chain (codebooks → per-sub distances → codes), used
+    * by pqOracle and ivfPqOracle so the two cannot diverge. */
+  private def pqChainCtes(m: Int, w: Int, signBits: Int): String =
     s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
        |sub AS (SELECT vec_id, sub, list_slice(embedding, sub*$w+1, sub*$w+$w) AS sv
        |        FROM base, unnest(generate_series(0, ${m - 1})) AS s(sub)),
@@ -3918,13 +3932,19 @@ object PipelineQueries extends QueryPack {
        |            SELECT vec_id, sub, cid,
        |                   row_number() OVER (PARTITION BY vec_id, sub
        |                                      ORDER BY d, cid) AS rk
-       |            FROM ed) WHERE rk = 1),
-       |adc AS (SELECT lq.vec_id AS query_id, cd.vec_id AS cand_id,
+       |            FROM ed) WHERE rk = 1)""".stripMargin
+
+  /** The shared ADC final (pair distance sum + per-query top-k), with a
+    * caller-supplied restriction on which (query, candidate) pairs the
+    * walk scores. */
+  private def adcFinal(topK: Int, extraJoins: String, lqFilter: String): String =
+    s"""adc AS (SELECT lq.vec_id AS query_id, cd.vec_id AS cand_id,
        |               round(CAST(sum(CAST(lq.d AS DECIMAL(28,6))) AS DOUBLE)
        |                     *1000000.0)/1000000.0 AS adist
        |        FROM codes cd
+       |        $extraJoins
        |        JOIN ed lq ON lq.sub = cd.sub AND lq.cid = cd.cid
-       |                   AND lq.vec_id < 10 AND lq.vec_id <> cd.vec_id
+       |                   AND $lqFilter AND lq.vec_id <> cd.vec_id
        |        GROUP BY lq.vec_id, cd.vec_id)
        |SELECT query_id, rank, cand_id, adist FROM (
        |  SELECT query_id, cand_id, adist,
@@ -3932,6 +3952,58 @@ object PipelineQueries extends QueryPack {
        |                                 ORDER BY adist, cand_id) AS INT) AS rank
        |  FROM adc) WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
+
+  /** PQ/ADC oracle, parametric in the codebook geometry: `m` subspaces of
+    * width `w` dims, 2^`signBits` sign-bucket cells, top-`topK` per query.
+    * Text is the q147 chain verbatim with the constants substituted, so
+    * q147 (m=4, k=16) and q147b (m=8, k=256) gate the same construction
+    * at both geometries. */
+  private def pqOracle(m: Int, w: Int, signBits: Int, topK: Int): String =
+    pqChainCtes(m, w, signBits) + ",\n" +
+      adcFinal(topK, "", "lq.vec_id < 10")
+
+  /** IVF+PQ oracle: the q147 PQ chain + the q48b coarse-probe chain,
+    * with the ADC walk restricted to candidates in the query's nprobe
+    * probed cells. */
+  private def ivfPqOracle(m: Int, w: Int, signBits: Int, topK: Int,
+                          coarseBits: Int, nprobe: Int): String =
+    pqChainCtes(m, w, signBits) + ",\n" +
+      s"""cc AS (SELECT vec_id,
+         |       (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0
+         |                THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |        FROM unnest(generate_series(0, ${coarseBits - 1})) AS t(j)) AS ccid
+         |       FROM base),
+         |ccent AS (SELECT ccid, j AS pos,
+         |          CAST(sum(CAST(CAST(b.embedding[j+1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+         |            / count(*) AS c
+         |          FROM base b JOIN cc USING (vec_id),
+         |               unnest(generate_series(0, 63)) AS t(j)
+         |          GROUP BY ccid, j),
+         |ccent_arr AS (SELECT ccid, array_agg(c ORDER BY pos) AS centroid
+         |              FROM ccent GROUP BY ccid),
+         |ccent_n AS (SELECT ccid, centroid,
+         |            sqrt((SELECT sum(x*x) FROM unnest(centroid) AS u(x))) AS cnrm
+         |            FROM ccent_arr),
+         |qn AS (SELECT vec_id, embedding,
+         |       sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+         |             FROM unnest(embedding) AS u(x))) AS nrm
+         |       FROM base WHERE vec_id < 10),
+         |probe_flat AS (SELECT q.vec_id AS query_id, q.nrm AS nq, ca.ccid, ca.cnrm,
+         |               unnest(q.embedding) AS x1, unnest(ca.centroid) AS x2
+         |               FROM qn q, ccent_n ca),
+         |probe_score AS (SELECT query_id, ccid,
+         |                round(sum(CAST(x1 AS DOUBLE)*x2)
+         |                      / (any_value(nq)*any_value(cnrm))
+         |                      *1000000.0)/1000000.0 AS csim
+         |                FROM probe_flat GROUP BY query_id, ccid),
+         |probes AS (SELECT query_id, ccid FROM (
+         |           SELECT query_id, ccid,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY csim DESC, ccid) AS prank
+         |           FROM probe_score) WHERE prank <= $nprobe),""".stripMargin + "\n" +
+      adcFinal(topK,
+        "JOIN cc ON cc.vec_id = cd.vec_id\n        JOIN probes p ON p.ccid = cc.ccid",
+        "lq.vec_id = p.query_id")
 
   /** q151 oracle: rebuild the script fixture with chr(), then mirror
     * scriptMix's length-difference counts, fixed-priority dominant, and

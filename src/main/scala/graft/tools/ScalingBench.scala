@@ -220,7 +220,8 @@ object ScalingBench {
       "q166_data_card",
       "q167_reliability",
       "q168_k_anonymity",
-      "q169_crawl_schedule")
+      "q169_crawl_schedule",
+      "q170_ann_ivfpq")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
