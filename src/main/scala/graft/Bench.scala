@@ -178,7 +178,8 @@ object Bench {
     "q167_reliability",     // classifier calibration curve, ranked buckets
     "q168_k_anonymity",     // quasi-identifier suppression release gate
     "q169_crawl_schedule",  // per-host politeness fetch slots
-    "q170_ann_ivfpq")       // IVFADC: coarse probes + in-cell ADC
+    "q170_ann_ivfpq",       // IVFADC: coarse probes + in-cell ADC
+    "q171_k_generalize")    // k-anonymity generalization ladder
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

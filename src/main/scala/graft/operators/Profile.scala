@@ -334,6 +334,48 @@ object Profile {
         qs.indices.map(i => s"qb_$i")): _*)
   }
 
+  /** k-anonymity with a GENERALIZATION ladder (the Mondrian practice,
+    * fixed-hierarchy form): instead of suppressing every small class,
+    * each row is released at the FINEST level of a caller-supplied
+    * coarsening ladder whose equivalence class reaches k — e.g.
+    * (lang, 100-char bucket) → (lang, 1000-char bucket) → (lang) —
+    * and only rows failing even the coarsest level are suppressed.
+    * Utility-preserving where [[kAnonymityAnnotate]] is all-or-nothing.
+    *
+    * CONSISTENCY requirement (documented contract): each coarser
+    * level's tuple must be a FUNCTION of the finer one (drop a column,
+    * widen a bucket). Then all rows of a finest-level class share every
+    * coarser class too, so they release at the same level — a
+    * generalization, never a per-row patchwork.
+    *
+    * Scale: one map-side-combinable groupBy + one null-safe join back
+    * PER LEVEL (levels are 2–4 by construction — the ladder is a policy,
+    * not data). Adding a level never rescans more than once. */
+  def kAnonymityGeneralize(df: DataFrame, levels: Seq[Seq[Column]], k: Int)
+    : DataFrame = {
+    require(levels.nonEmpty, "need at least one level")
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    var out = df
+    levels.zipWithIndex.foreach { case (quasi, li) =>
+      val qs = quasi.zipWithIndex.map { case (c, i) => c.as(s"qa${li}_$i") }
+      val sizes = df.groupBy(qs: _*).agg(count(lit(1)).as(s"qn_$li"))
+        .select((qs.indices.map(i => col(s"qa${li}_$i").as(s"qb${li}_$i")) :+
+          col(s"qn_$li")): _*)
+      val cond = qs.indices.map(i => col(s"qa${li}_$i") <=> col(s"qb${li}_$i"))
+        .reduce(_ && _)
+      out = out.select(col("*") +: qs: _*)
+        .join(sizes, cond)
+        .drop((qs.indices.map(i => s"qa${li}_$i") ++
+          qs.indices.map(i => s"qb${li}_$i")): _*)
+    }
+    val level = levels.indices.foldRight(lit(-1)) { (li, acc) =>
+      when(col(s"qn_$li") >= k, lit(li)).otherwise(acc)
+    }
+    out.withColumn("qa_level", level)
+      .withColumn("suppressed", (col("qa_level") === -1).cast("int"))
+      .drop(levels.indices.map(i => s"qn_$i"): _*)
+  }
+
   /** Per-source DATA CARD: the one-table summary published next to a
     * released corpus (the Datasheets/Dolma practice) — volume, token
     * count, language share, exact-duplicate fraction, and the mean

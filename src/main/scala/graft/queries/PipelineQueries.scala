@@ -1691,6 +1691,25 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // ---- k-anonymity with a generalization ladder: release each row at
+    // the finest coarsening level whose class reaches k=5 — (lang,
+    // 100-char bucket) → (lang, 1000-char bucket) → (lang) — suppress
+    // only rows failing all three. The utility-preserving path next to
+    // q168's all-or-nothing suppression.
+    "q171_k_generalize" -> ((s, dir) => {
+      Profile.kAnonymityGeneralize(load(s, dir, "documents"), Seq(
+          Seq(col("lang"), expr("n_chars div 100")),
+          Seq(col("lang"), expr("n_chars div 1000")),
+          Seq(col("lang"))), 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("qa_level") === 0).cast("long")).as("n_l0"),
+          sum((col("qa_level") === 1).cast("long")).as("n_l1"),
+          sum((col("qa_level") === 2).cast("long")).as("n_l2"),
+          sum(col("suppressed").cast("long")).as("n_suppressed"))
+        .orderBy(col("source"))
+    }),
+
     // ---- IVF + PQ/ADC (the FAISS IVFADC layout): coarse sign-bucket
     // cells shortlist nprobe lists per query; the ADC walk scores only
     // their members through an EQUI join on the cell id — the
@@ -3876,6 +3895,26 @@ object PipelineQueries extends QueryPack {
     // probed cells — the composition IS the oracle.
     "q170_ann_ivfpq" -> ivfPqOracle(m = 8, w = 8, signBits = 8, topK = 5,
       coarseBits = 4, nprobe = 4),
+
+    // Three class-size relations + a first-passing-level CASE; counts
+    // only, no float beyond none.
+    "q171_k_generalize" ->
+      """WITH q AS (SELECT source, lang, n_chars // 100 AS b0,
+        |                  n_chars // 1000 AS b1 FROM documents),
+        |c0 AS (SELECT lang, b0, count(*) AS n0 FROM q GROUP BY 1, 2),
+        |c1 AS (SELECT lang, b1, count(*) AS n1 FROM q GROUP BY 1, 2),
+        |c2 AS (SELECT lang, count(*) AS n2 FROM q GROUP BY 1),
+        |j AS (SELECT q.source,
+        |        CASE WHEN c0.n0 >= 5 THEN 0 WHEN c1.n1 >= 5 THEN 1
+        |             WHEN c2.n2 >= 5 THEN 2 ELSE -1 END AS lv
+        |      FROM q JOIN c0 USING (lang, b0) JOIN c1 USING (lang, b1)
+        |             JOIN c2 USING (lang))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+        |  CAST(sum(CASE WHEN lv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+        |  CAST(sum(CASE WHEN lv = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+        |  CAST(sum(CASE WHEN lv = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // Same (priority DESC, id) slot order within host; slots 0-based,
     // offsets exact integer multiples.

@@ -221,7 +221,8 @@ object ScalingBench {
       "q167_reliability",
       "q168_k_anonymity",
       "q169_crawl_schedule",
-      "q170_ann_ivfpq")
+      "q170_ann_ivfpq",
+      "q171_k_generalize")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

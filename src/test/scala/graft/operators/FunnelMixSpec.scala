@@ -96,6 +96,17 @@ class FunnelMixSpec extends AnyFunSuite {
     assert(out(5L) === ((1L, 1)))           // de singleton: suppressed
   }
 
+  test("kAnonymityGeneralize: finest passing level wins; exhausted ladder suppresses") {
+    val df = Seq((1L, "en", 50), (2L, "en", 250), (3L, "en", 250),
+      (4L, "de", 50)).toDF("id", "lang", "len")
+    val out = Profile.kAnonymityGeneralize(df, Seq(
+        Seq(col("lang"), expr("len div 100")), Seq(col("lang"))), 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(out(2L) === ((0, 0)) && out(3L) === ((0, 0))) // class of 2 at L0
+    assert(out(1L) === ((1, 0)))   // L0 singleton, en has 3 at L1
+    assert(out(4L) === ((-1, 1)))  // de singleton at every level
+  }
+
   test("eventFunnel: strictly-after first-touch; pre-step events ignored") {
     // u1: full ordered funnel. u2: purchase BEFORE first view → no step 3
     // (and the click at the same minute as the view does NOT count —
