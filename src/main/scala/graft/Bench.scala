@@ -178,7 +178,8 @@ object Bench {
     "q167_reliability",     // classifier calibration curve, ranked buckets
     "q168_k_anonymity",     // quasi-identifier suppression release gate
     "q169_crawl_schedule",  // per-host politeness fetch slots
-    "q170_ann_ivfpq",       // IVFADC: coarse probes + in-cell ADC
+    "q170_ann_ivfpq",       // IVFADC: residual coarse probes + in-cell ADC
+    "q170b_ann_ivfpq_shuffle", // q170's forced SHUFFLE_HASH LUT attach (the 100 TB shape)
     "q171_k_generalize")    // k-anonymity generalization ladder
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
@@ -315,8 +316,14 @@ object Bench {
       }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val parEff = parallelEfficiency()
+      // PE-NORMALIZED total: wall × parallel efficiency = the core-seconds
+      // the host actually delivered. Cross-round comparisons should read
+      // THIS number — the r10→r11 "regressions" were pure PE drift
+      // (0.61→0.78 across captures with identical code); normalizing at
+      // the source ends that forensics (VERDICT r10/r11 ask).
+      val effTotal = total * parEff
       val line =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        f"""{"metric":"total","value":$total%.3f,"effective_core_sec":$effTotal%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f""" +
         f""","parallel_efficiency":$parEff%.2f}""" +
         f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated,"attempt":$attempt}"""

@@ -83,11 +83,18 @@ object Profile {
     * values get arbitrary rank ORDER but the value AT a rank is still
     * the r-th smallest — all any percentile interpolation reads. */
   private def rangeGroupRowNumbers(sel: DataFrame)
-    : (DataFrame, DataFrame) = {
+    : (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
     val spark = sel.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // RESOLVED partition count via SQLConf: a raw conf.get(...).toInt
+    // throws on the non-numeric values managed platforms set ("auto"
+    // under AQE-managed partitioning), killing winsorizedStats/
+    // reliabilityCurve there; defaultParallelism is the honest fallback
+    // if even SQLConf cannot resolve the string.
+    val p = scala.util.Try(
+        org.apache.spark.sql.graftshim.ConfAccess.numShufflePartitions(spark))
+      .getOrElse(spark.sparkContext.defaultParallelism)
     // pin the input: RangePartitioner samples in a separate pass, an
     // unpinned input would execute twice (the rangeDenseRank doctrine)
     val pinnedIn = Dedup.truncateLineage(sel)
@@ -110,6 +117,10 @@ object Profile {
     // one materialization read by BOTH consumers (ranks + offsets), so
     // they cannot see different range boundaries
     val pinned = Dedup.truncateLineage(withLr)
+    // truncateLineage is EAGER — pinned now holds the rows, so the input
+    // pin's corpus-sized blocks are dead weight from here on (the r10
+    // storage-accumulation finding: two never-released pins per call)
+    releasePin(pinnedIn)
     val offs = pinned.groupBy(col("wz_pid"), col("g"))
       .agg(max(col("wz_lr")).as("nk")).collect()
       .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
@@ -133,8 +144,21 @@ object Profile {
     val ranked = pinned.join(broadcast(offDf), Seq("wz_pid", "g"))
       .withColumn("rn", col("wz_lr") + col("wz_off"))
       .drop("wz_pid", "wz_lr", "wz_off")
-    (ranked, cntDf)
+    (ranked, cntDf, () => releasePin(pinned))
   }
+
+  /** Release a [[Dedup.truncateLineage]] pin's storage blocks. The
+    * checkpointed rows live in the LogicalRDD's persisted RDD —
+    * localCheckpoint registers no CacheManager entry, so a plain
+    * df.unpersist() would be a silent no-op (the r10 finding: every
+    * rangeGroupRowNumbers call left two corpus-sized pins in the block
+    * manager for the session's lifetime). Reliable-checkpoint pins pass
+    * through harmlessly (unpersist of a non-persisted RDD is a no-op;
+    * their files are cleaned by the checkpoint dir's own lifecycle). */
+  private def releasePin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** Per-group WINSORIZED statistics: clamp `value` to its group's
     * [pLo, pHi] exact interpolated percentiles and report the before/
@@ -162,7 +186,7 @@ object Profile {
                       pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val sel = df.select(col(group).as("g"), col(value).cast("double").as("v"))
-    val (ranked, cntDf) = rangeGroupRowNumbers(sel)
+    val (ranked, cntDf, release) = rangeGroupRowNumbers(sel)
     val withN = ranked.join(broadcast(cntDf), "g")
     // pos is 1-based: 1 + p*(n-1); keep floor and ceil ranks only
     def pos(p: Double) = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
@@ -181,9 +205,18 @@ object Profile {
     def isBracket(p: Double) =
       col("rn") === floor(pos(p)).cast("long") ||
         col("rn") === ceil(pos(p)).cast("long")
-    val thresholds = withN.filter(isBracket(pLo) || isBracket(pHi))
+    val thresholds0 = withN.filter(isBracket(pLo) || isBracket(pHi))
       .groupBy(col("g"))
       .agg(interp(pLo).as("t_lo"), interp(pHi).as("t_hi"))
+    // the per-group threshold relation is the ONLY thing downstream
+    // reads from the ranked pass: pin it (eager, |groups| rows — the
+    // same cardinality class as the offsets pull above) and release the
+    // two corpus-sized rank pins NOW, instead of leaking them for the
+    // session lifetime (the r10 storage-accumulation finding). The
+    // returned plan reads sel + this small pin; the ContextCleaner
+    // reclaims its blocks once the caller drops the DataFrame.
+    val thresholds = Dedup.truncateLineage(thresholds0)
+    release()
     val clipped = sel
       .join(thresholds, "g")
       .withColumn("w", least(greatest(col("v"), col("t_lo")), col("t_hi")))
@@ -283,8 +316,8 @@ object Profile {
     require(buckets >= 2, "need at least two buckets")
     val sel = df.select(lit(0).as("g"), struct(score, id).as("v"),
       score.cast("long").as("s"), label.cast("int").as("y"))
-    val (ranked, cntDf) = rangeGroupRowNumbers(sel)
-    ranked.join(broadcast(cntDf), "g")
+    val (ranked, cntDf, release) = rangeGroupRowNumbers(sel)
+    val out0 = ranked.join(broadcast(cntDf), "g")
       .withColumn("bucket", expr(s"((rn - 1) * $buckets) div n"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
@@ -295,6 +328,13 @@ object Profile {
           col("n_docs").cast("double")).as("mean_score"),
         graft.Tables.r6(col("n_pos").cast("double") /
           col("n_docs").cast("double")).as("pos_rate"))
+    // the report is ≤ `buckets` rows: pin it eagerly and release the
+    // corpus-sized rank pins here, instead of leaking them until the
+    // session dies (the r10 storage-accumulation finding). Eagerness is
+    // native to this operator — the rank pass already ran jobs.
+    val out = Dedup.truncateLineage(out0)
+    release()
+    out
   }
 
   /** K-ANONYMITY annotation over quasi-identifier columns — the release
@@ -382,7 +422,7 @@ object Profile {
     * char-collision (gibberish) score, one row per source. A composition
     * showcase: every signal reuses an audited kernel (wsTokenCount,
     * graft_char_stats, the q42 md5 dup grouping) in ONE doc-level
-    * projection + one corpus-wide md5 join + one final aggregate.
+    * projection + one count-over-md5 exchange + one final aggregate.
     *
     * Exactness: counts and token sums are longs; mean_chars and shares
     * are single divides of exact longs; mean_collision averages the
@@ -391,14 +431,17 @@ object Profile {
     * sums, one divide — never an order-dependent double sum (the
     * winsorize lesson). All outputs nonnegative.
     *
-    * Scale: the md5 group-join is the q42 exact-dedup shuffle (hash of
-    * text, narrow rows); everything else is map-side combinable per
-    * source. */
+    * Scale: the dup count is count(*) OVER (PARTITION BY md5) — md5 is
+    * a maximal-cardinality key, so the window's per-group serialization
+    * (the reason this repo usually prefers joins) is groups of dup
+    * multiplicity ≈ 1-2 rows: full parallelism, ONE text scan and ONE
+    * exchange on the hash. (The pre-r12 form md5-scanned `docs` twice —
+    * once for a group-count relation, once for the projection that
+    * joined it — while the scaladoc claimed one projection + one join.)
+    * Everything else is map-side combinable per source. */
   def dataCard(docs: DataFrame, source: String, lang: String,
                nChars: String, text: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val hCounts = docs.groupBy(md5(col(text)).as("h"))
-      .agg(count(lit(1)).as("hc"))
     val cs = TextAnalysis.charStats(col(text))
     val n = element_at(cs, 1)
     val perDoc = docs.select(col(source).as("g"), col(lang).as("l"),
@@ -408,7 +451,8 @@ object Profile {
         when(n > 0, round(element_at(cs, 2).cast("double") /
           (n.cast(dec) * n).cast("double") * 1000000.0).cast("long"))
           .as("cmicro"))
-      .join(hCounts, "h")
+      .withColumn("hc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
     perDoc.groupBy(col("g").as(source))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).as("n_tokens"),

@@ -499,9 +499,9 @@ object SimilaritySearch {
     * degraded recall with no error. assert_true fuses into whichever
     * scan carries it (no extra pass, no driver action); null on success
     * so `.filter(_.isNull)` keeps every valid row and cannot be pruned. */
-  private def pqDivisibleGuard(m: Int): Column =
-    assert_true(size(col("embedding")) % m === 0,
-      concat(lit(s"PQ: embedding dimension "), size(col("embedding")).cast("string"),
+  private def pqDivisibleGuard(m: Int, v: Column = col("embedding")): Column =
+    assert_true(size(v) % m === 0,
+      concat(lit(s"PQ: embedding dimension "), size(v).cast("string"),
         lit(s" is not divisible by m=$m subspaces — the trailing dims would" +
           " be silently dropped; pick m | d or pad the vectors")))
 
@@ -624,27 +624,64 @@ object SimilaritySearch {
       .cast("double"))
   }
 
-  /** IVF + PQ/ADC — the FAISS "IVFADC" layout, the architecture every
-    * billion-vector ANN service actually deploys: a coarse quantizer
-    * (sign-bucket Voronoi cells, the q48b machinery) shortlists nprobe
-    * cells per query, and the ADC table walk scores ONLY those cells'
-    * members. [[pqTopK]]'s cross join touches every corpus code per
-    * query — right for auditing PQ itself, wrong at a billion vectors;
-    * here the scoring join is an EQUI join on the cell id, so per-query
-    * candidate volume is the probed fraction (nprobe/2^coarseBits of
-    * the corpus, in expectation) and the corpus side shuffles once on a
-    * high-cardinality key. Codes and coarse cell are computed in ONE
-    * row-local corpus pass (broadcast codebook — the corpus is never
-    * shuffled to be coded). Probe ranking and ADC scoring reuse the
-    * audited q48b/q147 constructions unchanged, so the oracle is their
-    * composition. */
+  /** IVF + PQ/ADC over RESIDUALS — the FAISS "IVFADC" layout (Jégou et
+    * al. 2011 §IV), the architecture every billion-vector ANN service
+    * actually deploys: a coarse quantizer (sign-bucket Voronoi cells,
+    * the q48b machinery) shortlists nprobe cells per query, and the ADC
+    * table walk scores ONLY those cells' members — through codebooks
+    * trained on the RESIDUAL r = x − centroid(cell(x)), not the raw
+    * vector. Residuals matter: within a cell the data is centered, so
+    * the same m·2^signBits code budget spends its precision on the
+    * local displacement instead of re-encoding the cell's global
+    * offset — PqRecallSpec measures recall@k strictly above the
+    * raw-vector variant at tight nprobe. The query side mirrors it:
+    * each (query, probed cell) pair builds its OWN LUT from the
+    * query's residual against that cell's centroid, so the LUT
+    * relation is |Q|·nprobe rows keyed by cell id.
+    *
+    * Scale shape: [[pqTopK]]'s cross join touches every corpus code
+    * per query — right for auditing PQ itself, wrong at a billion
+    * vectors; here the scoring join is an EQUI join on the cell id, so
+    * per-query candidate volume is the probed fraction
+    * (nprobe/2^coarseBits of the corpus, in expectation) and the
+    * corpus side shuffles once on the cid key. Codes, coarse cell, and
+    * residual are computed in ONE row-local corpus pass (broadcast
+    * centroids + codebook — the corpus is never shuffled to be coded).
+    * The LUT attach is BYTE-GATED like every other potentially-
+    * unbounded small side in the library (the q70/q120 doctrine):
+    * |Q|·nprobe·m·2^signBits doubles under `broadcastBudgetBytes` →
+    * broadcast; over → SHUFFLE_HASH on cid (the corpus side shuffles
+    * on cid either way at that volume). At 10k queries × nprobe 8 ×
+    * 16 KB LUTs the relation is ~1.3 GB — the pre-r12 unconditional
+    * broadcast was a driver OOM; the gate makes the 100 TB shape the
+    * shuffle one while both physical plans share one oracle (q170 /
+    * q170b — the gate cannot change answers).
+    *
+    * `encodeResiduals = false` keeps the raw-vector IVF+PQ layout
+    * (same plumbing, identity "residual") — it exists for the recall
+    * A/B in PqRecallSpec and as the honest name for what the pre-r12
+    * version computed. Probe ranking and ADC scoring reuse the audited
+    * q48b/q147 constructions, so the oracle is their composition. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, m: Int,
-                signBits: Int, coarseBits: Int, nprobe: Int,
-                k: Int): DataFrame = {
+                signBits: Int, coarseBits: Int, nprobe: Int, k: Int,
+                encodeResiduals: Boolean = true,
+                broadcastBudgetBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val kCells = 1 << signBits
-    val cb = pqCodebooks(corpus, m, signBits)
+    val cents = ivfCentroids(corpus, coarseBits)
+    def residual(v: Column): Column =
+      if (encodeResiduals)
+        zip_with(v, col("centroid"), (x, c) => x.cast("double") - c)
+      else transform(v, x => x.cast("double"))
+    // Residual corpus view: cid is a row-local sign fold, the
+    // ≤2^coarseBits centroid relation broadcasts, and the float→double
+    // cast is exact — one corpus pass, no shuffle before the cid join.
+    val res = corpus.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), coarseBits).as("cid"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("cid"), residual(col("embedding")).as("embedding"))
+    val cb = pqCodebooks(res, m, signBits) // trained on residuals
     val packedSub = packCodebooksBySub(cb)
-    val enc = corpus.select(col("vec_id"), col("embedding"))
+    val enc = res
       .filter(pqDivisibleGuard(m).isNull)
       .crossJoin(broadcast(packedSub))
       .withColumn("w", size(col("embedding")) / m)
@@ -652,34 +689,43 @@ object SimilaritySearch {
         call_function("graft_pq_argmin",
           slice(col("embedding"), s * col("w") + 1, col("w")),
           element_at(col("scb"), s + 1))))
-      .select(col("vec_id"), col("codes"),
-        signBucket(col("embedding"), coarseBits).as("cid"))
-    val cents = ivfCentroids(corpus, coarseBits)
+      .select(col("vec_id"), col("codes"), col("cid"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cid"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("cid"),
+      .select(col("query_id"), col("qv"), col("cid"),
         r6(dot(col("qv"), col("centroid")) /
           (l2norm(col("qv")) * l2norm(col("centroid")))).as("csim"))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("cid"))
+      .select(col("query_id"), col("qv"), col("cid"))
+    // Per-(query, probed cell) residual LUT — |Q|·nprobe rows.
     val packedDense = packCodebooksDense(cb, kCells)
-    val qlut = queries.select(col("vec_id").as("query_id"), col("embedding"))
-      .filter(pqDivisibleGuard(m).isNull)
+    val qlut = probes
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("query_id"), col("cid"), residual(col("qv")).as("qres"))
+      .filter(pqDivisibleGuard(m, col("qres")).isNull)
       .crossJoin(broadcast(packedDense))
-      .withColumn("w", size(col("embedding")) / m)
+      .withColumn("w", size(col("qres")) / m)
       .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s =>
         call_function("graft_pq_sub_dists",
-          slice(col("embedding"), s * col("w") + 1, col("w")),
+          slice(col("qres"), s * col("w") + 1, col("w")),
           element_at(col("dcb"), s + 1))))
-      .select(col("query_id"), col("lut"))
+      .select(col("query_id"), col("cid"), col("lut"))
+    // ONE 1-row sizing count (q70 doctrine): the LUT relation's bytes
+    // are |Q|·nprobe · (m·2^signBits doubles + row overhead) — exactly
+    // computable from the query count, no sampling needed. The gate
+    // steers the physical strategy only, never the answer.
+    val nQ = queries.select(col("vec_id")).count()
+    val lutBytes = nQ * nprobe.toLong * (m.toLong * kCells * 8L + 64L)
+    val scored =
+      if (lutBytes <= broadcastBudgetBytes) enc.join(broadcast(qlut), Seq("cid"))
+      else enc.join(qlut.hint("SHUFFLE_HASH"), Seq("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    broadcast(probes.join(qlut, "query_id"))
-      .join(enc, Seq("cid"))
+    scored
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist", adcScore(m))
       .withColumn("rank", row_number().over(w))

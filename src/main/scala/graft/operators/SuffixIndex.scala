@@ -47,6 +47,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  */
 object SuffixIndex {
 
+  /** Default [[build]] segment cap: 2^16 tokens. The doubling-round count
+    * is ⌈log2 maxDocLen⌉ over the WHOLE corpus position table, so one
+    * unread-the-scaladoc 10M-token document used to force ~24 corpus-wide
+    * rounds on every caller of the uncapped default (the r10/r11 carryover
+    * hazard). 65536 tokens ≈ a 300-page book: repeats inside a segment
+    * stay exact, a repeat longer than 65k tokens is reported truncated at
+    * the boundary — an acceptance Lee et al. 2022 ship at the same order
+    * of magnitude. Pass capTokens = 0 for the uncapped build when the
+    * corpus is known-bounded and whole-doc suffix identity matters. */
+  val DefaultCapTokens: Int = 1 << 16
+
   /** Rank tables from one build: `ranks` = (d, p, r) final suffix ranks
     * (dense; ties = genuinely equal suffixes), `levels` = (h, table) for
     * h = 1, 2, 4, … — level h ranks compare suffix prefixes of length h
@@ -141,7 +152,8 @@ object SuffixIndex {
   /** Build the index: O(⌈log2 maxDocLen⌉) doubling rounds. Early exit when
     * every rank is unique (all suffixes distinguished).
     *
-    * `capTokens` (0 = uncapped) SEGMENTS giant documents: the round count
+    * `capTokens` (default [[DefaultCapTokens]] = 2^16; 0 = uncapped)
+    * SEGMENTS giant documents: the round count
     * is ⌈log2 maxDocLen⌉ over the WHOLE corpus position table, so one
     * pathological 10M-token document forces ~24 corpus-wide doubling
     * rounds on everyone. With a cap, suffix comparison is cut at the
@@ -156,7 +168,7 @@ object SuffixIndex {
     * (every suffix's doc-end cut lands before its segment cut —
     * spec-pinned). */
   def build(docs: DataFrame, id: String, text: String,
-            capTokens: Int = 0): Tables = {
+            capTokens: Int = DefaultCapTokens): Tables = {
     require(capTokens >= 0, "capTokens must be >= 0 (0 = uncapped)")
     val toks = tokenStream(docs, id, text)
     // 1-row sizing pull (sanctioned): longest doc bounds the rounds; total
@@ -200,7 +212,7 @@ object SuffixIndex {
     * the token suffix starting at pos among ALL corpus suffixes (capped at
     * the segment boundary when `capTokens` > 0, see [[build]]). */
   def suffixRanks(docs: DataFrame, id: String, text: String,
-                  capTokens: Int = 0): DataFrame =
+                  capTokens: Int = DefaultCapTokens): DataFrame =
     build(docs, id, text, capTokens).ranks
       .select(col("d").as(id), col("p").cast("long").as("pos"), col("r").as("srank"))
 
@@ -240,7 +252,7 @@ object SuffixIndex {
     * almost nothing), exactly the tail the r9 plan audit flagged. */
   def crossDocRepeats(docs: DataFrame, id: String, text: String,
                       minLen: Int = 3, topK: Int = 10,
-                      capTokens: Int = 0): DataFrame = {
+                      capTokens: Int = DefaultCapTokens): DataFrame = {
     val t = build(docs, id, text, capTokens)
     val lens = docs.select(col(id).as("d"), size(split(col(text), " ")).as("len"))
     // total order (r, d, p) -> srow; keys are unique so dense rank = row number

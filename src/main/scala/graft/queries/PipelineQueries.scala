@@ -1711,14 +1711,28 @@ object PipelineQueries extends QueryPack {
     }),
 
     // ---- IVF + PQ/ADC (the FAISS IVFADC layout): coarse sign-bucket
-    // cells shortlist nprobe lists per query; the ADC walk scores only
-    // their members through an EQUI join on the cell id — the
+    // cells shortlist nprobe lists per query; PQ codebooks are trained
+    // on RESIDUALS r = x − centroid(cell), and the ADC walk scores only
+    // probed cells' members through an EQUI join on the cell id — the
     // billion-vector architecture, composed from the audited q48b probe
-    // and q147b dense-LUT constructions.
+    // and q147b dense-LUT constructions. The LUT attach is byte-gated;
+    // at this |Q| the gate picks broadcast.
     "q170_ann_ivfpq" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
           8, 8, 4, 4, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- The q170 pipeline with the LUT broadcast budget forced to 0:
+    // the SHUFFLE_HASH-on-cid attach — the physical plan that runs at
+    // production query counts (10k queries × nprobe 8 ≈ 1.3 GB of LUTs,
+    // over any broadcast budget). Shares q170's oracle verbatim: the
+    // gate steers strategy, never answers (the q44/q44b doctrine).
+    "q170b_ann_ivfpq_shuffle" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+          8, 8, 4, 4, 5, broadcastBudgetBytes = 0L)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3896,6 +3910,11 @@ object PipelineQueries extends QueryPack {
     "q170_ann_ivfpq" -> ivfPqOracle(m = 8, w = 8, signBits = 8, topK = 5,
       coarseBits = 4, nprobe = 4),
 
+    // q170's forced-shuffle twin shares the oracle VERBATIM — the byte
+    // gate picks a physical strategy, never an answer.
+    "q170b_ann_ivfpq_shuffle" -> ivfPqOracle(m = 8, w = 8, signBits = 8,
+      topK = 5, coarseBits = 4, nprobe = 4),
+
     // Three class-size relations + a first-passing-level CASE; counts
     // only, no float beyond none.
     "q171_k_generalize" ->
@@ -3946,8 +3965,14 @@ object PipelineQueries extends QueryPack {
   /** The shared PQ chain (codebooks → per-sub distances → codes), used
     * by pqOracle and ivfPqOracle so the two cannot diverge. */
   private def pqChainCtes(m: Int, w: Int, signBits: Int): String =
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-       |sub AS (SELECT vec_id, sub, list_slice(embedding, sub*$w+1, sub*$w+$w) AS sv
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings),\n" +
+      pqChainBody(m, w, signBits)
+
+  /** The PQ chain from `sub` onward (no WITH, no base CTE), so
+    * [[ivfPqOracle]] can run the IDENTICAL text over a residual base
+    * while q147/q147b keep the raw-embedding base. */
+  private def pqChainBody(m: Int, w: Int, signBits: Int): String =
+    s"""sub AS (SELECT vec_id, sub, list_slice(embedding, sub*$w+1, sub*$w+$w) AS sv
        |        FROM base, unnest(generate_series(0, ${m - 1})) AS s(sub)),
        |bkt AS (SELECT vec_id, sub, sv,
        |               (SELECT CAST(sum(CASE WHEN sv[j+1] > 0
@@ -4001,32 +4026,43 @@ object PipelineQueries extends QueryPack {
     pqChainCtes(m, w, signBits) + ",\n" +
       adcFinal(topK, "", "lq.vec_id < 10")
 
-  /** IVF+PQ oracle: the q147 PQ chain + the q48b coarse-probe chain,
-    * with the ADC walk restricted to candidates in the query's nprobe
-    * probed cells. */
+  /** IVF+PQ (IVFADC) oracle: coarse cells + centroids from the raw
+    * embeddings (the q48b chain), the q147 PQ chain run verbatim over
+    * the RESIDUAL base r = x − centroid(cell(x)), probes by cosine
+    * against the coarse centroids, and the ADC walk scored from the
+    * query's PER-PROBED-CELL residual LUT, restricted to candidates in
+    * the probed cells — the composition IS the oracle. */
   private def ivfPqOracle(m: Int, w: Int, signBits: Int, topK: Int,
-                          coarseBits: Int, nprobe: Int): String =
-    pqChainCtes(m, w, signBits) + ",\n" +
-      s"""cc AS (SELECT vec_id,
-         |       (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0
-         |                THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-         |        FROM unnest(generate_series(0, ${coarseBits - 1})) AS t(j)) AS ccid
-         |       FROM base),
-         |ccent AS (SELECT ccid, j AS pos,
-         |          CAST(sum(CAST(CAST(b.embedding[j+1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-         |            / count(*) AS c
-         |          FROM base b JOIN cc USING (vec_id),
-         |               unnest(generate_series(0, 63)) AS t(j)
-         |          GROUP BY ccid, j),
-         |ccent_arr AS (SELECT ccid, array_agg(c ORDER BY pos) AS centroid
-         |              FROM ccent GROUP BY ccid),
-         |ccent_n AS (SELECT ccid, centroid,
-         |            sqrt((SELECT sum(x*x) FROM unnest(centroid) AS u(x))) AS cnrm
-         |            FROM ccent_arr),
-         |qn AS (SELECT vec_id, embedding,
+                          coarseBits: Int, nprobe: Int): String = {
+    val d = m * w
+    s"""WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+       |cc AS (SELECT vec_id,
+       |       (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0
+       |                THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |        FROM unnest(generate_series(0, ${coarseBits - 1})) AS t(j)) AS ccid
+       |       FROM raw),
+       |ccent AS (SELECT ccid, j AS pos,
+       |          CAST(sum(CAST(CAST(b.embedding[j+1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+       |            / count(*) AS c
+       |          FROM raw b JOIN cc USING (vec_id),
+       |               unnest(generate_series(0, ${d - 1})) AS t(j)
+       |          GROUP BY ccid, j),
+       |ccent_arr AS (SELECT ccid, array_agg(c ORDER BY pos) AS centroid
+       |              FROM ccent GROUP BY ccid),
+       |ccent_n AS (SELECT ccid, centroid,
+       |            sqrt((SELECT sum(x*x) FROM unnest(centroid) AS u(x))) AS cnrm
+       |            FROM ccent_arr),
+       |base AS (SELECT r.vec_id,
+       |         list_transform(range(1, ${d + 1}),
+       |           j -> CAST(r.embedding[j] AS DOUBLE) - ca.centroid[j]) AS embedding
+       |         FROM raw r JOIN cc USING (vec_id)
+       |                    JOIN ccent_arr ca ON ca.ccid = cc.ccid),
+       |""".stripMargin +
+      pqChainBody(m, w, signBits) + ",\n" +
+      s"""qn AS (SELECT vec_id, embedding,
          |       sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
          |             FROM unnest(embedding) AS u(x))) AS nrm
-         |       FROM base WHERE vec_id < 10),
+         |       FROM raw WHERE vec_id < 10),
          |probe_flat AS (SELECT q.vec_id AS query_id, q.nrm AS nq, ca.ccid, ca.cnrm,
          |               unnest(q.embedding) AS x1, unnest(ca.centroid) AS x2
          |               FROM qn q, ccent_n ca),
@@ -4039,10 +4075,34 @@ object PipelineQueries extends QueryPack {
          |           SELECT query_id, ccid,
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY csim DESC, ccid) AS prank
-         |           FROM probe_score) WHERE prank <= $nprobe),""".stripMargin + "\n" +
-      adcFinal(topK,
-        "JOIN cc ON cc.vec_id = cd.vec_id\n        JOIN probes p ON p.ccid = cc.ccid",
-        "lq.vec_id = p.query_id")
+         |           FROM probe_score) WHERE prank <= $nprobe),
+         |qres AS (SELECT p.query_id, p.ccid,
+         |         list_transform(range(1, ${d + 1}),
+         |           j -> CAST(q.embedding[j] AS DOUBLE) - ca.centroid[j]) AS rv
+         |         FROM probes p JOIN raw q ON q.vec_id = p.query_id
+         |                       JOIN ccent_arr ca ON ca.ccid = p.ccid),
+         |qsub AS (SELECT query_id, ccid, sub, list_slice(rv, sub*$w+1, sub*$w+$w) AS sv
+         |         FROM qres, unnest(generate_series(0, ${m - 1})) AS s(sub)),
+         |qed AS (SELECT q.query_id, q.ccid, q.sub, c.cid,
+         |        round(list_sum(list_transform(range(1, ${w + 1}),
+         |              j -> (q.sv[j] - c.centroid[j]) * (q.sv[j] - c.centroid[j])))
+         |              *1000000.0)/1000000.0 AS d
+         |        FROM qsub q JOIN cb c USING (sub)),
+         |adc AS (SELECT lq.query_id, cd.vec_id AS cand_id,
+         |               round(CAST(sum(CAST(lq.d AS DECIMAL(28,6))) AS DOUBLE)
+         |                     *1000000.0)/1000000.0 AS adist
+         |        FROM codes cd
+         |        JOIN cc ON cc.vec_id = cd.vec_id
+         |        JOIN qed lq ON lq.ccid = cc.ccid AND lq.sub = cd.sub
+         |                   AND lq.cid = cd.cid AND lq.query_id <> cd.vec_id
+         |        GROUP BY lq.query_id, cd.vec_id)
+         |SELECT query_id, rank, cand_id, adist FROM (
+         |  SELECT query_id, cand_id, adist,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY adist, cand_id) AS INT) AS rank
+         |  FROM adc) WHERE rank <= $topK
+         |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q151 oracle: rebuild the script fixture with chr(), then mirror
     * scriptMix's length-difference counts, fixed-priority dominant, and

@@ -21,3 +21,13 @@ object SessionClone {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
+
+/** Access shim for `SparkSession.sessionState` (`private[sql]`): the
+  * RESOLVED shuffle-partition count. `conf.get("spark.sql.shuffle.
+  * partitions").toInt` throws on the non-numeric values managed
+  * platforms set ("auto" under AQE-managed partitioning); SQLConf
+  * resolves those to the effective integer. */
+object ConfAccess {
+  def numShufflePartitions(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+}

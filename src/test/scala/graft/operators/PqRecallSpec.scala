@@ -107,4 +107,71 @@ class PqRecallSpec extends AnyFunSuite {
     assert(got(1L) === 256.0)
     assert(got(2L) === 320.0)
   }
+
+  /** Deterministic clustered corpus: 2^coarseBits clusters whose centers
+    * differ by forced sign bits (so signBucket separates them cleanly)
+    * plus large per-cluster offsets in every dim; members add small
+    * deterministic jitter. This is the data shape where IVFADC's
+    * residual encoding EXISTS: raw-vector codebooks spend their cells
+    * re-encoding the between-cluster offsets, residual codebooks spend
+    * them all on the within-cluster displacement. (The sf fixture's
+    * UNIFORM vectors have no cluster structure, so residual-vs-raw is
+    * noise there — ±0.02 across geometries, measured r12.) */
+  private def clustered(n: Int, d: Int, coarseBits: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nClusters = 1 << coarseBits
+    (0 until n).map { i =>
+      val c = i % nClusters
+      val v = Array.tabulate(d) { j =>
+        val base = if (j < coarseBits) { if (((c >> j) & 1) == 1) 1.0f else -1.0f }
+                   else ((c * 13 + j * 7) % 11 - 5) * 0.3f
+        base + (((i / nClusters) * 31 + j * 17) % 7 - 3) * 0.03f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVFADC residual encoding strictly beats raw-vector IVF+PQ at tight nprobe") {
+    val corpus = clustered(400, 64, 3)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val k = 5
+    val exact = pairs(exactL2TopK(queries, corpus, k))
+    for (nprobe <- Seq(1, 2)) {
+      val res = pairs(SimilaritySearch.ivfPqTopK(queries, corpus, 8, 4, 3, nprobe, k))
+      val raw = pairs(SimilaritySearch.ivfPqTopK(queries, corpus, 8, 4, 3, nprobe, k,
+        encodeResiduals = false))
+      val rRes = (res & exact).size.toDouble / exact.size
+      val rRaw = (raw & exact).size.toDouble / exact.size
+      info(f"recall@$k nprobe=$nprobe: residual=$rRes%.3f raw=$rRaw%.3f")
+      // measured r12: residual 1.000 vs raw 0.110 at both nprobe values —
+      // the gap is the whole point of the IVFADC layout, not a nit
+      assert(rRes > rRaw,
+        f"residual recall $rRes%.3f not strictly above raw $rRaw%.3f at nprobe=$nprobe")
+      assert(rRes >= 0.9, f"residual recall $rRes%.3f (measured 1.000)")
+    }
+  }
+
+  test("ivfPqTopK LUT attach is byte-gated: forced-shuffle plan, identical answers") {
+    val corpus = clustered(400, 64, 3)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val gated = SimilaritySearch.ivfPqTopK(queries, corpus, 8, 4, 3, 2, 5)
+    val forced = SimilaritySearch.ivfPqTopK(queries, corpus, 8, 4, 3, 2, 5,
+      broadcastBudgetBytes = 0L)
+    // budget 0 → the |Q|·nprobe LUT relation must NOT broadcast: the
+    // attach is a SHUFFLE_HASH equi join on cid (the pre-r12 version
+    // broadcast it unconditionally — a ~1.3 GB driver OOM at 10k
+    // queries × nprobe 8)
+    val forcedPlan = forced.queryExecution.executedPlan.toString
+    assert(forcedPlan.contains("ShuffledHashJoin"),
+      s"forced variant lost its shuffle attach:\n$forcedPlan")
+    // 20 queries × nprobe 2 × (8·16 doubles + overhead) ≈ 44 KB — under
+    // the default budget, so the gate picks broadcast there
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    assert(gatedPlan.contains("BroadcastHashJoin"),
+      s"gated variant at tiny |Q| should broadcast the LUT attach:\n$gatedPlan")
+    // the gate steers strategy, never answers
+    val a = gated.collect().map(_.toSeq).toSet
+    val b = forced.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }

@@ -131,9 +131,25 @@ class SuffixIndexSpec extends AnyFunSuite {
       .suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text", capTokens = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val uncapped = SuffixIndex
-      .suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text", capTokens = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(capped === uncapped)
+  }
+
+  test("the DEFAULT build is capped at 2^16 — uncapped is the explicit opt-out") {
+    import spark.implicits._
+    // r10-r12 carryover: capTokens used to default to 0/uncapped, so one
+    // 10M-token document cost a caller who didn't read the scaladoc ~24
+    // corpus-wide doubling rounds. The default is now the documented cap;
+    // docs under it build byte-identically (test above), so q143/q144
+    // oracles are unchanged.
+    assert(SuffixIndex.DefaultCapTokens === 65536)
+    val docs = Seq(1L -> "a b a", 2L -> "b a b").toDF("doc_id", "text")
+    val t = SuffixIndex.build(docs, "doc_id", "text")
+    try {
+      assert(t.ranks.count() === 6L)
+      assert(t.capTokens === SuffixIndex.DefaultCapTokens)
+    } finally t.close()
   }
 
   test("capped crossDocRepeats truncates a boundary-crossing repeat at the segment") {
