@@ -9,6 +9,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
+    TpchQueries,
     ExpressionQueries,
     WindowQueries,
     EventQueries,

@@ -459,4 +459,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(4000))
     assert(p.contains("rangepartitioning"), p.take(4000))
   }
+
+  test("TPC-H 2..22 gates: no CartesianProduct; nested-loop joins only against literal-sized sides") {
+    // the derived-partsupp CTE (scount: 1 row, sgen: 4 rows) legitimately
+    // plans CROSS JOINs as BroadcastNestedLoopJoin with an O(1)-row build
+    // side — any OTHER nested-loop (or a true cartesian) in these shapes
+    // would be a data-sized blowup at 100 TB
+    for (name <- Seq("q_tpch_02", "q_tpch_04", "q_tpch_07", "q_tpch_08",
+                     "q_tpch_09", "q_tpch_11", "q_tpch_12", "q_tpch_15",
+                     "q_tpch_16", "q_tpch_17", "q_tpch_19", "q_tpch_20",
+                     "q_tpch_21", "q_tpch_22")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(3000)}")
+      val nPartsupp = Seq("q_tpch_02", "q_tpch_09", "q_tpch_11", "q_tpch_16",
+        "q_tpch_20").count(_ == name)
+      if (nPartsupp == 0)
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n${p.take(3000)}")
+    }
+    // EXISTS / NOT EXISTS / IN must plan as semi/anti joins, not subplans
+    assert(plan("q_tpch_04").contains("LeftSemi"))
+    assert(plan("q_tpch_21").contains("LeftSemi"))
+    assert(plan("q_tpch_21").contains("LeftAnti"))
+    assert(plan("q_tpch_22").contains("LeftAnti"))
+    assert(plan("q_tpch_16").contains("LeftAnti")) // NOT IN → null-aware anti
+  }
 }
