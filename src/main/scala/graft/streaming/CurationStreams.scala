@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables.r6
-import graft.operators.{Decontamination, Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, SimilaritySearch, TextAnalysis, UrlOps}
 
 /**
  * Streaming curation built on STREAM-STATIC joins: an ingest stream of
@@ -128,5 +128,76 @@ object CurationStreams {
         (size(col("xgs")) + size(col("gs")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** One frontier URL after the robots gate (typed row for the stateful
+    * scheduling group function). */
+  final case class FrontierUrl(rid: Long, host: String, pri: Double)
+
+  /** One scheduled fetch: slot is the per-host fetch index (0-based,
+    * monotone ACROSS micro-batches), offset = slot · delaySeconds. */
+  final case class FrontierSlot(rid: Long, host: String, slot: Long,
+                                fetch_offset_s: Long)
+
+  /** Streaming CRAWL FRONTIER: a landing URL stream filtered against a
+    * static robots disallow-rule relation and politeness-scheduled per
+    * host — the production composition of the batch q158 (robots
+    * filter) and q169 (politeness schedule) tier, run while the crawl
+    * lands instead of after it.
+    *
+    * Two pieces, each the streaming re-shape of its batch twin:
+    *  - robots: a STREAM-STATIC LEFT ANTI join — the one join class the
+    *    other stream operators here don't exercise (semi: decontam;
+    *    inner: near-dup/semantic). Batch robotsFilter materializes a
+    *    blocked-id set and anti-joins on id (two passes over the
+    *    corpus-sized relation); on a stream the anti join runs directly
+    *    against (host, prefix) with the startsWith residual — same
+    *    detection set (a URL is dropped iff ≥1 rule matches), one pass,
+    *    append-mode legal. Rules relations are small (hosts × few
+    *    prefixes) — persist for long streams; Spark broadcasts per
+    *    micro-batch under its own sizing.
+    *  - politeness: the batch per-host row_number window is not
+    *    append-streamable; the stream keeps ONE LONG of state per host
+    *    (next free slot) in flatMapGroupsWithState and numbers each
+    *    batch's arrivals (priority DESC, id — the batch slot order)
+    *    from it, so slots stay dense and monotone across micro-batches
+    *    and no host is ever double-booked. State is
+    *    |active hosts| × 8 bytes — cardinality-bound exactly like the
+    *    batch window's parallelism argument (UrlOps.politenessSchedule
+    *    scaladoc); expire idle hosts with a state timeout upstream if
+    *    the frontier's host set is unbounded.
+    *
+    * Batch parity (spec-pinned): run on a STATIC frame, the operator
+    * equals robotsFilter → politenessSchedule row-for-row
+    * (flatMapGroupsWithState degrades to per-group iteration on batch
+    * inputs, state empty). */
+  def crawlFrontier(urls: DataFrame, id: String, url: String,
+                    priority: String, rules: DataFrame,
+                    delaySeconds: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val r = rules.select(col("host").as("r_host"), col("prefix").as("r_prefix"))
+    val allowed = urls.select(col(id).cast("long").as("rid"),
+        UrlOps.urlHost(col(url)).as("host"),
+        UrlOps.urlPath(col(url)).as("p"),
+        col(priority).cast("double").as("pri"))
+      .join(r, col("host") === col("r_host") &&
+        col("p").startsWith(col("r_prefix")), "left_anti")
+      .select(col("rid"), col("host"), col("pri"))
+    allowed.as[FrontierUrl](Encoders.product[FrontierUrl])
+      .groupByKey(_.host)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, it: Iterator[FrontierUrl],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val base = state.getOption.getOrElse(0L)
+          // per-host per-batch arrivals: bounded by the micro-batch, the
+          // sanctioned in-memory sort (the batch window sorts the same set)
+          val ordered = it.toIndexedSeq.sortBy(u => (-u.pri, u.rid))
+          state.update(base + ordered.size)
+          ordered.iterator.zipWithIndex.map { case (u, i) =>
+            FrontierSlot(u.rid, host, base + i, (base + i) * delaySeconds)
+          }
+      }(Encoders.scalaLong, Encoders.product[FrontierSlot])
+      .toDF()
   }
 }
