@@ -151,4 +151,47 @@ object Decontamination {
         col("p").getField("src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** SEMANTIC decontamination: training vectors within cosine `tau` of
+    * ANY eval-set vector — the embedding-space complement of the n-gram
+    * overlap above. Paraphrased or lightly-reworded test items share few
+    * 8-gram fingerprints but sit next to their source in embedding
+    * space; modern benchmark-decontamination stacks run BOTH detectors
+    * (n-gram for verbatim leakage, embedding for paraphrase leakage)
+    * and this is the second one.
+    *
+    * Shape: sign-LSH bucketed (the q48 machinery) — candidates share
+    * the first-`bits` sign bucket, then the exact codegen'd cosine
+    * verifies against `tau`. Bucketing, never all-pairs: per-bucket
+    * volume is |train|/2^bits × |eval|/2^bits in expectation, with the
+    * documented exact-bucket recall trade (q48 vs q48b) — production
+    * tau is high (near-copies), exactly where sign agreement is
+    * likeliest. The eval side is bounded by construction (a benchmark,
+    * not a corpus), so it broadcasts — the same small-side argument as
+    * the n-gram eval set of [[contaminationReport]].
+    *
+    * Output: one row per contaminated train vector with its
+    * BEST-matching eval item (max r6 cosine, smaller eval id on ties —
+    * the q47-family deterministic rank), which is what a review queue
+    * shows a human. */
+  def semanticContaminated(train: DataFrame, evalSet: DataFrame,
+                           bits: Int, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = evalSet.select(col("vec_id").as("eval_id"),
+      col("embedding").as("ev"),
+      SimilaritySearch.signBucket(col("embedding"), bits).as("b"))
+    val t = train.select(col("vec_id").as("train_id"),
+      col("embedding").as("tv"),
+      SimilaritySearch.signBucket(col("embedding"), bits).as("b"))
+    val w = Window.partitionBy(col("train_id"))
+      .orderBy(col("cosine").desc, col("eval_id"))
+    t.join(broadcast(e), Seq("b"))
+      .select(col("train_id"), col("eval_id"),
+        graft.Tables.r6(SimilaritySearch.cosine(col("tv"), col("ev")))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("cosine"))
+  }
 }

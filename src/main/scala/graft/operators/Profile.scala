@@ -465,4 +465,40 @@ object Profile {
         graft.Tables.r6(sum(col("cmicro")).cast("double") /
           (count(lit(1)) * 1000000L).cast("double")).as("mean_collision"))
   }
+
+  /** BINOMIAL-MECHANISM noised count release — the privacy tier after
+    * [[kAnonymityAnnotate]]'s suppression: small classes are withheld
+    * (n < k → released NULL), surviving counts carry centered
+    * Binomial(64, 1/2) noise (σ = 4), the integer-valued mechanism that
+    * approximates Gaussian noise for differentially-private releases
+    * (Dwork et al. 2006's binomial construction — release noise must be
+    * sampled, yet this engine's gates demand replayability, so the draw
+    * is PSEUDO-random from the group key + a caller seed: publish a new
+    * seed per release or this is a fixed perturbation, not fresh noise;
+    * the determinism is the oracle contract, the seed discipline is the
+    * caller's).
+    *
+    * The draw is exactly replayable cross-engine with NO float math and
+    * no ln (the repo's no-ln doctrine — libm log differs in the last ulp
+    * between engines): md5(group_key:seed) is byte-identical in both
+    * engines (the q42 doctrine), `translate` maps each of its first 16
+    * hex chars to that nibble's popcount digit, and the 16-digit sum is
+    * the Binomial(64, 1/2) draw; noise = draw − 32, released =
+    * max(n + noise, 0). One map-side-combinable count aggregate; the
+    * noise is a row-local projection over the |groups| relation. */
+  def noisedRelease(df: DataFrame, group: Column, k: Int, seed: String)
+    : DataFrame = {
+    require(k >= 1, s"suppression threshold k must be >= 1, got $k")
+    val pops = translate(
+      substring(md5(concat(col("group_key").cast("string"), lit(":" + seed))), 1, 16),
+      "0123456789abcdef", "0112122312232334")
+    val noise = (1 to 16).map(i => substring(pops, i, 1).cast("int"))
+      .reduce(_ + _) - lit(32)
+    df.groupBy(group.as("group_key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("group_key"),
+        when(col("n") < k, lit(null).cast("long"))
+          .otherwise(greatest(col("n") + noise, lit(0L))).as("released"),
+        (col("n") < k).cast("int").as("suppressed"))
+  }
 }

@@ -1736,6 +1736,26 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- Binomial-mechanism noised release: k-suppression + integer
+    // Binomial(64,1/2) noise from a seeded md5 popcount — the
+    // replayable DP-style release tier after q168/q171.
+    "q172_noised_release" -> ((s, dir) => {
+      Profile.noisedRelease(load(s, dir, "documents"),
+          concat(col("source"), lit(":"), col("lang")), 5, "r12")
+        .orderBy(col("group_key"))
+    }),
+
+    // ---- Semantic decontamination: train vectors within cosine tau of
+    // any eval vector, sign-LSH bucketed + exact verify — the
+    // embedding-space complement of q72's n-gram overlap.
+    "q173_semantic_decontam" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Decontamination.semanticContaminated(
+          emb.filter(col("vec_id") >= 25), emb.filter(col("vec_id") < 25),
+          6, 0.15)
+        .orderBy(col("train_id"))
+    }),
+
     // ---- Crawl politeness schedule: per-host fetch slots spaced
     // delaySeconds apart, high-priority (longer) pages first — the
     // frontier step between q158's robots filter and the fetchers. One
@@ -3914,6 +3934,56 @@ object PipelineQueries extends QueryPack {
     // gate picks a physical strategy, never an answer.
     "q170b_ann_ivfpq_shuffle" -> ivfPqOracle(m = 8, w = 8, signBits = 8,
       topK = 5, coarseBits = 4, nprobe = 4),
+
+    // md5 hex parity (the q42 doctrine) + translate popcount nibbles:
+    // the whole binomial draw is string/integer ops, no float, no ln.
+    "q172_noised_release" -> {
+      val popSum = (1 to 16)
+        .map(i => s"CAST(substr(pops, $i, 1) AS INT)").mkString(" + ")
+      s"""WITH g AS (SELECT source || ':' || lang AS group_key, count(*) AS n
+         |           FROM documents GROUP BY 1),
+         |h AS (SELECT group_key, n,
+         |        translate(substr(md5(group_key || ':r12'), 1, 16),
+         |                  '0123456789abcdef', '0112122312232334') AS pops
+         |      FROM g),
+         |z AS (SELECT group_key, n, ($popSum) - 32 AS noise FROM h)
+         |SELECT group_key,
+         |  CASE WHEN n < 5 THEN NULL
+         |       ELSE greatest(n + noise, 0) END AS released,
+         |  CAST(n < 5 AS INT) AS suppressed
+         |FROM z ORDER BY group_key""".stripMargin
+    },
+
+    // The q48 bucket+cosine chain with a train/eval split, threshold on
+    // the ROUNDED cosine (both engines filter the same value), best
+    // eval match per train vector (cosine DESC, eval_id tiebreak).
+    "q173_semantic_decontam" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+        |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          FROM unnest(generate_series(0, 5)) AS t(j)) AS b
+        |  FROM embeddings),
+        |pairs AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+        |                 t.embedding tv, e.embedding ev, t.nrm nt, e.nrm ne
+        |          FROM norms t JOIN norms e
+        |          ON t.b = e.b AND t.vec_id >= 25 AND e.vec_id < 25),
+        |dots AS (SELECT train_id, eval_id,
+        |                sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(nt) AS nt, any_value(ne) AS ne
+        |         FROM (SELECT train_id, eval_id, unnest(tv) AS x1,
+        |                      unnest(ev) AS x2, nt, ne FROM pairs)
+        |         GROUP BY train_id, eval_id),
+        |scored AS (SELECT train_id, eval_id,
+        |                  round(dot/(nt*ne)*1000000.0)/1000000.0 + 0.0 AS cosine
+        |           FROM dots
+        |           WHERE round(dot/(nt*ne)*1000000.0)/1000000.0 >= 0.15)
+        |SELECT train_id, eval_id, cosine FROM (
+        |  SELECT train_id, eval_id, cosine,
+        |         row_number() OVER (PARTITION BY train_id
+        |                            ORDER BY cosine DESC, eval_id) AS rn
+        |  FROM scored) WHERE rn = 1
+        |ORDER BY train_id""".stripMargin,
 
     // Three class-size relations + a first-passing-level CASE; counts
     // only, no float beyond none.
