@@ -167,15 +167,22 @@ object Decontamination {
     * documented exact-bucket recall trade (q48 vs q48b) — production
     * tau is high (near-copies), exactly where sign agreement is
     * likeliest. The eval side is bounded by construction (a benchmark,
-    * not a corpus), so it broadcasts — the same small-side argument as
-    * the n-gram eval set of [[contaminationReport]].
+    * not a corpus) — but "bounded" is not "small" when every row carries
+    * an embedding (1M eval vectors × 768 floats ≈ 3 GB), so the attach
+    * is byte-gated like every small side in this library: under
+    * `broadcastBudgetBytes` → broadcast (train side stays shuffle-free,
+    * the 100 TB plan); over → SHUFFLE_HASH on the bucket key, where the
+    * train side is already hashing (q72/q72b, the q170/q170b pattern).
+    * q173b forces the fallback and shares q173's oracle verbatim.
     *
     * Output: one row per contaminated train vector with its
     * BEST-matching eval item (max r6 cosine, smaller eval id on ties —
     * the q47-family deterministic rank), which is what a review queue
     * shows a human. */
   def semanticContaminated(train: DataFrame, evalSet: DataFrame,
-                           bits: Int, tau: Double): DataFrame = {
+                           bits: Int, tau: Double,
+                           broadcastBudgetBytes: Long = 256L * 1024 * 1024)
+    : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = evalSet.select(col("vec_id").as("eval_id"),
       col("embedding").as("ev"),
@@ -183,9 +190,17 @@ object Decontamination {
     val t = train.select(col("vec_id").as("train_id"),
       col("embedding").as("tv"),
       SimilaritySearch.signBucket(col("embedding"), bits).as("b"))
+    // 1-row sizing agg on the (bounded) eval side only — never the corpus:
+    // 4 B/float element + UnsafeArray header + row/bucket overhead per row.
+    val sz = e.agg(count(lit(1)), avg(size(col("ev")))).collect()(0)
+    val estBytes = sz.getLong(0) *
+      (4L * Option(sz.get(1)).fold(0L)(_ => sz.getDouble(1).toLong) + 96L)
+    val evalSide =
+      if (estBytes <= broadcastBudgetBytes) broadcast(e)
+      else e.hint("SHUFFLE_HASH")
     val w = Window.partitionBy(col("train_id"))
       .orderBy(col("cosine").desc, col("eval_id"))
-    t.join(broadcast(e), Seq("b"))
+    t.join(evalSide, Seq("b"))
       .select(col("train_id"), col("eval_id"),
         graft.Tables.r6(SimilaritySearch.cosine(col("tv"), col("ev")))
           .as("cosine"))

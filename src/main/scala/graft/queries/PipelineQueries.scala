@@ -1756,6 +1756,17 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("train_id"))
     }),
 
+    // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
+    // operator takes when the eval set's embeddings outgrow the
+    // broadcast budget. Shares q173's oracle verbatim.
+    "q173b_semantic_decontam_shuffle" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Decontamination.semanticContaminated(
+          emb.filter(col("vec_id") >= 25), emb.filter(col("vec_id") < 25),
+          6, 0.15, broadcastBudgetBytes = 1L)
+        .orderBy(col("train_id"))
+    }),
+
     // ---- Crawl politeness schedule: per-host fetch slots spaced
     // delaySeconds apart, high-priority (longer) pages first — the
     // frontier step between q158's robots filter and the fetchers. One
@@ -3957,33 +3968,9 @@ object PipelineQueries extends QueryPack {
     // The q48 bucket+cosine chain with a train/eval split, threshold on
     // the ROUNDED cosine (both engines filter the same value), best
     // eval match per train vector (cosine DESC, eval_id tiebreak).
-    "q173_semantic_decontam" ->
-      """WITH norms AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
-        |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |          FROM unnest(generate_series(0, 5)) AS t(j)) AS b
-        |  FROM embeddings),
-        |pairs AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
-        |                 t.embedding tv, e.embedding ev, t.nrm nt, e.nrm ne
-        |          FROM norms t JOIN norms e
-        |          ON t.b = e.b AND t.vec_id >= 25 AND e.vec_id < 25),
-        |dots AS (SELECT train_id, eval_id,
-        |                sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
-        |                any_value(nt) AS nt, any_value(ne) AS ne
-        |         FROM (SELECT train_id, eval_id, unnest(tv) AS x1,
-        |                      unnest(ev) AS x2, nt, ne FROM pairs)
-        |         GROUP BY train_id, eval_id),
-        |scored AS (SELECT train_id, eval_id,
-        |                  round(dot/(nt*ne)*1000000.0)/1000000.0 + 0.0 AS cosine
-        |           FROM dots
-        |           WHERE round(dot/(nt*ne)*1000000.0)/1000000.0 >= 0.15)
-        |SELECT train_id, eval_id, cosine FROM (
-        |  SELECT train_id, eval_id, cosine,
-        |         row_number() OVER (PARTITION BY train_id
-        |                            ORDER BY cosine DESC, eval_id) AS rn
-        |  FROM scored) WHERE rn = 1
-        |ORDER BY train_id""".stripMargin,
+    // q173b is the forced-shuffle twin — strategy, never answers.
+    "q173_semantic_decontam" -> semanticDecontamOracle,
+    "q173b_semantic_decontam_shuffle" -> semanticDecontamOracle,
 
     // Three class-size relations + a first-passing-level CASE; counts
     // only, no float beyond none.
@@ -4298,6 +4285,39 @@ object PipelineQueries extends QueryPack {
       |       count(*) AS n_overlap
       |FROM cg JOIN eg USING (g) JOIN ng ON ng.doc_id = cg.doc_id
       |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
+  // The q48 bucket+cosine chain with a train/eval split, threshold on the
+  // ROUNDED cosine (both engines filter the same value), best eval match
+  // per train vector (cosine DESC, eval_id tiebreak). Shared verbatim by
+  // q173 (byte-gated broadcast) and q173b (forced SHUFFLE_HASH) — the
+  // gate steers strategy, never answers (the q44/q44b doctrine).
+  private val semanticDecontamOracle =
+    """WITH norms AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+      |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |          FROM unnest(generate_series(0, 5)) AS t(j)) AS b
+      |  FROM embeddings),
+      |pairs AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+      |                 t.embedding tv, e.embedding ev, t.nrm nt, e.nrm ne
+      |          FROM norms t JOIN norms e
+      |          ON t.b = e.b AND t.vec_id >= 25 AND e.vec_id < 25),
+      |dots AS (SELECT train_id, eval_id,
+      |                sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+      |                any_value(nt) AS nt, any_value(ne) AS ne
+      |         FROM (SELECT train_id, eval_id, unnest(tv) AS x1,
+      |                      unnest(ev) AS x2, nt, ne FROM pairs)
+      |         GROUP BY train_id, eval_id),
+      |scored AS (SELECT train_id, eval_id,
+      |                  round(dot/(nt*ne)*1000000.0)/1000000.0 + 0.0 AS cosine
+      |           FROM dots
+      |           WHERE round(dot/(nt*ne)*1000000.0)/1000000.0 >= 0.15)
+      |SELECT train_id, eval_id, cosine FROM (
+      |  SELECT train_id, eval_id, cosine,
+      |         row_number() OVER (PARTITION BY train_id
+      |                            ORDER BY cosine DESC, eval_id) AS rn
+      |  FROM scored) WHERE rn = 1
+      |ORDER BY train_id""".stripMargin
 
   // K-means replay shared by q84/q85: the sign-bucket init (4 bits → 16
   // clusters over the 64-dim embeddings), the first assignment against

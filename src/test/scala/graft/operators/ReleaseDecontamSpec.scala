@@ -68,4 +68,19 @@ class ReleaseDecontamSpec extends AnyFunSuite {
     assert(out(10L)._1 === 1L)                 // tie → smaller eval_id
     assert(out(10L)._2 > 0.99)
   }
+
+  test("semanticContaminated: byte gate steers join strategy, never answers") {
+    import graft.{Tables, TestSpark => TS}
+    val emb = Tables.load(spark, TS.sfDir, "embeddings")
+    val train = emb.filter(col("vec_id") >= 25)
+    val ev = emb.filter(col("vec_id") < 25)
+    val gated = Decontamination.semanticContaminated(train, ev, 6, 0.15)
+    val forced = Decontamination.semanticContaminated(train, ev, 6, 0.15,
+      broadcastBudgetBytes = 1L)
+    val pg = gated.queryExecution.executedPlan.toString
+    val pf = forced.queryExecution.executedPlan.toString
+    assert(pg.contains("BroadcastHashJoin"))   // under budget: train never shuffles
+    assert(!pf.contains("BroadcastHashJoin") && pf.contains("ShuffledHashJoin"))
+    assert(gated.collect().toSet === forced.collect().toSet)
+  }
 }
