@@ -367,4 +367,38 @@ object Sampling {
           (col("n_tokens").cast(dec) * lit(1000000L)).cast("double"))
           .as("weight"))
   }
+
+  /** LEAKAGE-SAFE split: assignment keyed by the near-dup CLUSTER
+    * representative, not the document itself. [[splitBucket]] on the
+    * content fingerprint already pins byte-identical copies together, but
+    * NEAR-duplicates (re-crawls with boilerplate diffs, paraphrases) hash
+    * to different buckets and straddle train/test — the classic silent
+    * eval leak. Here every doc takes the split of its connected-component
+    * representative over the supplied near-dup pair graph
+    * ([[Dedup.connectedComponents]]' large/small-star output), so a whole
+    * near-dup cluster lands in ONE split by construction; docs in no pair
+    * are their own representative and bucket exactly as before.
+    *
+    * Scale: the reps relation is bounded by the DUP TAIL (docs appearing
+    * in ≥1 pair), typically a few percent of the corpus — the left join
+    * attaches it under AQE sizing (broadcast when it fits, shuffle when
+    * not), and the split itself stays a row-local codegen'd projection.
+    * Output: the input columns + `rep_id` (cluster representative, own id
+    * for unpaired docs), `linked` (was in the pair graph), `split`. */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       pairs: org.apache.spark.sql.DataFrame,
+                       idA: String = "id_a", idB: String = "id_b",
+                       trainPer10k: Int = 8000, valPer10k: Int = 1000)
+    : org.apache.spark.sql.DataFrame = {
+    val reps = Dedup.connectedComponents(pairs, idA, idB)
+      .select(col("doc_id").as("__cc_id"), col("rep_id").as("__cc_rep"))
+    docs.join(reps, docs(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("rep_id",
+        coalesce(col("__cc_rep"), docs(idCol).cast("long")))
+      .withColumn("linked", col("__cc_id").isNotNull)
+      .drop("__cc_id", "__cc_rep")
+      .withColumn("split",
+        assignSplit(splitBucket(col("rep_id").cast("string")),
+          trainPer10k, valPer10k))
+  }
 }

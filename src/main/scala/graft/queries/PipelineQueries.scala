@@ -1756,6 +1756,22 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("train_id"))
     }),
 
+    // ---- Leakage-safe split: every doc takes the split of its near-dup
+    // CLUSTER representative (q44 pairs → q66 components), so a whole
+    // cluster lands in one split by construction — near-dup train/test
+    // leakage is impossible, not merely unlikely. sum_bucket pins the
+    // rep-keyed hash values; n_linked pins the cluster membership.
+    "q174_leakage_safe_split" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Sampling.splitBucket(col("rep_id").cast("string"))).as("sum_bucket"),
+          count(when(col("linked"), 1)).as("n_linked"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -3971,6 +3987,35 @@ object PipelineQueries extends QueryPack {
     // q173b is the forced-shuffle twin — strategy, never answers.
     "q173_semantic_decontam" -> semanticDecontamOracle,
     "q173b_semantic_decontam_shuffle" -> semanticDecontamOracle,
+
+    // The q66 reachability CTE re-used for rep assignment, then the q67
+    // md5-bucket contract keyed on CAST(rep AS VARCHAR) — both engines
+    // hash the same decimal string.
+    "q174_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+         |reps AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+         |         FROM reach GROUP BY v),
+         |d AS (SELECT doc.source,
+         |             coalesce(reps.rep_id, doc.doc_id) AS rep,
+         |             (reps.doc_id IS NOT NULL) AS linked
+         |      FROM documents doc LEFT JOIN reps ON reps.doc_id = doc.doc_id),
+         |b AS (SELECT source, linked,
+         |             ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+         |               % 10000 AS bucket
+         |      FROM d)
+         |SELECT source,
+         |  CASE WHEN bucket < 8000 THEN 'train'
+         |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(bucket) AS BIGINT) AS sum_bucket,
+         |  count(CASE WHEN linked THEN 1 END) AS n_linked
+         |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     // Three class-size relations + a first-passing-level CASE; counts
     // only, no float beyond none.

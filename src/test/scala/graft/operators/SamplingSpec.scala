@@ -145,4 +145,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(1).getString(0) == "no pii here")
     assert(out(2).getString(0) == "tricky: <EMAIL>. end")
   }
+
+  test("leakageSafeSplit: clusters never straddle; unpaired docs keep their own key") {
+    // pair graph: {1,2,3} via 1-2, 2-3 and {10,11}; 5 and 7 unpaired
+    val d = Seq(1L, 2L, 3L, 5L, 7L, 10L, 11L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(d, "doc_id", pairs)
+      .select(col("doc_id"), col("rep_id"), col("linked"), col("split"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(out.size === 7)                       // left join loses nobody
+    // one rep and ONE split per cluster — the no-straddle invariant
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size === 1)
+    assert(Seq(10L, 11L).map(out(_)).distinct.size === 1)
+    assert(out(1L)._1 === 1L && out(10L)._1 === 10L)  // min-id representative
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(out(_)._2))
+    // unpaired docs: own id as rep, bucketed exactly as a plain hash split
+    assert(out(5L) === ((5L, false, out(5L)._3)))
+    val plain = d.filter(col("doc_id") === 5L)
+      .select(Sampling.assignSplit(
+        Sampling.splitBucket(col("doc_id").cast("string")))).collect()(0).getString(0)
+    assert(out(5L)._3 === plain)
+  }
 }
