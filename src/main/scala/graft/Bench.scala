@@ -180,7 +180,13 @@ object Bench {
     "q169_crawl_schedule",  // per-host politeness fetch slots
     "q170_ann_ivfpq",       // IVFADC: residual coarse probes + in-cell ADC
     "q170b_ann_ivfpq_shuffle", // q170's forced SHUFFLE_HASH LUT attach (the 100 TB shape)
-    "q171_k_generalize")    // k-anonymity generalization ladder
+    "q171_k_generalize",    // k-anonymity generalization ladder
+    "q172_noised_release",  // binomial-mechanism noised count release
+    "q173_semantic_decontam", // embedding decontamination, gated broadcast
+    "q173b_semantic_decontam_shuffle", // forced SHUFFLE_HASH twin (100 TB shape)
+    "q174_leakage_safe_split", // cluster-rep-keyed train/val/test split
+    "q_tpch_09",            // 6-way join + derived partsupp + agg (widest TPC-H shape)
+    "q_tpch_21")            // 4-way + EXISTS/NOT-EXISTS semi/anti stack
   // q96_containment is excluded with q43 (same deliberately-quadratic
   // exact-pair cost model; its scale path is banding, i.e. q44's).
   // q138_dedup_eval joins q44 against that same exact baseline, so it

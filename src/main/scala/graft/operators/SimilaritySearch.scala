@@ -925,4 +925,57 @@ object SimilaritySearch {
             lit(marginMicro).cast("double") / 1000000.0, 1).otherwise(0)
           .as("accepted"))
   }
+
+  /** Maximal-marginal-relevance selection: pick `k` items that balance
+    * RELEVANCE against DIVERSITY (Carbonell & Goldstein 1998). Greedy:
+    * the first pick is the max-relevance item; each next pick maximizes
+    * `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` over the unselected
+    * candidates (ties → smaller id). The standard shape for building an
+    * eval slice or annotation batch that COVERS a corpus instead of
+    * sampling one dense cluster k times.
+    *
+    * Shape: k driver rounds, each ONE narrow distributed pass — the
+    * selected set is ≤ k vectors, inlined as literal arrays into a
+    * `greatest(cos(emb, s₁), …)` expression (no join, no shuffle; the
+    * scan + TakeOrdered(1) is the whole step), and each round collects
+    * exactly one row (a k-bounded driver collect, the partition-offset
+    * class). `cands` must be PRE-CAPPED by the caller (top-N relevance
+    * via [[bruteForceTopK]]/[[ivfPqTopK]] — selection never scans the
+    * corpus; it refines a bounded shortlist).
+    *
+    * Cross-engine parity: rel is caller-supplied (r6), pair cosines are
+    * r6-rounded, and with the default λ = 0.5 the score arithmetic is
+    * exact halving + IEEE subtraction — both engines order identical
+    * doubles. Output: (rank, vec_id, score r6). */
+  def mmrSelect(cands: DataFrame, k: Int, lambda: Double = 0.5): DataFrame = {
+    val spark = cands.sparkSession
+    val base = cands.select(col("vec_id").cast("long"),
+      col("embedding"), col("rel").cast("double"))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    var step = 1
+    while (step <= k) {
+      val score =
+        if (pickedVecs.isEmpty) col("rel")
+        else {
+          val maxSim = pickedVecs.map(v =>
+            r6(cosine(col("embedding"), typedLit(v)))).reduce(greatest(_, _))
+          col("rel") * lambda - maxSim * (1.0 - lambda)
+        }
+      val top = base.filter(!col("vec_id").isInCollection(picked.map(_._2)))
+        .select(col("vec_id"), col("embedding"), score.as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1).collect()
+      if (top.isEmpty) step = k + 1
+      else {
+        val r = top(0)
+        picked += ((step, r.getLong(0), r.getDouble(2)))
+        pickedVecs += r.getSeq[Float](1)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "vec_id", "score")
+      .select(col("rank"), col("vec_id"), r6(col("score")).as("score"))
+  }
 }

@@ -1772,6 +1772,22 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("source"), col("split"))
     }),
 
+    // ---- MMR diverse top-10: relevance to query vec 0 balanced against
+    // max-similarity to the already-picked set (λ=0.5) over a bounded
+    // 199-candidate shortlist — the eval-slice/annotation-batch selector.
+    // The query vector is a 1-row bounded collect; mmrSelect's k rounds
+    // are each one narrow pass + TakeOrdered(1).
+    "q175_mmr_select" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val cands = emb.filter(col("vec_id").between(1, 199))
+        .select(col("vec_id"), col("embedding"),
+          graft.Tables.r6(SimilaritySearch.cosine(col("embedding"),
+            typedLit(qv))).as("rel"))
+      SimilaritySearch.mmrSelect(cands, 10).orderBy(col("rank"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -3987,6 +4003,51 @@ object PipelineQueries extends QueryPack {
     // q173b is the forced-shuffle twin — strategy, never answers.
     "q173_semantic_decontam" -> semanticDecontamOracle,
     "q173b_semantic_decontam_shuffle" -> semanticDecontamOracle,
+
+    // Greedy MMR replayed as a recursive CTE: the selected-id LIST rides
+    // the recursion; each step's argmax is a struct-valued scalar
+    // subquery over r6-rounded rel/sims — with λ=0.5 the score is exact
+    // halving + IEEE subtraction, so both engines order identical
+    // doubles (ties → smaller vec_id, both engines).
+    "q175_mmr_select" ->
+      """WITH RECURSIVE
+        |qn AS (SELECT embedding AS q,
+        |              sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nq
+        |       FROM embeddings WHERE vec_id = 0),
+        |norms AS (SELECT vec_id, embedding,
+        |              sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm
+        |          FROM embeddings WHERE vec_id BETWEEN 1 AND 199),
+        |reld AS (SELECT vec_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |                any_value(nrm) AS nrm, any_value(nq) AS nq
+        |         FROM (SELECT n.vec_id, unnest(n.embedding) AS x1, unnest(qn.q) AS x2, n.nrm, qn.nq
+        |               FROM norms n, qn)
+        |         GROUP BY vec_id),
+        |cand AS (SELECT vec_id, round(dot/(nrm*nq), 6) + 0.0 AS rel FROM reld),
+        |pd AS (SELECT ia, ib, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |              any_value(na) AS na, any_value(nb) AS nb
+        |       FROM (SELECT a.vec_id AS ia, b.vec_id AS ib, unnest(a.embedding) AS x1,
+        |                    unnest(b.embedding) AS x2, a.nrm AS na, b.nrm AS nb
+        |             FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
+        |       GROUP BY ia, ib),
+        |sims AS (SELECT ia, ib, round(dot/(na*nb), 6) + 0.0 AS sim FROM pd
+        |         UNION ALL
+        |         SELECT ib, ia, round(dot/(na*nb), 6) + 0.0 FROM pd),
+        |sel(rank, vec_id, score, ids) AS (
+        |  SELECT 1, vec_id, rel, [vec_id] FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT rank + 1, nxt.id, nxt.sc, list_append(ids, nxt.id)
+        |  FROM (
+        |    SELECT rank, ids,
+        |      (SELECT struct_pack(id := c.vec_id,
+        |              sc := 0.5*c.rel - 0.5*(SELECT max(s.sim) FROM sims s
+        |                    WHERE s.ia = c.vec_id AND list_contains(ids, s.ib)))
+        |       FROM cand c WHERE NOT list_contains(ids, c.vec_id)
+        |       ORDER BY 0.5*c.rel - 0.5*(SELECT max(s.sim) FROM sims s
+        |                WHERE s.ia = c.vec_id AND list_contains(ids, s.ib)) DESC, c.vec_id
+        |       LIMIT 1) AS nxt
+        |    FROM sel WHERE rank < 10)
+        |  WHERE nxt IS NOT NULL)
+        |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
 
     // The q66 reachability CTE re-used for rep assignment, then the q67
     // md5-bucket contract keyed on CAST(rep AS VARCHAR) — both engines

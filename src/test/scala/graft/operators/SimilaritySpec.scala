@@ -129,4 +129,28 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(kept2 == kept2b)
   }
+
+  test("mmrSelect: diversity beats a redundant second-best; k caps at pool size") {
+    // query along dim 0. A (id 10) and A' (id 11) are near-identical and
+    // most relevant; B (id 12) is less relevant but diverse. Pure top-k
+    // by relevance picks A, A'; at λ=0.3 (diversity-weighted) A' pays
+    // its ≈1.0 redundancy to A (score ≈ −0.40) and loses to B (≈ −0.24),
+    // so MMR must pick A, then B, then A'.
+    val q = Seq(1f, 0f, 0f, 0f)
+    val cands = Seq(
+      (10L, Array(1f, 0.1f, 0f, 0f)),
+      (11L, Array(1f, 0.11f, 0f, 0f)),
+      (12L, Array(0.5f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        graft.Tables.r6(SimilaritySearch.cosine(col("embedding"),
+          typedLit(q))).as("rel"))
+    val out = SimilaritySearch.mmrSelect(cands, 10, lambda = 0.3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq === Seq(10L, 12L, 11L))  // not 10, 11, ...
+    assert(out.length === 3)                   // pool exhausted before k
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3)
+    // rank-1 score is the raw relevance of the most relevant candidate
+    val topRel = cands.agg(max(col("rel"))).collect()(0).getDouble(0)
+    assert(out(0)._3 === topRel)
+  }
 }
