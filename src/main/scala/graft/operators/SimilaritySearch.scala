@@ -820,6 +820,64 @@ object SimilaritySearch {
           (col("n") * col("n")).cast("double")) / 1e12).as("cov"))
   }
 
+  /** std::round semantics (half AWAY from zero) without the classic
+    * floor(x+0.5) double-rounding bug — mirrors Spark's `round` and
+    * DuckDB's `round(DOUBLE)` exactly, so driver-side arithmetic can be
+    * replayed by the oracle bit-for-bit. */
+  private def roundAwayToLong(z: Double): Long = {
+    val f = math.floor(math.abs(z))
+    val mag = if (math.abs(z) - f >= 0.5) f + 1.0 else f
+    (if (z < 0) -mag else mag).toLong
+  }
+
+  /** TOP PRINCIPAL COMPONENT of an embedding column by power iteration
+    * over [[embeddingCovariance]]'s matrix — the back half of the
+    * PCA/whitening pair (the covariance scaladoc's "front half"). The
+    * corpus-scale work is the covariance pass (one map-side-combinable
+    * groupBy, measured at 10×); the d×d cell relation it produces is
+    * codebook-bounded (64 dims → 2080 cells), so the eigen-solve runs on
+    * the DRIVER over the collected cells — the same shape as Spark
+    * MLlib's `computePrincipalComponents` (Gramian to the driver), and a
+    * bounded collect of the documented dictionary class.
+    *
+    * Cross-engine determinism (the reason this is NOT plain float
+    * LAPACK): the matrix is 6-decimal fixed-point longs, each iteration
+    * is an EXACT long matrix-vector product, and normalization divides
+    * by the max-|y| element (an exact long max — no sum-of-squares, so
+    * no 128-bit→double cast whose rounding differs between engines) with
+    * one double multiply+divide+round on exactly-representable inputs —
+    * every step lands on identical doubles in the oracle's unrolled CTE
+    * replay. Max-abs normalization converges to the same dominant
+    * eigendirection as L2 (scale never affects the argmax direction);
+    * the output is max-normed: max |weight| = 1. */
+  def topPrincipalComponent(df: DataFrame, vec: String, iters: Int = 12)
+    : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = embeddingCovariance(df, vec).collect()
+    if (cells.isEmpty) return Seq.empty[(Int, Double)].toDF("dim", "weight")
+    val d = cells.iterator.map(_.getInt(1)).max + 1
+    val a = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val v = roundAwayToLong(r.getDouble(2) * 1e6)
+      a(r.getInt(0))(r.getInt(1)) = v
+      a(r.getInt(1))(r.getInt(0)) = v
+    }
+    var x = Array.fill(d)(1000000L)
+    var it = 0
+    while (it < iters) {
+      val y = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += a(i)(j) * x(j); j += 1 }
+        s
+      }
+      val m = y.iterator.map(math.abs).max
+      if (m == 0L) it = iters // degenerate zero matrix: keep current x
+      else { x = y.map(v => roundAwayToLong(v.toDouble * 1e6 / m.toDouble)); it += 1 }
+    }
+    x.zipWithIndex.map { case (v, i) => (i, v / 1e6) }.toSeq.toDF("dim", "weight")
+  }
+
   /** Pairwise COSINE BETWEEN GROUP CENTROIDS of an embedding column — the
     * embedding-drift / cluster-similarity monitor (are two sources, two
     * crawl snapshots, or two k-means clusters converging?). Exact and

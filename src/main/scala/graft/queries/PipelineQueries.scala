@@ -1788,6 +1788,17 @@ object PipelineQueries extends QueryPack {
       SimilaritySearch.mmrSelect(cands, 10).orderBy(col("rank"))
     }),
 
+    // ---- Top principal component by power iteration over the q154
+    // covariance — the PCA back half. Corpus work = the covariance pass;
+    // the eigen-solve runs on the driver over the codebook-bounded cell
+    // relation in exact fixed-point arithmetic (max-abs normalization,
+    // no L2 so no 128-bit→double cast hazard).
+    "q176_top_pc" -> ((s, dir) => {
+      SimilaritySearch.topPrincipalComponent(
+          load(s, dir, "embeddings"), "embedding")
+        .orderBy(col("dim"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4003,6 +4014,47 @@ object PipelineQueries extends QueryPack {
     // q173b is the forced-shuffle twin — strategy, never answers.
     "q173_semantic_decontam" -> semanticDecontamOracle,
     "q173b_semantic_decontam_shuffle" -> semanticDecontamOracle,
+
+    // The q154 covariance chain, then 12 UNROLLED power-iteration steps:
+    // exact BIGINT matrix-vector products, max-abs normalization (exact
+    // integer max), one double multiply+divide+round per element on
+    // exactly-representable inputs — the driver-side Scala loop lands on
+    // identical doubles. MATERIALIZED pins each step to evaluate once
+    // (the inlined chain would replay the scan 2^12 times).
+    "q176_top_pc" -> {
+      val iterCtes = (1 to 12).map { k =>
+        s"""y$k AS MATERIALIZED (SELECT a.i AS dim, sum(a.a * x${k - 1}.x) AS y
+           |        FROM afull a JOIN x${k - 1} ON x${k - 1}.dim = a.j GROUP BY a.i),
+           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+           |x$k AS MATERIALIZED (SELECT dim,
+           |        CAST(round(CAST(y AS DOUBLE) * 1000000.0 / CAST(m AS DOUBLE)) AS BIGINT) AS x
+           |        FROM y$k, m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  unnest(generate_series(1, len(embedding))) AS i
+         |           FROM embeddings),
+         |u AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+         |             CAST(round(CAST(embedding[i] AS DOUBLE)*1000000.0) AS BIGINT) AS v
+         |      FROM e),
+         |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+         |             sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+         |             sum(CAST(a.v AS HUGEINT)) AS sx,
+         |             sum(CAST(b.v AS HUGEINT)) AS sy
+         |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |      GROUP BY a.i, b.i),
+         |cov AS MATERIALIZED (SELECT i, j,
+         |  round(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+         |        / (CAST(n AS DOUBLE)*n) / 1000000000000.0
+         |        * 1000000.0)/1000000.0 + 0.0 AS cov
+         |  FROM p),
+         |afull AS MATERIALIZED (
+         |  SELECT i, j, CAST(round(cov*1000000.0) AS BIGINT) AS a FROM cov
+         |  UNION ALL
+         |  SELECT j, i, CAST(round(cov*1000000.0) AS BIGINT) FROM cov WHERE i <> j),
+         |x0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS x FROM afull),
+         |$iterCtes
+         |SELECT dim, x/1000000.0 AS weight FROM x12 ORDER BY dim""".stripMargin
+    },
 
     // Greedy MMR replayed as a recursive CTE: the selected-id LIST rides
     // the recursion; each step's argmax is a struct-valued scalar

@@ -153,4 +153,21 @@ class SimilaritySpec extends AnyFunSuite {
     val topRel = cands.agg(max(col("rel"))).collect()(0).getDouble(0)
     assert(out(0)._3 === topRel)
   }
+
+  test("topPrincipalComponent: finds a planted dominant direction, max-normed") {
+    // points along (3, 1): cov = [[18, 6], [6, 2]], PC1 ∝ (3, 1) →
+    // max-normed exactly (1.0, 1/3)
+    val pts = Seq(-2f, -1f, 0f, 1f, 2f).zipWithIndex
+      .map { case (t, i) => (i.toLong, Array(3f * t, t)) }
+      .toDF("vec_id", "embedding")
+    val w = SimilaritySearch.topPrincipalComponent(pts, "embedding")
+      .orderBy(col("dim")).collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(w.length === 2)
+    assert(w(0)._2 === 1.0)                     // max-|weight| element = 1
+    assert(math.abs(w(1)._2 - 1.0 / 3) < 2e-6)  // r6 fixed-point precision
+    // deterministic replay: the whole walk is exact fixed-point
+    val w2 = SimilaritySearch.topPrincipalComponent(pts, "embedding")
+      .orderBy(col("dim")).collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(w.sameElements(w2))
+  }
 }
