@@ -854,8 +854,17 @@ object SimilaritySearch {
     : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val x = topPcMicro(df, vec, iters)
+    x.zipWithIndex.map { case (v, i) => (i, v / 1e6) }.toSeq.toDF("dim", "weight")
+  }
+
+  /** The power-iteration walk in raw 6-decimal fixed-point micro units —
+    * shared by [[topPrincipalComponent]] (reports weight = x/1e6) and
+    * [[pcProjection]] (dots the micro vector against row micro units so
+    * the projection sum stays an exact long). Empty input → empty. */
+  private def topPcMicro(df: DataFrame, vec: String, iters: Int): Array[Long] = {
     val cells = embeddingCovariance(df, vec).collect()
-    if (cells.isEmpty) return Seq.empty[(Int, Double)].toDF("dim", "weight")
+    if (cells.isEmpty) return Array.empty[Long]
     val d = cells.iterator.map(_.getInt(1)).max + 1
     val a = Array.ofDim[Long](d, d)
     cells.foreach { r =>
@@ -875,7 +884,25 @@ object SimilaritySearch {
       if (m == 0L) it = iters // degenerate zero matrix: keep current x
       else { x = y.map(v => roundAwayToLong(v.toDouble * 1e6 / m.toDouble)); it += 1 }
     }
-    x.zipWithIndex.map { case (v, i) => (i, v / 1e6) }.toSeq.toDF("dim", "weight")
+    x
+  }
+
+  /** Per-row PROJECTION onto the top principal component — the PCA score
+    * used for embedding-space outlier review, curriculum ordering, or as
+    * a 1-d sketch of the corpus's dominant axis of variation. The PC is
+    * solved once on the driver ([[topPcMicro]]); the projection is then
+    * a ROW-LOCAL codegen'd dot product of each row's micro units against
+    * the ≤d-element literal micro vector — no join, no shuffle, scales
+    * as one narrow corpus pass. Exact long sum (|Σ v·x| ≤ d·10¹²), one
+    * double divide + r6 at the end — oracle-identical. */
+  def pcProjection(df: DataFrame, id: String, vec: String, iters: Int = 12)
+    : DataFrame = {
+    val xmicro = topPcMicro(df, vec, iters).toSeq
+    val v6 = transform(col(vec), x =>
+      round(x.cast("double") * 1e6).cast("long"))
+    df.select(col(id),
+      r6(aggregate(zip_with(v6, typedLit(xmicro), (a, b) => a * b),
+        lit(0L), _ + _).cast("double") / 1e12).as("pc_score"))
   }
 
   /** Pairwise COSINE BETWEEN GROUP CENTROIDS of an embedding column — the

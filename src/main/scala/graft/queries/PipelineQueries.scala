@@ -114,6 +114,44 @@ object PipelineQueries extends QueryPack {
       |       FROM bits GROUP BY doc_id, w, h)""".stripMargin
 
 
+  // The q154 covariance chain + 12 unrolled power-iteration steps, shared
+  // by the q176 (component) and q177 (projection) oracles. MATERIALIZED
+  // pins each step to evaluate once — the inlined chain would replay the
+  // scan 2^12 times (each x_k references y_k twice).
+  private val pcIterChain = {
+    val iterCtes = (1 to 12).map { k =>
+      s"""y$k AS MATERIALIZED (SELECT a.i AS dim, sum(a.a * x${k - 1}.x) AS y
+         |        FROM afull a JOIN x${k - 1} ON x${k - 1}.dim = a.j GROUP BY a.i),
+         |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+         |x$k AS MATERIALIZED (SELECT dim,
+         |        CAST(round(CAST(y AS DOUBLE) * 1000000.0 / CAST(m AS DOUBLE)) AS BIGINT) AS x
+         |        FROM y$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding,
+       |                unnest(generate_series(1, len(embedding))) AS i
+       |         FROM embeddings),
+       |u AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+       |             CAST(round(CAST(embedding[i] AS DOUBLE)*1000000.0) AS BIGINT) AS v
+       |      FROM e),
+       |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+       |             sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+       |             sum(CAST(a.v AS HUGEINT)) AS sx,
+       |             sum(CAST(b.v AS HUGEINT)) AS sy
+       |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |      GROUP BY a.i, b.i),
+       |cov AS MATERIALIZED (SELECT i, j,
+       |  round(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+       |        / (CAST(n AS DOUBLE)*n) / 1000000000000.0
+       |        * 1000000.0)/1000000.0 + 0.0 AS cov
+       |  FROM p),
+       |afull AS MATERIALIZED (
+       |  SELECT i, j, CAST(round(cov*1000000.0) AS BIGINT) AS a FROM cov
+       |  UNION ALL
+       |  SELECT j, i, CAST(round(cov*1000000.0) AS BIGINT) FROM cov WHERE i <> j),
+       |x0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS x FROM afull),
+       |$iterCtes""".stripMargin
+  }
+
   private val clustersOracle =
     s"""WITH RECURSIVE $minhashPairsCtes,
        |edges AS (SELECT id_a AS u, id_b AS v FROM pr
@@ -1797,6 +1835,15 @@ object PipelineQueries extends QueryPack {
       SimilaritySearch.topPrincipalComponent(
           load(s, dir, "embeddings"), "embedding")
         .orderBy(col("dim"))
+    }),
+
+    // ---- PCA projection scores: every vector dotted against the q176
+    // component (row-local literal dot, no join) — the 1-d outlier /
+    // curriculum sketch of the corpus's dominant axis.
+    "q177_pc_projection" -> ((s, dir) => {
+      SimilaritySearch.pcProjection(
+          load(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
     }),
 
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
@@ -4021,40 +4068,21 @@ object PipelineQueries extends QueryPack {
     // exactly-representable inputs — the driver-side Scala loop lands on
     // identical doubles. MATERIALIZED pins each step to evaluate once
     // (the inlined chain would replay the scan 2^12 times).
-    "q176_top_pc" -> {
-      val iterCtes = (1 to 12).map { k =>
-        s"""y$k AS MATERIALIZED (SELECT a.i AS dim, sum(a.a * x${k - 1}.x) AS y
-           |        FROM afull a JOIN x${k - 1} ON x${k - 1}.dim = a.j GROUP BY a.i),
-           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
-           |x$k AS MATERIALIZED (SELECT dim,
-           |        CAST(round(CAST(y AS DOUBLE) * 1000000.0 / CAST(m AS DOUBLE)) AS BIGINT) AS x
-           |        FROM y$k, m$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |                  unnest(generate_series(1, len(embedding))) AS i
-         |           FROM embeddings),
-         |u AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
-         |             CAST(round(CAST(embedding[i] AS DOUBLE)*1000000.0) AS BIGINT) AS v
-         |      FROM e),
-         |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
-         |             sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
-         |             sum(CAST(a.v AS HUGEINT)) AS sx,
-         |             sum(CAST(b.v AS HUGEINT)) AS sy
-         |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |      GROUP BY a.i, b.i),
-         |cov AS MATERIALIZED (SELECT i, j,
-         |  round(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
-         |        / (CAST(n AS DOUBLE)*n) / 1000000000000.0
-         |        * 1000000.0)/1000000.0 + 0.0 AS cov
-         |  FROM p),
-         |afull AS MATERIALIZED (
-         |  SELECT i, j, CAST(round(cov*1000000.0) AS BIGINT) AS a FROM cov
-         |  UNION ALL
-         |  SELECT j, i, CAST(round(cov*1000000.0) AS BIGINT) FROM cov WHERE i <> j),
-         |x0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS x FROM afull),
-         |$iterCtes
-         |SELECT dim, x/1000000.0 AS weight FROM x12 ORDER BY dim""".stripMargin
-    },
+    "q176_top_pc" ->
+      s"""WITH $pcIterChain
+         |SELECT dim, x/1000000.0 AS weight FROM x12 ORDER BY dim""".stripMargin,
+
+    // The q176 chain plus one projection join: per-row exact BIGINT dot
+    // of the micro units against the converged micro component, one
+    // double divide + r6 at the end — mirrors pcProjection's row-local
+    // zip_with/aggregate exactly.
+    "q177_pc_projection" ->
+      s"""WITH $pcIterChain,
+         |proj AS (SELECT u.vec_id, sum(u.v * x12.x) AS s
+         |         FROM u JOIN x12 ON x12.dim = u.i GROUP BY u.vec_id)
+         |SELECT vec_id,
+         |  round(CAST(s AS DOUBLE)/1000000000000.0*1000000.0)/1000000.0 + 0.0 AS pc_score
+         |FROM proj ORDER BY vec_id""".stripMargin,
 
     // Greedy MMR replayed as a recursive CTE: the selected-id LIST rides
     // the recursion; each step's argmax is a struct-valued scalar

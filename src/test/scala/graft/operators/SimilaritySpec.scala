@@ -169,5 +169,13 @@ class SimilaritySpec extends AnyFunSuite {
     val w2 = SimilaritySearch.topPrincipalComponent(pts, "embedding")
       .orderBy(col("dim")).collect().map(r => r.getInt(0) -> r.getDouble(1))
     assert(w.sameElements(w2))
+    // projection onto (1, 1/3): score(t) = 3t + t/3 = (10/3)t — linear in
+    // t, so consecutive gaps are equal and the t=0 point scores 0
+    val s = SimilaritySearch.pcProjection(pts, "vec_id", "embedding")
+      .orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    assert(s(2) === 0.0)
+    val gaps = s.sliding(2).map(p => BigDecimal(p(1) - p(0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)).toSeq
+    assert(gaps.distinct.size === 1 && math.abs(gaps.head.toDouble - 10.0 / 3) < 1e-3)
   }
 }
