@@ -501,4 +501,34 @@ object Profile {
           .otherwise(greatest(col("n") + noise, lit(0L))).as("released"),
         (col("n") < k).cast("int").as("suppressed"))
   }
+
+  /** WEAK-SUPERVISION majority vote: combine noisy labeling functions
+    * (Snorkel-style LFs — cheap heuristics that label or ABSTAIN via
+    * NULL) into one label per row with a confidence margin. The
+    * aggregation is over each row's OWN ≤|lfs| votes, so the whole
+    * operator is a row-local codegen'd projection — no shuffle, no
+    * state, scales as one narrow corpus pass regardless of LF count.
+    *
+    * Winner = most votes, ties → lexicographically smallest label (the
+    * deterministic tiebreak both engines replay); margin = top count −
+    * runner-up count (0 on a tie, = top count when only one label got
+    * votes); all-abstain rows keep label NULL with n_votes = 0 — they
+    * go to the unlabeled pool, not to a default class. */
+  def labelModelVote(df: DataFrame, id: Column, lfs: Seq[Column])
+    : DataFrame = {
+    require(lfs.nonEmpty, "labelModelVote needs at least one labeling function")
+    val votes = filter(array(lfs: _*), v => v.isNotNull)
+    // (−count, label) sorted ascending: head = max count, min label
+    val ranked = array_sort(transform(array_distinct(votes), v =>
+      struct((-size(filter(votes, x => x === v))).as("negc"), v.as("lbl"))))
+    df.select(id.as("id"), votes.as("v"), ranked.as("r"))
+      .select(col("id"),
+        size(col("v")).as("n_votes"),
+        when(size(col("r")) > 0, col("r").getItem(0).getField("lbl"))
+          .as("label"),
+        when(size(col("r")) === 0, lit(0))
+          .when(size(col("r")) === 1, -col("r").getItem(0).getField("negc"))
+          .otherwise(col("r").getItem(1).getField("negc") -
+            col("r").getItem(0).getField("negc")).cast("int").as("margin"))
+  }
 }

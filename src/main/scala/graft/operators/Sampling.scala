@@ -368,6 +368,51 @@ object Sampling {
           .as("weight"))
   }
 
+  /** WATER-FILLING token-budget allocation across strata: find the level
+    * τ with Σ_s min(tokens_s, τ) ≤ budget and allocate min(tokens_s, τ)
+    * to each stratum — the proportional-fair way to spend a global token
+    * budget so one giant crawl source can't crowd out the tail (small
+    * sources keep everything; big sources are capped at one common
+    * level). Complements [[capTokensPerStratum]], which enforces a
+    * PER-stratum cap the caller already knows; this op COMPUTES the cap
+    * from a global budget.
+    *
+    * τ = max_r ⌊(budget − prefix_r) / (n − r)⌋ over the ascending-token
+    * prefix (the classic water-filling closed form) — pure integer
+    * arithmetic, so both engines agree exactly. Shape: one
+    * map-side-combinable per-stratum sum over the corpus, then windows
+    * over the |strata|-row relation (bounded by construction — sources,
+    * not documents; the single-partition window holds |strata| rows,
+    * the same parallelism class as the q56 pivot). Output one row per
+    * stratum: n_tokens, allocated, capped flag. */
+  def waterFillBudget(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                      nTokens: Column, budgetTokens: Long)
+    : org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val totals = df.groupBy(stratum.as("stratum"))
+      .agg(sum(nTokens).as("n_tokens"))
+    // ascending prefix; ties broken by stratum for a deterministic walk
+    // (any tie order yields the same τ — the formula only reads prefix
+    // sums — but determinism keeps plans replayable)
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("n_tokens"), col("stratum"))
+    val ranked = totals
+      .withColumn("_r", row_number().over(w) - 1)
+      .withColumn("_prefix",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val tau = ranked
+      .select(max(floor((lit(budgetTokens) - col("_prefix")) /
+        (col("_n") - col("_r")))).cast("long").as("tau"))
+    ranked.crossJoin(broadcast(tau))
+      .select(col("stratum"), col("n_tokens"),
+        greatest(least(col("n_tokens"), col("tau")), lit(0L)).as("allocated"),
+        (col("n_tokens") > col("tau")).cast("int").as("capped"))
+  }
+
   /** LEAKAGE-SAFE split: assignment keyed by the near-dup CLUSTER
     * representative, not the document itself. [[splitBucket]] on the
     * content fingerprint already pins byte-identical copies together, but

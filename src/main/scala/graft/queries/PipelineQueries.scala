@@ -1846,6 +1846,30 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- Water-filling token budget across sources: compute the common
+    // level τ from a GLOBAL budget (q89's per-stratum cap assumes the
+    // caller knows the cap), allocate min(tokens, τ) per source. Pure
+    // integer water-fill over the |sources|-row relation.
+    "q178_water_fill" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      Sampling.waterFillBudget(docs, col("source"), col("n_toks"), 24000L)
+        .orderBy(col("stratum"))
+    }),
+
+    // ---- Weak-supervision label model: three noisy LFs (a stopword
+    // heuristic + two synthetic id-keyed rules that disagree) combined
+    // by row-local majority vote with margin; all-abstain rows stay
+    // unlabeled (NULL), never defaulted.
+    "q179_label_model" -> ((s, dir) => {
+      Profile.labelModelVote(load(s, dir, "documents"), col("doc_id"), Seq(
+          when(col("text").like("% the %"), "en"),
+          when(col("doc_id") % 7 < 3, "en")
+            .when(col("doc_id") % 7 === 3, "de"),
+          when(col("doc_id") % 11 === 0, "de")))
+        .orderBy(col("id"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4128,6 +4152,52 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // The same three LFs, votes unnested → per-label counts → rank with
+    // the (count DESC, label) tiebreak, margin vs the runner-up.
+    "q179_label_model" ->
+      """WITH lf AS (SELECT doc_id,
+        |  [CASE WHEN text LIKE '% the %' THEN 'en' END,
+        |   CASE WHEN doc_id % 7 < 3 THEN 'en' WHEN doc_id % 7 = 3 THEN 'de' END,
+        |   CASE WHEN doc_id % 11 = 0 THEN 'de' END] AS vs
+        |  FROM documents),
+        |v AS (SELECT doc_id, x AS lbl
+        |      FROM (SELECT doc_id, unnest(vs) AS x FROM lf) WHERE x IS NOT NULL),
+        |c AS (SELECT doc_id, lbl, count(*) AS c FROM v GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lbl, c,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lbl) AS rk
+        |      FROM c),
+        |agg AS (SELECT doc_id, max(CASE WHEN rk = 1 THEN lbl END) AS label,
+        |               max(CASE WHEN rk = 1 THEN c END) AS c1,
+        |               max(CASE WHEN rk = 2 THEN c END) AS c2,
+        |               CAST(sum(c) AS INT) AS n_votes
+        |        FROM r GROUP BY 1)
+        |SELECT l.doc_id AS id, CAST(coalesce(a.n_votes, 0) AS INT) AS n_votes,
+        |       a.label,
+        |       CAST(CASE WHEN a.doc_id IS NULL THEN 0
+        |                 WHEN a.c2 IS NULL THEN a.c1
+        |                 ELSE a.c1 - a.c2 END AS INT) AS margin
+        |FROM lf l LEFT JOIN agg a ON a.doc_id = l.doc_id ORDER BY id""".stripMargin,
+
+    // Water-fill closed form: τ = max_r floor((B − prefix_r)/(n − r))
+    // over the ascending-token prefix. Integer inputs; the one double
+    // quotient is ≥ 1/n away from the nearest integer when inexact, so
+    // floor agrees cross-engine.
+    "q178_water_fill" ->
+      """WITH t AS (SELECT source AS stratum,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT stratum, n_tokens,
+        |             row_number() OVER (ORDER BY n_tokens, stratum) - 1 AS rr,
+        |             coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, stratum
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |             count(*) OVER () AS n
+        |      FROM t),
+        |tau AS (SELECT CAST(max(floor((24000 - prefix) / (n - rr))) AS BIGINT) AS tau FROM r)
+        |SELECT stratum, n_tokens,
+        |       greatest(least(n_tokens, tau), 0) AS allocated,
+        |       CAST(n_tokens > tau AS INT) AS capped
+        |FROM r, tau ORDER BY stratum""".stripMargin,
 
     // The q66 reachability CTE re-used for rep assignment, then the q67
     // md5-bucket contract keyed on CAST(rep AS VARCHAR) — both engines

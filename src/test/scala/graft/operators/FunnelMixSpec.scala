@@ -107,6 +107,23 @@ class FunnelMixSpec extends AnyFunSuite {
     assert(out(4L) === ((-1, 1)))  // de singleton at every level
   }
 
+  test("labelModelVote: majority, tie→smallest label, all-abstain stays NULL") {
+    val df = Seq(
+      (1L, Some("en"), Some("en"), Some("de")), // majority en, margin 1
+      (2L, Some("en"), Some("de"), None),       // tie → 'de' (lexicographic)
+      (3L, None, None, None),                   // all abstain → unlabeled
+      (4L, None, Some("fr"), None))             // single vote, margin 1
+      .toDF("id", "a", "b", "c")
+    val out = Profile.labelModelVote(df, col("id"),
+        Seq(col("a"), col("b"), col("c")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.getString(2)), r.getInt(3))).toMap
+    assert(out(1L) === ((3, Some("en"), 1)))
+    assert(out(2L) === ((2, Some("de"), 0)))
+    assert(out(3L) === ((0, None, 0)))
+    assert(out(4L) === ((1, Some("fr"), 1)))
+  }
+
   test("eventFunnel: strictly-after first-touch; pre-step events ignored") {
     // u1: full ordered funnel. u2: purchase BEFORE first view → no step 3
     // (and the click at the same minute as the view does NOT count —

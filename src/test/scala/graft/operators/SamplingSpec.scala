@@ -146,6 +146,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(2).getString(0) == "tricky: <EMAIL>. end")
   }
 
+  test("waterFillBudget: exact level on a hand corpus; degenerate budgets") {
+    // rows roll up per stratum: a=1, b=5, c=10 tokens
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(5)("b") ++ Seq.fill(10)("c"))
+      .map((_, 1L)).toDF("src", "tok")
+    def fill(b: Long) = Sampling.waterFillBudget(rows, col("src"), col("tok"), b)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    val f12 = fill(12L)    // τ = max(⌊12/3⌋, ⌊11/2⌋, ⌊6/1⌋) = 6
+    assert(f12 === Map("a" -> ((1L, 0)), "b" -> ((5L, 0)), "c" -> ((6L, 1))))
+    assert(f12.values.map(_._1).sum === 12L)   // budget exactly consumed
+    val all = fill(100L)   // budget ≥ total: everything kept, nothing capped
+    assert(all === Map("a" -> ((1L, 0)), "b" -> ((5L, 0)), "c" -> ((10L, 0))))
+    val zero = fill(0L)
+    assert(zero.values.forall(_ == ((0L, 1))))
+  }
+
   test("leakageSafeSplit: clusters never straddle; unpaired docs keep their own key") {
     // pair graph: {1,2,3} via 1-2, 2-3 and {10,11}; 5 and 7 unpaired
     val d = Seq(1L, 2L, 3L, 5L, 7L, 10L, 11L).map(i => (i, s"doc $i"))
