@@ -397,17 +397,19 @@ object Sampling {
     // sums — but determinism keeps plans replayable)
     val w = Window.partitionBy(lit(1))
       .orderBy(col("n_tokens"), col("stratum"))
-    val ranked = totals
+    val whole = Window.partitionBy(lit(1))
+    // τ as a whole-relation window max over the SAME ranked relation —
+    // one plan branch, so the corpus aggregate runs exactly once (a
+    // separate τ aggregate + re-join would scan the corpus twice)
+    totals
       .withColumn("_r", row_number().over(w) - 1)
       .withColumn("_prefix",
         coalesce(sum(col("n_tokens")).over(w.rowsBetween(
           Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("_n", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
-    val tau = ranked
-      .select(max(floor((lit(budgetTokens) - col("_prefix")) /
-        (col("_n") - col("_r")))).cast("long").as("tau"))
-    ranked.crossJoin(broadcast(tau))
+      .withColumn("_n", count(lit(1)).over(whole))
+      .withColumn("tau",
+        max(floor((lit(budgetTokens) - col("_prefix")) /
+          (col("_n") - col("_r"))).cast("long")).over(whole))
       .select(col("stratum"), col("n_tokens"),
         greatest(least(col("n_tokens"), col("tau")), lit(0L)).as("allocated"),
         (col("n_tokens") > col("tau")).cast("int").as("capped"))

@@ -483,4 +483,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q_tpch_22").contains("LeftAnti"))
     assert(plan("q_tpch_16").contains("LeftAnti")) // NOT IN → null-aware anti
   }
+
+  test("q177 PCA projection: pure projection over the corpus — no join, no aggregate exchange") {
+    // the component rides as a literal array; the only exchange is the
+    // output sort's range partitioning
+    val p = plan("q177_pc_projection")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q178 water-fill: ONE corpus scan; windows only over the strata relation") {
+    val p = plan("q178_water_fill")
+    assert(p.contains("partial_sum"), p.take(3000)) // per-stratum sum combines map-side
+    // τ is a window max over the SAME ranked relation — a second
+    // aggregate branch would scan the corpus twice
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q179 label model: row-local vote — no join, single aggregation-free projection") {
+    val p = plan("q179_label_model")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
 }
