@@ -783,6 +783,32 @@ object Dedup {
       .drop("_cluster_id", "rep_id", "_keep_id")
   }
 
+  /** SOFT dedup: keep every document but DOWN-WEIGHT near-dup clusters so
+    * a cluster of n copies contributes one document's worth of sampling
+    * mass (weight = 1/n each) — the alternative to [[canonicalize]]'s
+    * hard drop when near-dups carry useful variation (boilerplate diffs,
+    * translations of the same page) and the trainer consumes weights.
+    * Weight is the exact 6-decimal fixed point round(10⁶/n)/10⁶ — an
+    * integer-derived value both engines reproduce bit-for-bit.
+    *
+    * Shape: pairs → connectedComponents → one count per cluster (a
+    * map-side-combinable aggregate over the dup-tail-bounded cluster
+    * relation) → one left join back to the corpus under AQE sizing (the
+    * [[canonicalize]] doctrine). Unclustered docs weigh 1. */
+  def clusterWeights(docs: DataFrame, id: String, text: String,
+                     threshold: Double): DataFrame = {
+    val clusters = connectedComponents(minHashLshPairs(docs, id, text, threshold))
+      .withColumnRenamed("doc_id", "_cluster_id")
+    val sized = clusters.join(
+      clusters.groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size")),
+      "rep_id")
+    docs.join(sized, docs(id) === col("_cluster_id"), "left")
+      .select(docs(id),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (round(lit(1000000L) / coalesce(col("cluster_size"), lit(1L))) / 1e6)
+          .as("weight"))
+  }
+
   /** 32-bit SimHash fingerprint per document over whitespace tokens —
     * a row-local codegen'd kernel (graft_simhash32): a doc's fingerprint
     * depends only on its OWN tokens, so the stage is a pure projection

@@ -1124,4 +1124,42 @@ object TextAnalysis {
             .cast("double")).as("collision"))
       .filter(col("n_chars") > 0)
   }
+
+  /** VOCABULARY GROWTH curve (the empirical Heaps'-law measurement):
+    * cumulative distinct types and tokens as the corpus accumulates in
+    * `bucket` order, plus per-bucket NEW types and how many of those are
+    * corpus-wide hapax legomena (frequency-1 terms). A flattening curve
+    * with a thin hapax tail marks template/duplicated text; a hapax
+    * spike marks OCR noise or vocabulary drift — either way the curve is
+    * the first artifact a corpus-quality review reads.
+    *
+    * Shape: each term aggregates to (first bucket, corpus frequency) —
+    * one map-side-combinable groupBy(term) over the exploded tokens (an
+    * 8-byte min + count per cell, heat-proof like q103's df) — then the
+    * per-bucket rollup and prefix sums window over the ≤|buckets|-row
+    * relation (the q56 bounded-relation class). A term counts as NEW in
+    * the bucket where it FIRST appears; ties inside a bucket are one
+    * first-appearance by construction (min). */
+  def vocabularyGrowth(docs: org.apache.spark.sql.DataFrame, bucket: Column,
+                       text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(bucket.cast("int").as("b"),
+        explode(split(col(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val perTerm = toks.groupBy(col("term"))
+      .agg(min(col("b")).as("fb"), count(lit(1)).as("freq"))
+    val newTypes = perTerm.groupBy(col("fb").as("b"))
+      .agg(count(lit(1)).as("new_types"),
+        count(when(col("freq") === 1, 1)).as("new_hapax"))
+    val tokCounts = toks.groupBy(col("b")).agg(count(lit(1)).as("n_tokens"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts.join(newTypes, Seq("b"), "left")
+      .select(col("b"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("new_hapax"), lit(0L)).as("new_hapax"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumnRenamed("b", "bucket")
+  }
 }

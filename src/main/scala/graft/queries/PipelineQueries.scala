@@ -1870,6 +1870,24 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // ---- Soft dedup: per-doc sampling weight 1/cluster_size over the
+    // q44 near-dup graph — every doc kept, a cluster of n copies
+    // contributes one doc's worth of mass (the down-weighting
+    // alternative to q78's hard canonicalize).
+    "q180_cluster_weights" -> ((s, dir) => {
+      Dedup.clusterWeights(load(s, dir, "documents"), "doc_id", "text", 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Vocabulary growth (empirical Heaps curve) over doc_id-decile
+    // ingest order: cumulative types/tokens + per-bucket new types and
+    // hapax counts — the corpus-quality curve a review reads first.
+    "q181_vocab_growth" -> ((s, dir) => {
+      TextAnalysis.vocabularyGrowth(load(s, dir, "documents"),
+          least(expr("doc_id div 50"), lit(9L)), "text")
+        .orderBy(col("bucket"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4152,6 +4170,46 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // Exploded tokens → per-term (first bucket, corpus freq) → per-bucket
+    // rollup with prefix windows; integer bucketing (// both engines).
+    "q181_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT CAST(least(doc_id // 50, 9) AS INT) AS b, t.term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |pt AS (SELECT term, min(b) AS fb, count(*) AS freq FROM toks GROUP BY term),
+        |nt AS (SELECT fb AS b, count(*) AS new_types,
+        |              count(CASE WHEN freq = 1 THEN 1 END) AS new_hapax
+        |       FROM pt GROUP BY fb),
+        |tc AS (SELECT b, count(*) AS n_tokens FROM toks GROUP BY b)
+        |SELECT tc.b AS bucket, tc.n_tokens,
+        |       coalesce(nt.new_types, 0) AS new_types,
+        |       coalesce(nt.new_hapax, 0) AS new_hapax,
+        |       CAST(sum(tc.n_tokens) OVER (ORDER BY tc.b) AS BIGINT) AS cum_tokens,
+        |       CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY tc.b) AS BIGINT) AS cum_types
+        |FROM tc LEFT JOIN nt ON nt.b = tc.b ORDER BY bucket""".stripMargin,
+
+    // The q66 reachability CTE → cluster sizes → left join back; weight
+    // is the integer-derived fixed point round(1e6/n)/1e6.
+    "q180_cluster_weights" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+         |reps AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+         |         FROM reach GROUP BY v),
+         |csz AS (SELECT rep_id, count(*) AS n FROM reps GROUP BY rep_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+         |       round(1000000 / coalesce(s.n, 1)) / 1000000.0 AS weight
+         |FROM documents d
+         |LEFT JOIN reps ON reps.doc_id = d.doc_id
+         |LEFT JOIN csz s ON s.rep_id = reps.rep_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // The same three LFs, votes unnested → per-label counts → rank with
     // the (count DESC, label) tiebreak, margin vs the runner-up.

@@ -34,6 +34,36 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("vocabularyGrowth: first-appearance types, corpus-wide hapax, exact prefixes") {
+    val docs = Seq((0L, 0, "a b a"), (1L, 1, "b c"))
+      .toDF("doc_id", "bkt", "text")
+    val out = TextAnalysis.vocabularyGrowth(docs, col("bkt"), "text")
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // b0: 3 tokens, new types {a, b}, no hapax (a freq 2, b freq 2)
+    // b1: 2 tokens, new type {c}, c is a corpus-wide hapax
+    assert(out(0) === ((0, 3L, 2L, 0L, 3L, 2L)))
+    assert(out(1) === ((1, 2L, 1L, 1L, 5L, 3L)))
+  }
+
+  test("clusterWeights: 1/cluster-size mass, unclustered docs weigh 1, mass conserved") {
+    val body1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val body2 = "completely different words about query engines and shuffles at scale"
+    val docs = Seq(
+      (1L, body1), (2L, body1),             // cluster of 2 → 0.5 each
+      (3L, "a unique document with its own content never repeated anywhere"),
+      (4L, body2), (5L, body2), (6L, body2) // cluster of 3 → 0.333333 each
+    ).toDF("doc_id", "text")
+    val w = Dedup.clusterWeights(docs, "doc_id", "text", 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w(1L) === ((2L, 0.5)) && w(2L) === ((2L, 0.5)))
+    assert(w(3L) === ((1L, 1.0)))
+    assert(Seq(4L, 5L, 6L).forall(w(_) === ((3L, 0.333333))))
+    // total mass ≈ one doc per cluster + each unclustered doc
+    assert(math.abs(w.values.map(_._2).sum - 3.0) < 1e-5)
+  }
+
   test("incrementalPairs = full-pipeline pairs touching the batch (interleaved ids)") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val b = "completely different words about query engines and shuffles at scale"
