@@ -415,6 +415,37 @@ object Sampling {
         (col("n_tokens") > col("tau")).cast("int").as("capped"))
   }
 
+  /** HAMILTON APPORTIONMENT of k evaluation/annotation slots across
+    * strata, proportional to row counts with largest-remainder rounding:
+    * every stratum gets ⌊k·n_s/N⌋ slots, the k − Σ⌊·⌋ leftover slots go
+    * to the largest remainders (ties → smaller stratum). The standard
+    * way to size a fixed-budget eval set so it mirrors the corpus mix
+    * EXACTLY (Σ slots = k always — proportional-floor alone under-fills,
+    * independent rounding drifts) while staying fully deterministic:
+    * quotas, remainders, and ranks are all integer arithmetic (k·n_s
+    * must fit a long — k ≤ 10⁶ against petabyte-scale row counts does).
+    *
+    * Shape: one map-side-combinable count per stratum, then windows over
+    * the |strata|-row relation (the q56/q178 bounded class). */
+  def apportionSlots(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                     k: Long): org.apache.spark.sql.DataFrame = {
+    require(k >= 0, s"slot budget must be >= 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("_total", sum(col("n_rows")).over(whole))
+    val quotas = counts
+      .withColumn("_base", expr(s"($k * n_rows) div _total"))
+      .withColumn("_rem", lit(k) * col("n_rows") % col("_total"))
+      .withColumn("_leftover", lit(k) - sum(col("_base")).over(whole))
+      .withColumn("_rk", row_number().over(
+        whole.orderBy(col("_rem").desc, col("stratum"))))
+    quotas.select(col("stratum"), col("n_rows"),
+      (col("_base") + when(col("_rk") <= col("_leftover"), 1L).otherwise(0L))
+        .as("slots"))
+  }
+
   /** LEAKAGE-SAFE split: assignment keyed by the near-dup CLUSTER
     * representative, not the document itself. [[splitBucket]] on the
     * content fingerprint already pins byte-identical copies together, but

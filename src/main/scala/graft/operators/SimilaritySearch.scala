@@ -101,6 +101,39 @@ object SimilaritySearch {
         max(when(!col("same"), col("cosine"))).as("neg_cosine"))
   }
 
+  /** RETRIEVAL QUALITY report: recall@k and MRR of an approximate
+    * result set against an exact baseline's top-1 — the in-engine eval
+    * every ANN deployment ships next to its index (FAISS's recall
+    * harness as a query). For each query: did the TRUE nearest neighbor
+    * (exact rank 1) appear in the approximate top-k, and at what
+    * reciprocal rank. Both inputs use the (query_id, rank, cand_id)
+    * contract of [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]].
+    *
+    * Determinism: reciprocal ranks are MICRO-RATIONAL — 10⁶ div rank as
+    * an integer (1/3 → 0.333333 by definition, not by float division) —
+    * summed as exact longs, so the means are single exact-input double
+    * divides, r6-rounded. One |queries|-row join + a global aggregate:
+    * the report costs nothing next to the retrieval itself. */
+  def retrievalRecallReport(approx: DataFrame, exact: DataFrame, k: Int)
+    : DataFrame = {
+    val truth = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id").as("true_id"))
+    val hits = truth.join(
+      approx.filter(col("rank") <= k)
+        .select(col("query_id"), col("cand_id"), col("rank")),
+      Seq("query_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(max(when(col("cand_id") === col("true_id"), lit(1L)))
+        .as("hit"),
+        max(when(col("cand_id") === col("true_id"),
+          expr("1000000 div rank"))).as("rr_micro"))
+    hits.agg(count(lit(1)).as("n_queries"),
+      r6(coalesce(sum(col("hit")), lit(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("recall_at_k"),
+      r6(coalesce(sum(col("rr_micro")), lit(0L)).cast("double") /
+        (count(lit(1)) * 1000000L).cast("double")).as("mrr"))
+  }
+
   /** Bucketed ANN: same-bucket candidates only, then exact cosine rank.
     * Lower recall than bruteForceTopK by construction; the oracle checks
     * the deterministic pipeline, SURVEY §2 records the recall trade. */

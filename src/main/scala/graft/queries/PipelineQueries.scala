@@ -1888,6 +1888,27 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // ---- Hamilton apportionment of 137 eval slots across (source,
+    // lang) strata: floors + largest remainders, Σ slots = 137 exactly —
+    // the fixed-budget eval-mix sizing step. 137 is deliberately coprime
+    // to the stratum structure so remainders actually decide slots.
+    "q182_apportion_slots" -> ((s, dir) => {
+      Sampling.apportionSlots(load(s, dir, "documents"),
+          concat(col("source"), lit(":"), col("lang")), 137L)
+        .orderBy(col("stratum"))
+    }),
+
+    // ---- ANN quality report: recall@3 + MRR of the q48 LSH shortlist
+    // against the q47 exact top-1 — the eval an index deployment ships.
+    // Micro-rational reciprocal ranks keep the means engine-exact.
+    "q183_ann_recall_report" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      SimilaritySearch.retrievalRecallReport(
+        SimilaritySearch.lshTopK(qs, emb, 3, 6),
+        SimilaritySearch.bruteForceTopK(qs, emb, 1), 3)
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4170,6 +4191,71 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // The q47 (exact) and q48 (bucketed) chains replayed, joined on the
+    // query, micro-rational reciprocal ranks (1000000 // rank).
+    "q183_ann_recall_report" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm,
+        |         (SELECT CAST(sum(CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          FROM unnest(generate_series(0, 5)) AS t(j)) AS bucket
+        |  FROM embeddings),
+        |apd AS (SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |               any_value(nq) AS nq, any_value(nc) AS nc
+        |        FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |                     unnest(q.embedding) AS x1, unnest(c.embedding) AS x2,
+        |                     q.nrm AS nq, c.nrm AS nc
+        |              FROM norms q JOIN norms c
+        |              ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |        GROUP BY query_id, cand_id),
+        |ap AS (SELECT query_id, cand_id, rank FROM (
+        |         SELECT query_id, cand_id,
+        |                row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY round(dot/(nq*nc), 6) + 0.0 DESC, cand_id) AS rank
+        |         FROM apd) WHERE rank <= 3),
+        |exd AS (SELECT query_id, cand_id, sum(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE)) AS dot,
+        |               any_value(nq) AS nq, any_value(nc) AS nc
+        |        FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |                     unnest(q.embedding) AS x1, unnest(c.embedding) AS x2,
+        |                     q.nrm AS nq, c.nrm AS nc
+        |              FROM norms q JOIN norms c
+        |              ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |        GROUP BY query_id, cand_id),
+        |ex AS (SELECT query_id, cand_id AS true_id FROM (
+        |         SELECT query_id, cand_id,
+        |                row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY round(dot/(nq*nc), 6) + 0.0 DESC, cand_id) AS rank
+        |         FROM exd) WHERE rank = 1),
+        |per AS (SELECT e.query_id,
+        |               max(CASE WHEN a.cand_id = e.true_id THEN 1 END) AS hit,
+        |               max(CASE WHEN a.cand_id = e.true_id THEN 1000000 // a.rank END) AS rr
+        |        FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id
+        |        GROUP BY e.query_id)
+        |SELECT count(*) AS n_queries,
+        |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |        * 1000000.0)/1000000.0 + 0.0 AS recall_at_k,
+        |  round(CAST(coalesce(sum(rr), 0) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)
+        |        * 1000000.0)/1000000.0 + 0.0 AS mrr
+        |FROM per""".stripMargin,
+
+    // Floors via integer //, remainders via %, leftover to the largest
+    // remainders (stratum tiebreak) — all integer, Σ slots = k.
+    "q182_apportion_slots" ->
+      """WITH c AS (SELECT source || ':' || lang AS stratum, count(*) AS n_rows
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT stratum, n_rows,
+        |             sum(n_rows) OVER () AS total,
+        |             (137 * n_rows) // sum(n_rows) OVER () AS base,
+        |             (137 * n_rows) % sum(n_rows) OVER () AS rem
+        |      FROM c),
+        |r AS (SELECT stratum, n_rows, base, rem,
+        |             137 - sum(base) OVER () AS leftover,
+        |             row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+        |      FROM t)
+        |SELECT stratum, n_rows,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS slots
+        |FROM r ORDER BY stratum""".stripMargin,
 
     // Exploded tokens → per-term (first bucket, corpus freq) → per-bucket
     // rollup with prefix windows; integer bucketing (// both engines).

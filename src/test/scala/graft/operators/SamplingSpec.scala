@@ -161,6 +161,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(zero.values.forall(_ == ((0L, 1))))
   }
 
+  test("apportionSlots: floors + largest remainders, Σ slots = k exactly") {
+    // counts 5/3/2 over k=7: quotas 3.5/2.1/1.4 → floors 3/2/1, one
+    // leftover slot goes to the largest remainder (a: .5)
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .map((_, 1)).toDF("src", "x")
+    val out = Sampling.apportionSlots(rows, col("src"), 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(out.values.sum === 7L)
+    // remainder tie (counts 1/1 over k=3): smaller stratum wins the odd slot
+    val tied = Seq(("a", 1), ("b", 1)).toDF("src", "x")
+    val t = Sampling.apportionSlots(tied, col("src"), 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(t === Map("a" -> 2L, "b" -> 1L))
+    // k = 0 → all zero
+    assert(Sampling.apportionSlots(rows, col("src"), 0L)
+      .collect().forall(_.getLong(2) === 0L))
+  }
+
   test("leakageSafeSplit: clusters never straddle; unpaired docs keep their own key") {
     // pair graph: {1,2,3} via 1-2, 2-3 and {10,11}; 5 and 7 unpaired
     val d = Seq(1L, 2L, 3L, 5L, 7L, 10L, 11L).map(i => (i, s"doc $i"))

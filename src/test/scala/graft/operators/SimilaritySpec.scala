@@ -154,6 +154,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0)._3 === topRel)
   }
 
+  test("retrievalRecallReport: micro-rational MRR, misses count as zero") {
+    val exact = Seq((1L, 1, 100L), (2L, 1, 200L), (3L, 1, 300L))
+      .toDF("query_id", "rank", "cand_id")
+    val approx = Seq(
+      (1L, 1, 9L), (1L, 2, 100L),   // true NN at rank 2 → rr 0.5
+      (2L, 1, 8L), (2L, 2, 7L),     // miss
+      (3L, 1, 300L)                 // hit at rank 1
+    ).toDF("query_id", "rank", "cand_id")
+    val r = SimilaritySearch.retrievalRecallReport(approx, exact, 3).collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 0.666667)          // recall 2/3, r6
+    assert(r.getDouble(2) === 0.5)               // (500000 + 1000000) / 3e6
+  }
+
   test("topPrincipalComponent: finds a planted dominant direction, max-normed") {
     // points along (3, 1): cov = [[18, 6], [6, 2]], PC1 ∝ (3, 1) →
     // max-normed exactly (1.0, 1/3)
