@@ -809,6 +809,52 @@ object Dedup {
           .as("weight"))
   }
 
+  /** CONTENT-DEFINED CHUNKING storage-dedup report (the FastCDC/restic
+    * family): chunk boundaries fall where the fingerprint of the
+    * `window`-char tail hits a mask — here, md5 hex of the window
+    * starting with '0' (expected chunk ≈ 16·window/16 = `window` chars) —
+    * so an insertion early in a document SHIFTS boundaries only until
+    * the next content-determined cut, unlike fixed-size chunking
+    * (q127) where one inserted byte re-keys every later chunk. The
+    * per-group dup ratio over chunk hashes is the storage-dedup /
+    * shared-boilerplate estimate at sub-document granularity.
+    *
+    * Shape: chunking is a ROW-LOCAL HOF pipeline (positions →
+    * boundary filter → span zip → chunk md5) fused into the scan — no
+    * window function, no shuffle; the only exchange is the per-group
+    * aggregate over (group, chunk hash). md5-hex boundaries and chunk
+    * ids replay exactly in the oracle (the q42 doctrine). */
+  def cdcChunkReport(docs: DataFrame, id: String, text: String,
+                     group: Column, window: Int = 16): DataFrame = {
+    val n = length(col(text))
+    val bounds = when(n >= window,
+      filter(sequence(lit(window), n), p =>
+        substring(md5(col(text).substr(p - (window - 1), lit(window))), 1, 1)
+          === "0")).otherwise(array().cast("array<int>"))
+    // chunk ENDS = boundaries plus the doc end; starts chain off the
+    // previous end (distinct absorbs a boundary that already sits at n)
+    val ends = when(n >= 1,
+      array_distinct(concat(bounds, array(n)))).otherwise(array().cast("array<int>"))
+    docs
+      .select(group.as("grp"), col(text).as("_t"), ends.as("_ends"))
+      .select(col("grp"), explode(transform(col("_ends"), (e, i) =>
+        struct(
+          (e - coalesce(when(i > 0, element_at(col("_ends"), i)), lit(0)))
+            .as("len"),
+          md5(col("_t").substr(
+            coalesce(when(i > 0, element_at(col("_ends"), i)), lit(0)) + 1,
+            e - coalesce(when(i > 0, element_at(col("_ends"), i)), lit(0))))
+            .as("h")))).as("c"))
+      .groupBy(col("grp").as("group_key"))
+      .agg(count(lit(1)).as("total_chunks"),
+        countDistinct(col("c.h")).as("distinct_chunks"),
+        graft.Tables.r6(lit(1.0) -
+          countDistinct(col("c.h")).cast("double") /
+            count(lit(1)).cast("double")).as("dup_ratio"),
+        graft.Tables.r6(sum(col("c.len")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chunk_len"))
+  }
+
   /** 32-bit SimHash fingerprint per document over whitespace tokens —
     * a row-local codegen'd kernel (graft_simhash32): a doc's fingerprint
     * depends only on its OWN tokens, so the stage is a pure projection

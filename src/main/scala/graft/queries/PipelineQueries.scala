@@ -1909,6 +1909,16 @@ object PipelineQueries extends QueryPack {
         SimilaritySearch.bruteForceTopK(qs, emb, 1), 3)
     }),
 
+    // ---- Content-defined chunking (FastCDC family): md5-masked
+    // boundaries, per-source chunk dedup ratio — sub-document
+    // shared-boilerplate / storage-dedup estimate, shift-resistant
+    // where q127's fixed-size chunks are not.
+    "q184_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunkReport(load(s, dir, "documents"), "doc_id", "text",
+          col("source"))
+        .orderBy(col("group_key"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4191,6 +4201,33 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // Positions → md5-masked boundaries → spans via lag → chunk md5 →
+    // per-source dedup rollup. Same boundary rule, same chunk ids.
+    "q184_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, source, text, n,
+        |               unnest(generate_series(16, n)) AS p
+        |        FROM d WHERE n >= 16),
+        |b AS (SELECT doc_id, source, text, n, p FROM pos
+        |      WHERE substr(md5(substr(text, p - 15, 16)), 1, 1) = '0'),
+        |ends AS (SELECT doc_id, source, text, p AS e FROM b
+        |         UNION
+        |         SELECT doc_id, source, text, n FROM d WHERE n >= 1),
+        |spans AS (SELECT doc_id, source, text, e,
+        |                 coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+        |          FROM ends),
+        |ch AS (SELECT source, md5(substr(text, s, e - s + 1)) AS h,
+        |              e - s + 1 AS len
+        |       FROM spans)
+        |SELECT source AS group_key,
+        |  count(*) AS total_chunks,
+        |  count(DISTINCT h) AS distinct_chunks,
+        |  round((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |        * 1000000.0)/1000000.0 + 0.0 AS dup_ratio,
+        |  round(CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |        * 1000000.0)/1000000.0 + 0.0 AS mean_chunk_len
+        |FROM ch GROUP BY source ORDER BY group_key""".stripMargin,
 
     // The q47 (exact) and q48 (bucketed) chains replayed, joined on the
     // query, micro-rational reciprocal ranks (1000000 // rank).

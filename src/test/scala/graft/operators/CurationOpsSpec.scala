@@ -34,6 +34,29 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("cdcChunkReport: chunks tile the doc; a 1-char insert shares the tail") {
+    // deterministic APERIODIC text (a periodic string has few distinct
+    // windows and may never hit the boundary mask)
+    val t = (0 until 220).map(i => s"w${i * i % 997}x${i}").mkString(" ")
+    val one = Seq((1L, t)).toDF("doc_id", "text")
+    val r1 = Dedup.cdcChunkReport(one, "doc_id", "text", col("doc_id"))
+      .collect()(0)
+    val total1 = r1.getLong(1)
+    assert(total1 > 5)                            // boundaries actually fire
+    assert(math.abs(r1.getDouble(4) * total1 - t.length) < 0.01) // chunks tile the doc
+    // shift resistance: prepend one char — every window after the insert
+    // shifts but keeps its content, so all chunks except the head are
+    // SHARED (fixed-size chunking would share none)
+    val both = Seq((1L, t), (2L, "X" + t)).toDF("doc_id", "text")
+    val r = Dedup.cdcChunkReport(both, "doc_id", "text", lit(1))
+      .collect()(0)
+    assert(r.getDouble(3) > 0.4, s"dup_ratio ${r.getDouble(3)}") // tail shared
+    // sub-window doc: one chunk, the whole doc
+    val tiny = Dedup.cdcChunkReport(Seq((1L, "short")).toDF("doc_id", "text"),
+      "doc_id", "text", col("doc_id")).collect()(0)
+    assert(tiny.getLong(1) === 1L && tiny.getDouble(4) === 5.0)
+  }
+
   test("vocabularyGrowth: first-appearance types, corpus-wide hapax, exact prefixes") {
     val docs = Seq((0L, 0, "a b a"), (1L, 1, "b c"))
       .toDF("doc_id", "bkt", "text")
