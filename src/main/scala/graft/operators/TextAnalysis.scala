@@ -1125,6 +1125,33 @@ object TextAnalysis {
       .filter(col("n_chars") > 0)
   }
 
+  /** CONJUNCTIVE (boolean-AND) search with BM25 ranking — the classic
+    * retrieval query over the q92/q103 machinery: documents containing
+    * EVERY query term, ranked by their BM25 sum, top-k. The AND filter
+    * is `n_terms_hit = |distinct terms|` on [[bm25Scores]]' output — a
+    * posting-intersection by counting, never a |terms|-way self-join.
+    *
+    * Scale: the corpus stage is q92's (explode filtered to the
+    * broadcast term list — non-query terms die at the scan); the
+    * conjunctive filter then bounds the rank input to docs containing
+    * ALL terms (rare by construction for discriminative queries), and
+    * top-k is TakeOrdered — the final rank window sees ≤ k rows. Ranks
+    * are deterministic: r6 per-term scores summed as exact DECIMAL,
+    * ties → smaller id. */
+  def conjunctiveSearch(docs: org.apache.spark.sql.DataFrame, id: String,
+                        text: String, queryTerms: Seq[String], topK: Int)
+    : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queryTerms.distinct
+    val top = bm25Scores(docs, id, text, terms)
+      .filter(col("n_terms_hit") === terms.size)
+      .select(col(id), col("bm25"))
+      .orderBy(col("bm25").desc, col(id))
+      .limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col(id))))
+  }
+
   /** VOCABULARY GROWTH curve (the empirical Heaps'-law measurement):
     * cumulative distinct types and tokens as the corpus accumulates in
     * `bucket` order, plus per-bucket NEW types and how many of those are

@@ -1919,6 +1919,16 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("group_key"))
     }),
 
+    // ---- Boolean-AND search, BM25-ranked top 10: docs containing ALL
+    // of {dup, join, vector} — posting intersection by counting over
+    // the q92 scorer, the retrieval query a search surface runs.
+    "q185_conjunctive_search" -> ((s, dir) => {
+      TextAnalysis.conjunctiveSearch(
+          load(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", Seq("dup", "join", "vector"), 10)
+        .orderBy(col("rank"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4201,6 +4211,34 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // The q92 scoring chain + HAVING all-terms + top-10 with the
+    // (bm25 DESC, doc_id) deterministic rank.
+    "q185_conjunctive_search" ->
+      """WITH stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |           unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE t IN ('dup', 'join', 'vector') GROUP BY doc_id, t),
+        |dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS nt,
+        |         CAST(sum(CAST(round(
+        |           ((n_docs - df + 0.5) / (df + 0.5)) *
+        |           ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+        |           6) AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+        |  FROM tf JOIN dft USING (t) CROSS JOIN stats
+        |  GROUP BY doc_id HAVING count(*) = 3)
+        |SELECT doc_id, bm25, CAST(rank AS INT) AS rank FROM (
+        |  SELECT doc_id, bm25,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // Positions → md5-masked boundaries → spans via lag → chunk md5 →
     // per-source dedup rollup. Same boundary rule, same chunk ids.

@@ -70,4 +70,23 @@ class SpanBm25Spec extends AnyFunSuite {
     val s1 = got(0).getDouble(2); val s2 = got(1).getDouble(2)
     assert(s1 > s2 && s2 > 0.0) // doc 1 adds the rarer 'rare' term's idf
   }
+
+  test("conjunctiveSearch: AND semantics — a doc missing one term never ranks") {
+    val docs = Seq(
+      (1L, "spark spark spark spark spark engine"),  // high tf, missing 'query'
+      (2L, "spark query engine runs"),               // all terms, once each
+      (3L, "spark query engine spark query engine"), // all terms, twice
+      (4L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.conjunctiveSearch(docs, "doc_id", "text",
+        Seq("spark", "query", "engine"), 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    // docs 1 and 4 excluded regardless of tf; 3 outranks 2 on tf
+    assert(out.toSeq === Seq((3L, 1), (2L, 2)))
+    // topK truncates: k=1 keeps only the best
+    val top1 = TextAnalysis.conjunctiveSearch(docs, "doc_id", "text",
+      Seq("spark", "query", "engine"), 1).collect()
+    assert(top1.length === 1 && top1(0).getLong(0) === 3L)
+  }
 }
