@@ -1125,6 +1125,30 @@ object TextAnalysis {
       .filter(col("n_chars") > 0)
   }
 
+  /** PATTERN-EXTRACTION audit: every match of `pattern` across the
+    * corpus, rolled up per distinct matched string — the canary-string
+    * audit a memorization review runs after training-set assembly
+    * (planted canaries must appear exactly where they were planted and
+    * nowhere else), and the same op inventories PII-shaped residue
+    * (emails, keys) after scrubbing. Output per matched string: how
+    * many docs carry it, total occurrences, and the smallest carrying
+    * doc id (the review queue's entry point).
+    *
+    * Shape: regexp_extract_all is row-local and fused into the scan;
+    * non-matching docs contribute nothing to the explode; the rollup
+    * keys on the matched string (match-cardinality-bounded, tiny for
+    * canary audits). */
+  def patternExtractReport(docs: org.apache.spark.sql.DataFrame, id: String,
+                           text: String, pattern: String)
+    : org.apache.spark.sql.DataFrame = {
+    docs.select(col(id).as("pid"),
+        explode(expr(s"regexp_extract_all($text, '$pattern', 0)")).as("matched"))
+      .groupBy(col("matched"))
+      .agg(countDistinct(col("pid")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("pid")).as("first_id"))
+  }
+
   /** CONJUNCTIVE (boolean-AND) search with BM25 ranking — the classic
     * retrieval query over the q92/q103 machinery: documents containing
     * EVERY query term, ranked by their BM25 sum, top-k. The AND filter

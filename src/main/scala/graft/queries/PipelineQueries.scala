@@ -1929,6 +1929,23 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // ---- Canary audit: plant one deterministic canary per doc_id%37
+    // doc (the q42 planting pattern), then the extraction report must
+    // find exactly those — the memorization-review audit after
+    // training-set assembly. Some docs duplicate a NEIGHBOR's canary
+    // (doc_id%74) to exercise the multi-doc rollup.
+    "q186_canary_audit" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val canary = concat(lit(" CANARY-"),
+        substring(md5(concat(lit("canary:"), (col("doc_id") - col("doc_id") % 74).cast("string"))), 1, 8))
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 37 === 0, concat(col("text"), canary))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.patternExtractReport(planted, "doc_id", "text",
+          "CANARY-[0-9a-f]{8}")
+        .orderBy(col("matched"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4211,6 +4228,23 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // Same planting (md5 canary keyed on the %74 pair), regex extraction,
+    // per-canary rollup.
+    "q186_canary_audit" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0
+        |              THEN text || ' CANARY-' ||
+        |                   substr(md5('canary:' || CAST(doc_id - doc_id % 74 AS VARCHAR)), 1, 8)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |             unnest(regexp_extract_all(text, 'CANARY-[0-9a-f]{8}')) AS matched
+        |      FROM planted)
+        |SELECT matched, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_occurrences, min(doc_id) AS first_id
+        |FROM m GROUP BY matched ORDER BY matched""".stripMargin,
 
     // The q92 scoring chain + HAVING all-terms + top-10 with the
     // (bm25 DESC, doc_id) deterministic rank.

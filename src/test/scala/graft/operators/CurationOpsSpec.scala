@@ -34,6 +34,22 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("patternExtractReport: per-match rollup, multi-occurrence counting, no-match silence") {
+    val docs = Seq(
+      (1L, "x CANARY-aaaa0000 y CANARY-aaaa0000"),  // same canary twice
+      (2L, "z CANARY-aaaa0000 end"),                 // shared across docs
+      (3L, "another CANARY-bbbb1111 here"),
+      (4L, "no canaries at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.patternExtractReport(docs, "doc_id", "text",
+        "CANARY-[0-9a-f]{8}")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size === 2)
+    assert(out("CANARY-aaaa0000") === ((2L, 3L, 1L)))  // 2 docs, 3 hits, first=1
+    assert(out("CANARY-bbbb1111") === ((1L, 1L, 3L)))
+  }
+
   test("cdcChunkReport: chunks tile the doc; a 1-char insert shares the tail") {
     // deterministic APERIODIC text (a periodic string has few distinct
     // windows and may never hit the boundary mask)
