@@ -1125,6 +1125,45 @@ object TextAnalysis {
       .filter(col("n_chars") > 0)
   }
 
+  /** DISTINCTIVE TERMS per group — the log-free c-TF-IDF (BERTopic-style
+    * cluster labeling): a term's score in group g is the lift
+    * (tf_g / tokens_g) / (tf / tokens) — how over-represented the term
+    * is in the group vs the corpus — and each group reports its top-k
+    * by (lift DESC, term). The per-source keyword panel a data card
+    * shows; pointwise like PMI (q105) but group-vs-corpus instead of
+    * term-vs-term, and with NO logarithm (the no-ln doctrine): the lift
+    * is (tf_g·tokens)/(tokens_g·tf) evaluated as IEEE products of
+    * exactly-representable longs, r6-rounded — bit-equal cross-engine.
+    *
+    * Shape: one (group, term) count + one term count + one group count,
+    * all map-side combinable 8-byte cells; the rank windows per group
+    * over minCount-filtered terms. `minCount` keeps hapax noise out of
+    * the lift tail (a frequency-1 term in a small group otherwise tops
+    * every list). */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, group: Column,
+                       text: String, topK: Int, minCount: Long = 5L)
+    : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(group.as("g"),
+        explode(split(col(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val gt = toks.groupBy(col("g"), col("term")).agg(count(lit(1)).as("tfg"))
+    val t = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val gsz = toks.groupBy(col("g")).agg(count(lit(1)).as("tokg"))
+    val total = toks.agg(count(lit(1))).collect()(0).getLong(0) // 1-row sizing agg
+    val lift = r6((col("tfg").cast("double") * lit(total.toDouble)) /
+      (col("tokg").cast("double") * col("tf").cast("double")))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("lift").desc, col("term"))
+    gt.filter(col("tfg") >= minCount)
+      .join(t, "term").join(gsz, "g")
+      .withColumn("lift", lift)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("g").as("group_key"), col("rank"), col("term"),
+        col("tfg"), col("lift"))
+  }
+
   /** PATTERN-EXTRACTION audit: every match of `pattern` across the
     * corpus, rolled up per distinct matched string — the canary-string
     * audit a memorization review runs after training-set assembly

@@ -1946,6 +1946,14 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("matched"))
     }),
 
+    // ---- Per-source distinctive terms (log-free c-TF-IDF lift, top 5):
+    // the keyword panel a data card shows per source.
+    "q187_distinctive_terms" -> ((s, dir) => {
+      TextAnalysis.distinctiveTerms(load(s, dir, "documents"),
+          col("source"), "text", 5)
+        .orderBy(col("group_key"), col("rank"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4228,6 +4236,29 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // (tf_g, tf, tokens_g, total) exact counts; lift = IEEE products of
+    // exact longs, r6; rank (lift DESC, term) per group, tfg >= 5.
+    "q187_distinctive_terms" ->
+      """WITH toks AS (SELECT source AS g, t.term
+        |              FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |              WHERE t.term <> ''),
+        |gt AS (SELECT g, term, count(*) AS tfg FROM toks GROUP BY g, term),
+        |t AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+        |gsz AS (SELECT g, count(*) AS tokg FROM toks GROUP BY g),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM toks),
+        |scored AS (
+        |  SELECT gt.g, gt.term, gt.tfg,
+        |         round((CAST(gt.tfg AS DOUBLE) * tot) /
+        |               (CAST(gsz.tokg AS DOUBLE) * CAST(t.tf AS DOUBLE))
+        |               * 1000000.0)/1000000.0 + 0.0 AS lift
+        |  FROM gt JOIN t USING (term) JOIN gsz USING (g) CROSS JOIN total
+        |  WHERE gt.tfg >= 5)
+        |SELECT g AS group_key, CAST(rank AS INT) AS rank, term, tfg, lift FROM (
+        |  SELECT g, term, tfg, lift,
+        |         row_number() OVER (PARTITION BY g ORDER BY lift DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY group_key, rank""".stripMargin,
 
     // Same planting (md5 canary keyed on the %74 pair), regex extraction,
     // per-canary rollup.

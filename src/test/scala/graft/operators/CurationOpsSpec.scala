@@ -34,6 +34,27 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("distinctiveTerms: lift ranks group-specific terms over shared ones") {
+    // 'aaa' only in g1, 'bbb' only in g2, 'zzz' everywhere (lift 1).
+    // Repeat to clear minCount.
+    val g1 = Seq.fill(6)("aaa zzz").mkString(" ")
+    val g2 = Seq.fill(6)("bbb zzz").mkString(" ")
+    val docs = Seq(("g1", g1), ("g2", g2)).toDF("src", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, col("src"), "text", 2,
+        minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getDouble(4)))
+    val byGroup = out.groupBy(_._1)
+    // rank 1 in each group is its exclusive term with lift 2.0
+    // (tf_g/tok_g = 1/2 of group tokens vs tf/total = 1/4 corpus-wide)
+    assert(byGroup("g1").find(_._2 == 1).get._3 === "aaa")
+    assert(byGroup("g2").find(_._2 == 1).get._3 === "bbb")
+    assert(byGroup("g1").find(_._2 == 1).get._4 === 2.0)
+    // the shared term ranks below with lift exactly 1
+    assert(byGroup("g1").find(_._2 == 2).get._3 === "zzz")
+    assert(byGroup("g1").find(_._2 == 2).get._4 === 1.0)
+  }
+
   test("patternExtractReport: per-match rollup, multi-occurrence counting, no-match silence") {
     val docs = Seq(
       (1L, "x CANARY-aaaa0000 y CANARY-aaaa0000"),  // same canary twice
