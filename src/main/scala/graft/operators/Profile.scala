@@ -502,6 +502,42 @@ object Profile {
         (col("n") < k).cast("int").as("suppressed"))
   }
 
+  /** BENFORD first-digit audit over a positive integer column — the
+    * classic screen for fabricated or synthetically-generated numeric
+    * data (real multi-decade magnitudes follow log10(1+1/d); generators
+    * and copy-paste fraud usually don't). Reports, per leading digit,
+    * the observed share, the Benford expectation, and |obs − exp|; the
+    * caller reads Σ dev (total-variation distance) against their alarm
+    * threshold.
+    *
+    * No-ln doctrine: the nine Benford expectations are r6 LITERALS
+    * (log10(1+1/d) precomputed), not runtime logs; the leading digit is
+    * the first [1-9] of the integer's decimal string (identical in both
+    * engines — no floor(log10) magnitude walk); shares are single
+    * exact-input double divides, r6. One map-side-combinable count per
+    * digit — a 9-cell aggregate at any scale. */
+  def benfordReport(df: DataFrame, value: Column): DataFrame = {
+    val expected = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val v = abs(value.cast("long"))
+    val digit = regexp_extract(v.cast("string"), "[1-9]", 0)
+    val expCase = expected.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (e, i)) => when(col("digit") === (i + 1), e).otherwise(acc)
+    }
+    df.filter(v > 0)
+      .select(digit.cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .select(col("digit"), col("n"),
+        graft.Tables.r6(col("n").cast("double") / col("_total").cast("double"))
+          .as("observed"),
+        expCase.as("expected"))
+      .withColumn("deviation",
+        graft.Tables.r6(abs(col("observed") - col("expected"))))
+  }
+
   /** WEAK-SUPERVISION majority vote: combine noisy labeling functions
     * (Snorkel-style LFs — cheap heuristics that label or ABSTAIN via
     * NULL) into one label per row with a confidence margin. The

@@ -1954,6 +1954,15 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("group_key"), col("rank"))
     }),
 
+    // ---- Benford first-digit audit over lineitem cent prices — the
+    // fabricated-data screen; expectations are r6 literals (no runtime
+    // log), digit from the integer's decimal string.
+    "q188_benford" -> ((s, dir) => {
+      Profile.benfordReport(load(s, dir, "lineitem"),
+          round(col("l_extendedprice") * 100))
+        .orderBy(col("digit"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4236,6 +4245,25 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // Digit from the cent-integer's decimal string; the nine Benford
+    // expectations as shared r6 literals; shares r6.
+    "q188_benford" ->
+      """WITH v AS (SELECT abs(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+        |           FROM lineitem),
+        |d AS (SELECT CAST(regexp_extract(CAST(v AS VARCHAR), '[1-9]') AS INT) AS digit
+        |      FROM v WHERE v > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT c.digit, c.n, sum(c.n) OVER () AS total FROM c),
+        |e(digit, expected) AS (VALUES (1, 0.301030), (2, 0.176091),
+        |  (3, 0.124939), (4, 0.096910), (5, 0.079181), (6, 0.066947),
+        |  (7, 0.057992), (8, 0.051153), (9, 0.045757))
+        |SELECT t.digit, t.n,
+        |  round(CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE) * 1000000.0)/1000000.0 + 0.0 AS observed,
+        |  e.expected,
+        |  round(abs(round(CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE) * 1000000.0)/1000000.0
+        |            - e.expected) * 1000000.0)/1000000.0 + 0.0 AS deviation
+        |FROM t JOIN e USING (digit) ORDER BY digit""".stripMargin,
 
     // (tf_g, tf, tokens_g, total) exact counts; lift = IEEE products of
     // exact longs, r6; rank (lift DESC, term) per group, tfg >= 5.

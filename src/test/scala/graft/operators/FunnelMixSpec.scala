@@ -107,6 +107,20 @@ class FunnelMixSpec extends AnyFunSuite {
     assert(out(4L) === ((-1, 1)))  // de singleton at every level
   }
 
+  test("benfordReport: digit extraction, shares sum to 1, zero/negative excluded") {
+    // digits: 1×4, 2×3, 9×1; zeros and negatives' |v| still count digits
+    val vals = Seq(1L, 10L, 123L, 1999L, 2L, 25L, 299L, 900L, 0L, -14L)
+      .toDF("v")
+    val out = Profile.benfordReport(vals, col("v"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1, 2, 9))
+    assert(out(1)._1 === 5L)   // 1, 10, 123, 1999, |-14|
+    assert(out(2)._1 === 3L && out(9)._1 === 1L)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
+    assert(out(1)._3 === 0.301030)   // the literal expectation rides through
+  }
+
   test("labelModelVote: majority, tie→smallest label, all-abstain stays NULL") {
     val df = Seq(
       (1L, Some("en"), Some("en"), Some("de")), // majority en, margin 1
