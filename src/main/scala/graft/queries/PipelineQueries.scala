@@ -1963,6 +1963,14 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("digit"))
     }),
 
+    // ---- Flesch readability per doc: deterministic word/sentence/
+    // vowel-group counts + the literal-constant score — curriculum
+    // buckets and the boilerplate-tail screen.
+    "q189_readability" -> ((s, dir) => {
+      TextAnalysis.readability(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4245,6 +4253,25 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // Same counts (non-empty tokens, non-blank [.!?]+ segments min 1,
+    // vowel groups), same literal constants, r6.
+    "q189_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+        |    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |                             s -> trim(s) <> '')), 1) AS n_sentences,
+        |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |       CAST(n_sentences AS INT) AS n_sentences,
+        |       CAST(n_syllables AS INT) AS n_syllables,
+        |       round((206.835
+        |              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |              - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |             * 1000000.0)/1000000.0 + 0.0 AS flesch
+        |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     // Digit from the cent-integer's decimal string; the nine Benford
     // expectations as shared r6 literals; shares r6.

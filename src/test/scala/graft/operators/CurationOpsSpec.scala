@@ -34,6 +34,17 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("readability: hand-counted words/sentences/syllables, exact Flesch") {
+    // "the cat sat. it ran!" → 5 words, 2 sentences, 5 vowel groups
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text").collect()
+    assert(out.length === 1)                     // empty doc filtered
+    val r = out(0)
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((5, 2, 5)))
+    // 206.835 − 1.015·(5/2) − 84.6·(5/5) = 119.6975 → r6
+    assert(math.abs(r.getDouble(4) - 119.6975) < 1e-6)
+  }
+
   test("distinctiveTerms: lift ranks group-specific terms over shared ones") {
     // 'aaa' only in g1, 'bbb' only in g2, 'zzz' everywhere (lift 1).
     // Repeat to clear minCount.
