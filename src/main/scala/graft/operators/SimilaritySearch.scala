@@ -938,6 +938,26 @@ object SimilaritySearch {
         lit(0L), _ + _).cast("double") / 1e12).as("pc_score"))
   }
 
+  /** MEAN-POOL an embedding column per group — chunk vectors to a
+    * document vector (the retrieval-prep step between chunk embedding
+    * and doc-level indexing), or members to a cluster centroid for
+    * export. Exact and order-free: each dimension sums the 6-decimal
+    * micro units as longs (map-side combinable, no float accumulation
+    * order anywhere), then one double divide per (group, dim), r6.
+    * Output is RELATIONAL — (group_key, dim, value) rows — so the gate
+    * hashes scalars, and a consumer rebuilds arrays only where it needs
+    * them (per-cell state stays 8 bytes; no per-group array rebuild in
+    * the aggregate). */
+  def meanPoolVectors(df: DataFrame, group: Column, vec: String): DataFrame =
+    df.select(group.as("group_key"),
+        posexplode(transform(col(vec), x =>
+          round(x.cast("double") * 1e6).cast("long"))))
+      .groupBy(col("group_key"), col("pos").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
+      .select(col("group_key"), col("dim"),
+        r6((col("s").cast("double") / col("n").cast("double")) / 1e6)
+          .as("value"))
+
   /** Pairwise COSINE BETWEEN GROUP CENTROIDS of an embedding column — the
     * embedding-drift / cluster-similarity monitor (are two sources, two
     * crawl snapshots, or two k-means clusters converging?). Exact and

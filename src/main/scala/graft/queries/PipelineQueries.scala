@@ -1971,6 +1971,15 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Chunk→doc mean pooling: 5 consecutive chunk vectors pool to
+    // one doc vector (relational (group, dim, value) output) — the
+    // retrieval-prep step before doc-level indexing.
+    "q190_mean_pool" -> ((s, dir) => {
+      SimilaritySearch.meanPoolVectors(load(s, dir, "embeddings"),
+          expr("vec_id div 5"), "embedding")
+        .orderBy(col("group_key"), col("dim"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4253,6 +4262,20 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // Micro-unit long sums per (group, dim) — order-free and exact —
+    // then one double divide, r6. Positions 0-based to match posexplode.
+    "q190_mean_pool" ->
+      """WITH u AS (
+        |  SELECT vec_id // 5 AS group_key, CAST(i - 1 AS INTEGER) AS dim,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings))
+        |SELECT group_key, dim,
+        |       round((CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0
+        |             * 1000000.0)/1000000.0 + 0.0 AS value
+        |FROM u GROUP BY group_key, dim ORDER BY group_key, dim""".stripMargin,
 
     // Same counts (non-empty tokens, non-blank [.!?]+ segments min 1,
     // vowel groups), same literal constants, r6.

@@ -154,6 +154,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0)._3 === topRel)
   }
 
+  test("meanPoolVectors: exact per-dim means, relational output") {
+    val df = Seq(
+      (1L, "g", Array(1f, 2f)),
+      (2L, "g", Array(3f, 4f)),
+      (3L, "h", Array(5f, -6f))).toDF("id", "grp", "embedding")
+    val out = SimilaritySearch.meanPoolVectors(df, col("grp"), "embedding")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out === Map(("g", 0) -> 2.0, ("g", 1) -> 3.0,
+      ("h", 0) -> 5.0, ("h", 1) -> -6.0))
+  }
+
   test("retrievalRecallReport: micro-rational MRR, misses count as zero") {
     val exact = Seq((1L, 1, 100L), (2L, 1, 200L), (3L, 1, 300L))
       .toDF("query_id", "rank", "cand_id")
