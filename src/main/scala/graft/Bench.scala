@@ -185,6 +185,12 @@ object Bench {
     "q173_semantic_decontam", // embedding decontamination, gated broadcast
     "q173b_semantic_decontam_shuffle", // forced SHUFFLE_HASH twin (100 TB shape)
     "q174_leakage_safe_split", // cluster-rep-keyed train/val/test split
+    "q176_top_pc",          // covariance pass + driver power iteration
+    "q177_pc_projection",   // row-local PCA projection scores
+    "q181_vocab_growth",    // Heaps curve: per-term min+count, bucket rollup
+    "q184_cdc_chunks",      // content-defined chunking dedup report
+    "q185_conjunctive_search", // boolean-AND BM25 retrieval
+    "q187_distinctive_terms",  // per-group c-TF-IDF lift panel
     "q_tpch_09",            // 6-way join + derived partsupp + agg (widest TPC-H shape)
     "q_tpch_21")            // 4-way + EXISTS/NOT-EXISTS semi/anti stack
   // q96_containment is excluded with q43 (same deliberately-quadratic
