@@ -222,7 +222,28 @@ object ScalingBench {
       "q168_k_anonymity",
       "q169_crawl_schedule",
       "q170_ann_ivfpq",
-      "q171_k_generalize")
+      "q171_k_generalize",
+      // round-12 tier (documents/embeddings shapes; q188 needs lineitem,
+      // which the 10× generator does not mirror — its 9-cell aggregate
+      // has no scale-sensitive structure anyway)
+      "q172_noised_release",
+      "q173_semantic_decontam",
+      "q174_leakage_safe_split",
+      "q175_mmr_select",
+      "q176_top_pc",
+      "q177_pc_projection",
+      "q178_water_fill",
+      "q179_label_model",
+      "q180_cluster_weights",
+      "q181_vocab_growth",
+      "q182_apportion_slots",
+      "q183_ann_recall_report",
+      "q184_cdc_chunks",
+      "q185_conjunctive_search",
+      "q186_canary_audit",
+      "q187_distinctive_terms",
+      "q189_readability",
+      "q190_mean_pool")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
