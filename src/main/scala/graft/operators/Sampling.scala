@@ -446,6 +446,31 @@ object Sampling {
         .as("slots"))
   }
 
+  /** Materialize the [[apportionSlots]] allocation: per stratum, keep
+    * exactly its apportioned slot count, chosen by the content-keyed
+    * md5 rank (the q73 crawl-stable order — re-runs and corpus growth
+    * do not reshuffle which rows a stratum contributes, beyond the rank
+    * boundary). Output is the eval/annotation set itself: Σ rows = k
+    * whenever every stratum has at least its allocation (guaranteed —
+    * Hamilton never allocates above n_s... a stratum's quota exceeds
+    * its count only if k > N, where the whole corpus is returned).
+    *
+    * Shape: the allocation relation is |strata| rows (broadcast by
+    * AQE); per-stratum ranks are the q73 partitioned window. */
+  def materializeApportioned(df: org.apache.spark.sql.DataFrame,
+                             stratum: Column, key: Column, k: Long)
+    : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slots = apportionSlots(df, stratum, k)
+      .select(col("stratum"), col("slots"))
+    val ranked = df.withColumn("_s", stratum)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_s")).orderBy(md5(coalesce(key, lit(""))))))
+    ranked.join(slots, ranked("_s") === slots("stratum"))
+      .filter(col("_rk") <= col("slots"))
+      .drop("_s", "_rk", "stratum", "slots")
+  }
+
   /** LEAKAGE-SAFE split: assignment keyed by the near-dup CLUSTER
     * representative, not the document itself. [[splitBucket]] on the
     * content fingerprint already pins byte-identical copies together, but

@@ -1980,6 +1980,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("group_key"), col("dim"))
     }),
 
+    // ---- Materialized eval set: exactly the q182 allocation, rows
+    // chosen per stratum by the q73 crawl-stable md5 rank. sum_ids pins
+    // WHICH docs, n per stratum pins the allocation itself.
+    "q191_apportioned_sample" -> ((s, dir) => {
+      Sampling.materializeApportioned(load(s, dir, "documents"),
+          concat(col("source"), lit(":"), col("lang")),
+          concat(col("text"), col("doc_id")), 137L)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_picked"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4262,6 +4274,32 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // The q182 allocation CTE + the q73 md5 rank, rolled up per stratum.
+    "q191_apportioned_sample" ->
+      """WITH c AS (SELECT source || ':' || lang AS stratum, count(*) AS n_rows
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT stratum, n_rows,
+        |             (137 * n_rows) // sum(n_rows) OVER () AS base,
+        |             (137 * n_rows) % sum(n_rows) OVER () AS rem
+        |      FROM c),
+        |r AS (SELECT stratum, base, rem,
+        |             137 - sum(base) OVER () AS leftover,
+        |             row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+        |      FROM t),
+        |alloc AS (SELECT stratum,
+        |                 base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS slots
+        |          FROM r),
+        |ranked AS (SELECT doc_id, source, lang,
+        |                  source || ':' || lang AS stratum,
+        |                  row_number() OVER (PARTITION BY source || ':' || lang
+        |                    ORDER BY md5(coalesce(text || CAST(doc_id AS VARCHAR), ''))) AS rk
+        |           FROM documents),
+        |kept AS (SELECT ranked.* FROM ranked JOIN alloc USING (stratum)
+        |         WHERE rk <= slots)
+        |SELECT source, lang, count(*) AS n_picked,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     // Micro-unit long sums per (group, dim) — order-free and exact —
     // then one double divide, r6. Positions 0-based to match posexplode.

@@ -180,6 +180,27 @@ class SamplingSpec extends AnyFunSuite {
       .collect().forall(_.getLong(2) === 0L))
   }
 
+  test("materializeApportioned: exactly k rows, per-stratum counts match the allocation") {
+    val rows = ((1 to 50).map(i => ("a", i.toLong)) ++
+        (1 to 30).map(i => ("b", i + 100L)) ++
+        (1 to 20).map(i => ("c", i + 200L)))
+      .toDF("src", "id")
+    val out = Sampling.materializeApportioned(rows, col("src"),
+        col("id").cast("string"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === 10)                    // Σ rows = k exactly
+    val per = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(per === Map("a" -> 5, "b" -> 3, "c" -> 2))  // 50/30/20 of 100
+    // crawl-stable: a second run picks the identical rows
+    val out2 = Sampling.materializeApportioned(rows, col("src"),
+        col("id").cast("string"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.sorted.sameElements(out2.sorted))
+    // output schema is the input schema — composes transparently
+    assert(Sampling.materializeApportioned(rows, col("src"),
+      col("id").cast("string"), 10L).columns.toSeq === Seq("src", "id"))
+  }
+
   test("leakageSafeSplit: clusters never straddle; unpaired docs keep their own key") {
     // pair graph: {1,2,3} via 1-2, 2-3 and {10,11}; 5 and 7 unpaired
     val d = Seq(1L, 2L, 3L, 5L, 7L, 10L, 11L).map(i => (i, s"doc $i"))
