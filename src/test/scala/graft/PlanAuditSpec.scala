@@ -507,4 +507,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("q184 CDC chunking: row-local chunk pipeline — no window, no join") {
+    val p = plan("q184_cdc_chunks")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000)) // rollup combines map-side
+  }
+
+  test("q185 conjunctive search: df relation broadcast, no cartesian") {
+    val p = plan("q185_conjunctive_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("TakeOrdered"), p.take(3000)) // top-k never global-sorts
+  }
+
+  test("q190 mean pool: one aggregation, no join, map-side partials") {
+    val p = plan("q190_mean_pool")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+  }
 }
