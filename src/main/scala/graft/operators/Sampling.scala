@@ -421,7 +421,10 @@ object Sampling {
     * to the largest remainders (ties → smaller stratum). The standard
     * way to size a fixed-budget eval set so it mirrors the corpus mix
     * EXACTLY (Σ slots = k always — proportional-floor alone under-fills,
-    * independent rounding drifts) while staying fully deterministic:
+    * independent rounding drifts; when k > N a stratum's slots may
+    * exceed its row count — slots are CAPACITIES, and
+    * [[materializeApportioned]] caps them at the rows that exist) while
+    * staying fully deterministic:
     * quotas, remainders, and ranks are all integer arithmetic (k·n_s
     * must fit a long — k ≤ 10⁶ against petabyte-scale row counts does).
     *
