@@ -1992,6 +1992,38 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // ---- Data card v2: the round-12 signals joined into one per-source
+    // panel — mean Flesch (exact decimal sum of the r6 per-doc scores),
+    // CDC chunk dup ratio, and the hapax share of the source's exclusive
+    // vocabulary (corpus-freq-1 terms live in exactly one source). Three
+    // bounded relations joined on the source key.
+    "q192_data_card_v2" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val flesch = TextAnalysis.readability(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.Tables.r6(graft.Tables.dsum(col("flesch")) /
+            count(lit(1)).cast("double")).as("mean_flesch"))
+      val cdc = Dedup.cdcChunkReport(docs, "doc_id", "text", col("source"))
+        .select(col("group_key").as("source"), col("dup_ratio"))
+      val terms = docs.select(col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(countDistinct(col("source")).as("nsrc"), count(lit(1)).as("freq"),
+          min(col("source")).as("only_src"))
+      val hapax = terms.filter(col("nsrc") === 1)
+        .groupBy(col("only_src").as("source"))
+        .agg(count(lit(1)).as("n_excl"),
+          count(when(col("freq") === 1, 1)).as("n_hapax"))
+        .select(col("source"),
+          graft.Tables.r6(col("n_hapax").cast("double") /
+            col("n_excl").cast("double")).as("hapax_share"))
+      flesch.join(cdc, Seq("source")).join(hapax, Seq("source"), "left")
+        .orderBy(col("source"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4274,6 +4306,54 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // The q189 counts re-aggregated per source (decimal-exact mean), the
+    // q184 chain's ratio, and exclusive-vocabulary hapax shares.
+    "q192_data_card_v2" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+        |    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |                             s -> trim(s) <> '')), 1) AS n_sentences,
+        |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+        |  FROM documents),
+        |fl AS (SELECT source, count(*) AS n_docs,
+        |         round(CAST(sum(CAST(round((206.835
+        |              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |              - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |             * 1000000.0)/1000000.0 + 0.0 AS DECIMAL(18,6))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) * 1000000.0)/1000000.0 + 0.0 AS mean_flesch
+        |       FROM m WHERE n_words > 0 GROUP BY source),
+        |d AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, source, text, n,
+        |               unnest(generate_series(16, n)) AS p
+        |        FROM d WHERE n >= 16),
+        |b AS (SELECT doc_id, source, text, n, p FROM pos
+        |      WHERE substr(md5(substr(text, p - 15, 16)), 1, 1) = '0'),
+        |ends AS (SELECT doc_id, source, text, p AS e FROM b
+        |         UNION
+        |         SELECT doc_id, source, text, n FROM d WHERE n >= 1),
+        |spans AS (SELECT doc_id, source, text, e,
+        |                 coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+        |          FROM ends),
+        |ch AS (SELECT source, md5(substr(text, s, e - s + 1)) AS h FROM spans),
+        |cdc AS (SELECT source,
+        |          round((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |                * 1000000.0)/1000000.0 + 0.0 AS dup_ratio
+        |        FROM ch GROUP BY source),
+        |toks AS (SELECT source, t.term
+        |         FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |         WHERE t.term <> ''),
+        |tt AS (SELECT term, count(DISTINCT source) AS nsrc, count(*) AS freq,
+        |              min(source) AS only_src
+        |       FROM toks GROUP BY term),
+        |hap AS (SELECT only_src AS source,
+        |          round(CAST(count(CASE WHEN freq = 1 THEN 1 END) AS DOUBLE)
+        |                / CAST(count(*) AS DOUBLE) * 1000000.0)/1000000.0 + 0.0 AS hapax_share
+        |        FROM tt WHERE nsrc = 1 GROUP BY only_src)
+        |SELECT fl.source, fl.n_docs, fl.mean_flesch, cdc.dup_ratio, hap.hapax_share
+        |FROM fl JOIN cdc USING (source) LEFT JOIN hap USING (source)
+        |ORDER BY fl.source""".stripMargin,
 
     // The q182 allocation CTE + the q73 md5 rank, rolled up per stratum.
     "q191_apportioned_sample" ->
