@@ -243,7 +243,9 @@ object ScalingBench {
       "q186_canary_audit",
       "q187_distinctive_terms",
       "q189_readability",
-      "q190_mean_pool")
+      "q190_mean_pool",
+      "q191_apportioned_sample",
+      "q192_data_card_v2")
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
