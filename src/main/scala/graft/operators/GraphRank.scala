@@ -232,4 +232,41 @@ object GraphRank {
       e.unpersist(blocking = false)
     }
   }
+
+  /** TRANSITIVITY AUDIT of a pair graph — the dedup-threshold quality
+    * metric: global clustering coefficient 3·triangles / wedges over
+    * the near-dup relation. A similarity relation that were a true
+    * equivalence would close every wedge (transitivity 1); the gap
+    * measures how often A~B and B~C while A̸~C — too low means the
+    * threshold chains unrelated docs through hubs (connected components
+    * will over-merge), so this is the number a curation team reads
+    * before trusting q66's clusters at a new threshold.
+    *
+    * Shape: the [[triangleCounts]] machinery (degree-oriented, wedge
+    * volume bounded by O(Σ od²) with od ≤ √m) plus one undirected
+    * degree census; all three summaries are 1-row relations crossed at
+    * the end — no collect. Transitivity is one exact-long ratio, r6;
+    * NULL when the graph has no wedges. */
+  def transitivityAudit(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b"): DataFrame = {
+    import graft.Tables.r6
+    val und = pairs
+      .select(least(col(idA), col(idB)).cast("long").as("u"),
+        greatest(col(idA), col(idB)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val edgeCount = und.agg(count(lit(1)).as("n_edges"))
+    val wedges = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("(d * (d - 1)) DIV 2")), lit(0L)).as("n_wedges"))
+    val tri = triangleCounts(
+        und.select(col("u").as("src"), col("v").as("dst")))
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("t3"))
+      .select((col("t3") / 3).cast("long").as("n_triangles"))
+    edgeCount.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          r6((col("n_triangles") * 3).cast("double") /
+            col("n_wedges").cast("double"))).as("transitivity"))
+  }
 }

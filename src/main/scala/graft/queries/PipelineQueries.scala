@@ -2024,6 +2024,15 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // ---- Dedup-graph transitivity: 3·triangles/wedges over the q44
+    // pair relation — the threshold-quality number read before trusting
+    // q66's clusters (a true equivalence closes every wedge).
+    "q193_dedup_transitivity" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshPairs(load(s, dir, "documents"),
+        "doc_id", "text", 0.7)
+      graft.operators.GraphRank.transitivityAudit(pairs)
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -4306,6 +4315,26 @@ object PipelineQueries extends QueryPack {
         |    FROM sel WHERE rank < 10)
         |  WHERE nxt IS NOT NULL)
         |SELECT rank, vec_id, round(score, 6) + 0.0 AS score FROM sel ORDER BY rank""".stripMargin,
+
+    // The q44 pair CTE as an undirected graph: wedges Σ C(d,2),
+    // triangles via ordered 3-join, transitivity 3T/W (NULL if W=0).
+    "q193_dedup_transitivity" ->
+      s"""WITH $minhashPairsCtes,
+         |und AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+         |        FROM pr WHERE id_a <> id_b),
+         |ec AS (SELECT count(*) AS n_edges FROM und),
+         |wc AS (SELECT coalesce(CAST(sum((d * (d - 1)) // 2) AS BIGINT), 0) AS n_wedges
+         |       FROM (SELECT x, count(*) AS d FROM (
+         |               SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+         |             GROUP BY x)),
+         |tc AS (SELECT count(*) AS n_triangles
+         |       FROM und e1 JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+         |            JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v)
+         |SELECT ec.n_edges, wc.n_wedges, CAST(tc.n_triangles AS BIGINT) AS n_triangles,
+         |  CASE WHEN wc.n_wedges > 0
+         |       THEN round(CAST(tc.n_triangles * 3 AS DOUBLE) / CAST(wc.n_wedges AS DOUBLE)
+         |                  * 1000000.0)/1000000.0 + 0.0 END AS transitivity
+         |FROM ec, wc, tc""".stripMargin,
 
     // The q189 counts re-aggregated per source (decimal-exact mean), the
     // q184 chain's ratio, and exclusive-vocabulary hapax shares.

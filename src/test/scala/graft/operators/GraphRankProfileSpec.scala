@@ -178,4 +178,22 @@ class GraphRankProfileSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1(5L) === 1L)
   }
+
+  test("transitivityAudit: K4 closes every wedge; a path closes none; NULL when wedge-free") {
+    import spark.implicits._
+    // K4: 6 edges, 12 wedges, 4 triangles → transitivity 1.0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val a = GraphRank.transitivityAudit(k4).collect()(0)
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) === ((6L, 12L, 4L)))
+    assert(a.getDouble(3) === 1.0)
+    // path 1-2-3: one wedge, no triangle → 0.0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = GraphRank.transitivityAudit(path).collect()(0)
+    assert((p.getLong(1), p.getLong(2), p.getDouble(3)) === ((1L, 0L, 0.0)))
+    // a single edge has no wedge → transitivity NULL, not 0/0
+    val e1 = Seq((7L, 8L)).toDF("id_a", "id_b")
+    val s = GraphRank.transitivityAudit(e1).collect()(0)
+    assert(s.getLong(1) === 0L && s.isNullAt(3))
+  }
 }
