@@ -17,6 +17,13 @@ class QueryPackSpec extends AnyFunSuite {
     assert(qs == os, s"queries without oracle (rows-only fallback): ${qs.diff(os)}")
   }
 
+  test("bench headline and scaling sweep reference only registered queries") {
+    // a typo'd name here would crash the DRIVER's bench capture, not CI
+    val qs = SparkEntry.queries.keySet
+    val badBench = Bench.headline.filterNot(qs.contains)
+    assert(badBench.isEmpty, s"headline entries without queries: $badBench")
+  }
+
   test("q01 TPC-H Q1: 6 groups, aggregates positive, sorted by flag/status") {
     val rows = run("q01_tpch_q1").collect()
     assert(rows.length == 6)
