@@ -202,6 +202,39 @@ object Bench {
   // sf0.1 is ~2.6e8 (every lineitem × ~440 orders in its 7-day window) —
   // a semantics-driven volume, not plan overhead; benching it would time
   // the data, not the operator.
+  //
+  // Round-12 gates not in the headline set — the no-silent-caps doctrine
+  // applied to this list itself, one line each:
+  // - q175_mmr_select: k driver rounds over a pre-capped <=256-row
+  //   shortlist — times the selection loop, not a distributed operator
+  //   (its corpus stage is q47's brute scan, already headline).
+  // - q178_water_fill / q182_apportion_slots: integer windows over the
+  //   |strata|-row relation (~20 rows); the corpus-side token sum is the
+  //   same map-side-combinable pass every token-stat headline times.
+  // - q179_label_model: |labelers|^2-cell agreement rollup — a bounded
+  //   report, no scale-sensitive structure beyond one corpus count pass.
+  // - q180_cluster_weights: rollup over q66's cluster relation; the real
+  //   work is q44 pairs + q66b clustering, both headline.
+  // - q183_ann_recall_report: joins two ANN outputs (truth vs candidate,
+  //   k rows/query) — a report ON operators that are timed elsewhere
+  //   (q47/q48/q147/q170 are all headline).
+  // - q186_canary_audit: regexp scan + match-cardinality rollup; scan
+  //   cost is the q49/q69 text-scan class, both headline.
+  // - q188_benford: 9-cell first-digit rollup over lineitem — one
+  //   map-side count, nothing scale-sensitive to guard.
+  // - q189_readability: row-local regex/ratio projection fused into the
+  //   scan — the q49 lang-ID class (headline); q192 also times it as its
+  //   Flesch input leg.
+  // - q190_mean_pool: one map-side (group, dim) sum; q154's covariance
+  //   headline already times the strictly heavier embedding-explode.
+  // - q191_apportioned_sample: q182's allocation + the q73 md5 rank —
+  //   per-stratum window class timed by the q82 rank gate headline.
+  // - q193_dedup_transitivity: audit over q44/q66 outputs (1-row scalar
+  //   crossJoins); the corpus work is q44 + q66b, both headline.
+  // Forced-fallback twins (q44b/q70b/q72b/q81b/q120b) duplicate their
+  // default entries' volume with a pinned physical strategy — headline
+  // keeps the default; the exceptions are q170b/q173b, where the forced
+  // SHUFFLE path IS the 100 TB shape and therefore the one to guard.
 
   /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
     * thread, no allocation, deterministic instruction count. Returns

@@ -378,8 +378,12 @@ object Sampling {
     * from a global budget.
     *
     * τ = max_r ⌊(budget − prefix_r) / (n − r)⌋ over the ascending-token
-    * prefix (the classic water-filling closed form) — pure integer
-    * arithmetic, so both engines agree exactly. Shape: one
+    * prefix (the classic water-filling closed form) — evaluated with
+    * Spark's integer `div` (truncation toward zero), exact at ANY
+    * budget, no 2^53 double-division cliff. Truncation differs from
+    * floor only on negative numerators, and those terms are ≤ 0 under
+    * both semantics while the r=0 term ⌊budget/n⌋ ≥ 0 (budget ≥ 0 is
+    * required) pins the max — so τ is the textbook value. Shape: one
     * map-side-combinable per-stratum sum over the corpus, then windows
     * over the |strata|-row relation (bounded by construction — sources,
     * not documents; the single-partition window holds |strata| rows,
@@ -408,8 +412,7 @@ object Sampling {
           Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_n", count(lit(1)).over(whole))
       .withColumn("tau",
-        max(floor((lit(budgetTokens) - col("_prefix")) /
-          (col("_n") - col("_r"))).cast("long")).over(whole))
+        max(expr(s"($budgetTokens - _prefix) div (_n - _r)")).over(whole))
       .select(col("stratum"), col("n_tokens"),
         greatest(least(col("n_tokens"), col("tau")), lit(0L)).as("allocated"),
         (col("n_tokens") > col("tau")).cast("int").as("capped"))

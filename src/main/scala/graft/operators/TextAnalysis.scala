@@ -1141,8 +1141,8 @@ object TextAnalysis {
     val words = size(filter(split(col(text), " "), t => t =!= ""))
     val sentences = greatest(
       size(filter(split(col(text), "[.!?]+"), s => trim(s) =!= "")), lit(1))
-    val syllables = size(expr(
-      s"regexp_extract_all($text, '[aeiouyAEIOUY]+', 0)"))
+    val syllables = size(
+      regexp_extract_all(col(text), lit("[aeiouyAEIOUY]+"), lit(0)))
     docs.select(col(id), words.as("n_words"), sentences.as("n_sentences"),
         syllables.as("n_syllables"))
       .filter(col("n_words") > 0)
@@ -1204,12 +1204,16 @@ object TextAnalysis {
     * Shape: regexp_extract_all is row-local and fused into the scan;
     * non-matching docs contribute nothing to the explode; the rollup
     * keys on the matched string (match-cardinality-bounded, tiny for
-    * canary audits). */
+    * canary audits). The pattern travels as a `lit` through the typed
+    * function API — no SQL-literal round trip, so quotes and backslash
+    * classes (\d, \b — typical for PII audits) reach the regex engine
+    * exactly as the caller wrote them. */
   def patternExtractReport(docs: org.apache.spark.sql.DataFrame, id: String,
                            text: String, pattern: String)
     : org.apache.spark.sql.DataFrame = {
     docs.select(col(id).as("pid"),
-        explode(expr(s"regexp_extract_all($text, '$pattern', 0)")).as("matched"))
+        explode(regexp_extract_all(col(text), lit(pattern), lit(0)))
+          .as("matched"))
       .groupBy(col("matched"))
       .agg(countDistinct(col("pid")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),

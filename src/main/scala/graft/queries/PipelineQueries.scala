@@ -119,13 +119,20 @@ object PipelineQueries extends QueryPack {
   // pins each step to evaluate once — the inlined chain would replay the
   // scan 2^12 times (each x_k references y_k twice).
   private val pcIterChain = {
+    // The m = 0 CASE mirrors topPcMicro's degenerate guard (zero y
+    // vector → keep the previous iterate): on a constant-embedding
+    // corpus both engines now hold x fixed instead of the oracle
+    // dividing by zero — once y = A·x is all-zero it stays all-zero, so
+    // the guard propagates identically through the remaining steps.
     val iterCtes = (1 to 12).map { k =>
       s"""y$k AS MATERIALIZED (SELECT a.i AS dim, sum(a.a * x${k - 1}.x) AS y
          |        FROM afull a JOIN x${k - 1} ON x${k - 1}.dim = a.j GROUP BY a.i),
          |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
-         |x$k AS MATERIALIZED (SELECT dim,
-         |        CAST(round(CAST(y AS DOUBLE) * 1000000.0 / CAST(m AS DOUBLE)) AS BIGINT) AS x
-         |        FROM y$k, m$k)""".stripMargin
+         |x$k AS MATERIALIZED (SELECT y$k.dim,
+         |        CASE WHEN m$k.m = 0 THEN xp.x
+         |             ELSE CAST(round(CAST(y$k.y AS DOUBLE) * 1000000.0 / CAST(m$k.m AS DOUBLE)) AS BIGINT)
+         |        END AS x
+         |        FROM y$k, m$k, x${k - 1} xp WHERE xp.dim = y$k.dim)""".stripMargin
     }.mkString(",\n")
     s"""e AS (SELECT vec_id, embedding,
        |                unnest(generate_series(1, len(embedding))) AS i
@@ -4689,9 +4696,11 @@ object PipelineQueries extends QueryPack {
         |FROM lf l LEFT JOIN agg a ON a.doc_id = l.doc_id ORDER BY id""".stripMargin,
 
     // Water-fill closed form: τ = max_r floor((B − prefix_r)/(n − r))
-    // over the ascending-token prefix. Integer inputs; the one double
-    // quotient is ≥ 1/n away from the nearest integer when inexact, so
-    // floor agrees cross-engine.
+    // over the ascending-token prefix. Pure integer arithmetic on both
+    // engines now: DuckDB's // and Spark's `div` both truncate toward
+    // zero, so τ is bit-identical at ANY budget (no 2^53 double cliff);
+    // truncation-vs-floor differs only on negative terms, which are ≤ 0
+    // under both semantics while the r=0 term pins max ≥ 0.
     "q178_water_fill" ->
       """WITH t AS (SELECT source AS stratum,
         |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -4702,7 +4711,7 @@ object PipelineQueries extends QueryPack {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
         |             count(*) OVER () AS n
         |      FROM t),
-        |tau AS (SELECT CAST(max(floor((24000 - prefix) / (n - rr))) AS BIGINT) AS tau FROM r)
+        |tau AS (SELECT CAST(max((24000 - prefix) // (n - rr)) AS BIGINT) AS tau FROM r)
         |SELECT stratum, n_tokens,
         |       greatest(least(n_tokens, tau), 0) AS allocated,
         |       CAST(n_tokens > tau AS INT) AS capped

@@ -126,43 +126,11 @@ object ScalingBench {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
-  def main(args: Array[String]): Unit = {
-    val tenxDir = args.headOption.getOrElse("/tmp/graft_scaling_10x")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    // SPARK_GRAFT_SCALING_NDOCS overrides the corpus size (default 50k =
-    // 10×): pass 500000 with a fresh dir for a 100× two-decade curve.
-    val nDocsGen = sys.env.get("SPARK_GRAFT_SCALING_NDOCS")
-      .map(_.toLong).getOrElse(50000L)
-    // SPARK_GRAFT_SCALING_HEAPS=true: Heaps-law-like rare-token growth
-    // (see baseText) — required to measure the banded dedup ops at
-    // >=100x, where the default head-heavy distribution saturates the
-    // gram space.
-    val heapsGen = sys.env.get("SPARK_GRAFT_SCALING_HEAPS").contains("true")
-    if (!new java.io.File(s"$tenxDir/documents.parquet").exists()) {
-      println(s"[scaling] generating corpus at $tenxDir ($nDocsGen docs, heaps=$heapsGen)")
-      generate(spark, tenxDir, nDocsGen, heapsGen)
-    }
-    val embPath = s"$tenxDir/embeddings.parquet"
-    val embStale = new java.io.File(embPath).exists() &&
-      !spark.read.parquet(embPath).columns.contains("label")
-    if (!new java.io.File(embPath).exists() || embStale) {
-      println(s"[scaling] generating 10x embeddings at $tenxDir (20k vectors)" +
-        (if (embStale) " [regenerating: pre-r10 file lacks label]" else ""))
-      generateEmb(spark, tenxDir, 20000L)
-    }
-
-    val queries = Seq(
+  /** The sweep list, hoisted so QueryPackSpec can assert every name is
+    * a registered SparkEntry query — a typo here crashes the driver's
+    * scaling capture, not CI, unless pinned (same failure mode as
+    * Bench.headline, same test). */
+  val sweep: Seq[String] = Seq(
       "q44_dedup_minhash_lsh",
       "q45_dedup_simhash",
       "q66b_dedup_clusters_dist",
@@ -246,6 +214,44 @@ object ScalingBench {
       "q190_mean_pool",
       "q191_apportioned_sample",
       "q192_data_card_v2")
+
+  def main(args: Array[String]): Unit = {
+    val tenxDir = args.headOption.getOrElse("/tmp/graft_scaling_10x")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // SPARK_GRAFT_SCALING_NDOCS overrides the corpus size (default 50k =
+    // 10×): pass 500000 with a fresh dir for a 100× two-decade curve.
+    val nDocsGen = sys.env.get("SPARK_GRAFT_SCALING_NDOCS")
+      .map(_.toLong).getOrElse(50000L)
+    // SPARK_GRAFT_SCALING_HEAPS=true: Heaps-law-like rare-token growth
+    // (see baseText) — required to measure the banded dedup ops at
+    // >=100x, where the default head-heavy distribution saturates the
+    // gram space.
+    val heapsGen = sys.env.get("SPARK_GRAFT_SCALING_HEAPS").contains("true")
+    if (!new java.io.File(s"$tenxDir/documents.parquet").exists()) {
+      println(s"[scaling] generating corpus at $tenxDir ($nDocsGen docs, heaps=$heapsGen)")
+      generate(spark, tenxDir, nDocsGen, heapsGen)
+    }
+    val embPath = s"$tenxDir/embeddings.parquet"
+    val embStale = new java.io.File(embPath).exists() &&
+      !spark.read.parquet(embPath).columns.contains("label")
+    if (!new java.io.File(embPath).exists() || embStale) {
+      println(s"[scaling] generating 10x embeddings at $tenxDir (20k vectors)" +
+        (if (embStale) " [regenerating: pre-r10 file lacks label]" else ""))
+      generateEmb(spark, tenxDir, 20000L)
+    }
+
+    val queries = sweep
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 

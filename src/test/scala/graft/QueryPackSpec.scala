@@ -22,6 +22,8 @@ class QueryPackSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val badBench = Bench.headline.filterNot(qs.contains)
     assert(badBench.isEmpty, s"headline entries without queries: $badBench")
+    val badSweep = graft.tools.ScalingBench.sweep.filterNot(qs.contains)
+    assert(badSweep.isEmpty, s"scaling sweep entries without queries: $badSweep")
   }
 
   test("q01 TPC-H Q1: 6 groups, aggregates positive, sorted by flag/status") {

@@ -82,6 +82,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out("CANARY-bbbb1111") === ((1L, 1L, 3L)))
   }
 
+  test("patternExtractReport: backslash classes and quotes reach the regex verbatim") {
+    // \b and \d would be eaten by SQL string-literal escaping if the
+    // pattern round-tripped through expr(); the typed lit() path must
+    // deliver them intact, and a single quote must not break parsing.
+    val docs = Seq(
+      (1L, "call 555-0101 or 555-0199 now"),
+      (2L, "it's 555-0101 again"),
+      (3L, "no digits here")
+    ).toDF("doc_id", "text")
+    val phones = TextAnalysis.patternExtractReport(docs, "doc_id", "text",
+        "\\b\\d{3}-\\d{4}\\b")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(phones === Map("555-0101" -> 2L, "555-0199" -> 1L))
+    val quoted = TextAnalysis.patternExtractReport(docs, "doc_id", "text",
+        "it's \\d+")
+      .collect().map(_.getString(0))
+    assert(quoted.toSeq === Seq("it's 555"))
+  }
+
   test("cdcChunkReport: chunks tile the doc; a 1-char insert shares the tail") {
     // deterministic APERIODIC text (a periodic string has few distinct
     // windows and may never hit the boundary mask)
