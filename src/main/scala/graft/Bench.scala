@@ -192,6 +192,7 @@ object Bench {
     "q185_conjunctive_search", // boolean-AND BM25 retrieval
     "q187_distinctive_terms",  // per-group c-TF-IDF lift panel
     "q192_data_card_v2",    // composite per-source release panel
+    "q194_dedup_minhash_scaled", // 30-hash 6x5 banding (the 100 TB dedup profile)
     "q_tpch_09",            // 6-way join + derived partsupp + agg (widest TPC-H shape)
     "q_tpch_21")            // 4-way + EXISTS/NOT-EXISTS semi/anti stack
   // q96_containment is excluded with q43 (same deliberately-quadratic

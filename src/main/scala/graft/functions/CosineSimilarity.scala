@@ -124,6 +124,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig30"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig30"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_minhash_sig30 takes exactly 1 argument")
+        MinHashSignature(children.head, k = 30)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       (children: Seq[Expression]) => {

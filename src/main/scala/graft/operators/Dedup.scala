@@ -166,25 +166,33 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, id: String, text: String): DataFrame =
     signaturesFromSets(gramSets(docs, id, text))
 
-  def signaturesFromSets(sets: DataFrame): DataFrame = {
-    // One-pass codegen'd kernel for all 16 mins (graft_minhash_sig); the
-    // composable per-hash form below is the spec oracle. Two projections:
-    // _s is non-cheap and referenced 16×, so CollapseProject keeps the
+  def signaturesFromSets(sets: DataFrame): DataFrame =
+    signaturesFromSets(sets, LshBanding.Default)
+
+  def signaturesFromSets(sets: DataFrame, banding: LshBanding): DataFrame = {
+    // One-pass codegen'd kernel for all k mins (graft_minhash_sig /
+    // graft_minhash_sig30 per the banding profile); the composable
+    // per-hash form below is the spec oracle. Two projections:
+    // _s is non-cheap and referenced k×, so CollapseProject keeps the
     // barrier instead of inlining the kernel once per element_at
     // (MinHashSigSpec pins single evaluation by plan text).
     // gn = |gram set| rides along for the candidate-stage size prefilter.
     sets.select(col("sid"), size(col("gs")).as("gn"),
-        call_function("graft_minhash_sig", col("gs")).as("_s"))
+        call_function(banding.kernelName, col("gs")).as("_s"))
       .select(col("sid") +: col("gn") +:
-        MinHashParams.indices.map(j => element_at(col("_s"), j + 1).as(s"m$j")): _*)
+        (0 until banding.numHashes).map(j =>
+          element_at(col("_s"), j + 1).as(s"m$j")): _*)
   }
 
   /** Composable reference form of the signature — one array fold per hash
     * (16 walks of gs, 16 intermediate arrays). Semantically identical to
     * signaturesFromSets; kept as the equivalence oracle for the one-pass
     * kernel (MinHashSigSpec) and as documentation of the semantics. */
-  def signaturesFromSetsComposable(sets: DataFrame): DataFrame = {
-    val sigs = MinHashParams.indices.map(j =>
+  def signaturesFromSetsComposable(sets: DataFrame): DataFrame =
+    signaturesFromSetsComposable(sets, LshBanding.Default)
+
+  def signaturesFromSetsComposable(sets: DataFrame, banding: LshBanding): DataFrame = {
+    val sigs = (0 until banding.numHashes).map(j =>
       array_min(transform(col("gs"), h => minHashJ(h, j))).as(s"m$j"))
     sets.select(col("sid") +: size(col("gs")).as("gn") +: sigs: _*)
   }
@@ -213,9 +221,17 @@ object Dedup {
     * moves them (measured 41.5% of the shared-vocab corpus's band-collision
     * pairs at r=0.7, sf0.1). Needs the `gn` size column from
     * signaturesFromSets; without it only the bare banding applies. */
-  def lshCandidates(signatures: DataFrame, minSizeRatio: Double): DataFrame = {
+  def lshCandidates(signatures: DataFrame, minSizeRatio: Double): DataFrame =
+    lshCandidates(signatures, minSizeRatio, LshBanding.Default)
+
+  /** Profile-aware candidates: `signatures` must carry the profile's
+    * m0..m(k-1) columns (i.e. come from signaturesFromSets with the SAME
+    * banding). */
+  def lshCandidates(signatures: DataFrame, minSizeRatio: Double,
+                    banding: LshBanding): DataFrame = {
     val sizeAware = minSizeRatio > 0.0 && signatures.columns.contains("gn")
-    pairsFromBands(bandRelation(signatures, sizeAware), minSizeRatio, sizeAware)
+    pairsFromBands(bandRelation(signatures, sizeAware, banding),
+      minSizeRatio, sizeAware)
   }
 
   /** (sid[, gn], sig) band relation: one row per (doc, band), sig =
@@ -224,9 +240,14 @@ object Dedup {
     * computation — so the managed pipeline persists it: the self-join
     * below consumes it on both sides, and an unmaterialized plan would run
     * the signature projection twice. */
-  private[graft] def bandRelation(signatures: DataFrame, sizeAware: Boolean): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+  private[graft] def bandRelation(signatures: DataFrame, sizeAware: Boolean): DataFrame =
+    bandRelation(signatures, sizeAware, LshBanding.Default)
+
+  private[graft] def bandRelation(signatures: DataFrame, sizeAware: Boolean,
+                                  banding: LshBanding): DataFrame = {
+    val bands = (0 until banding.numBands).map { b =>
+      val cols = (0 until banding.rowsPerBand)
+        .map(r => col(s"m${b * banding.rowsPerBand + r}"))
       xxhash64(lit(b) +: cols: _*)
     }
     val keep = if (sizeAware) Seq(col("sid"), col("gn")) else Seq(col("sid"))
@@ -297,13 +318,29 @@ object Dedup {
                       broadcastBudgetBytes: Long): DataFrame =
     minHashLshPairsManaged(docs, id, text, threshold, broadcastBudgetBytes).df
 
+  /** [[minHashLshPairs]] under the SCALED banding profile (30 hashes,
+    * 6 bands × 5 rows) — the large-corpus selectivity setting
+    * (TextHashing.LshBanding scaladoc has the (b, r) math). Same gram
+    * sets, same verify stage, same exact-Jaccard semantics; only the
+    * CANDIDATE stage changes: ~6.7× fewer sub-threshold band collisions
+    * per pair, which is what keeps candidate volume near-linear once the
+    * corpus outgrows the default profile (measured: SCALING.md "Banded
+    * dedup at large absolute scale"). Recall at the s = 0.7 threshold is
+    * the same ~0.67 as the default; pairs at s ≥ 0.9 — the ones dedup
+    * exists to find — are caught with p ≥ 0.99 under both. */
+  def minHashLshPairsScaled(docs: DataFrame, id: String, text: String,
+                            threshold: Double): DataFrame =
+    minHashLshPairsManaged(docs, id, text, threshold,
+      BroadcastVerifyMaxBytes, LshBanding.Scaled).df
+
   /** Near-dup pairs with a deterministic release handle: `df` is the final
     * pair set backed by already-materialized blocks (every corpus-sized
     * intermediate is freed before this returns); `close()` drops the
     * result blocks too, leaving zero pipeline storage in the session —
     * DedupLifecycleSpec pins both properties. */
   def minHashLshPairsManaged(docs: DataFrame, id: String, text: String, threshold: Double,
-                             broadcastBudgetBytes: Long = BroadcastVerifyMaxBytes): ManagedPairs = {
+                             broadcastBudgetBytes: Long = BroadcastVerifyMaxBytes,
+                             banding: LshBanding = LshBanding.Default): ManagedPairs = {
     // Materialization barriers between stages, mirroring the role the
     // reference's CacheMachines play between kernels
     // (docsrc/source/engine/caches.rst):
@@ -325,10 +362,11 @@ object Dedup {
     // read them straight back for one consumer; fusing candidate
     // generation into the verify job saved ~2 s at sf0.1.
     val sets = gramSets(docs, id, text).persist()
-    // The band relation is 4 narrow rows per doc but carries the 16-hash
-    // signature computation; persisting it means the self-join's two sides
-    // share ONE signature pass instead of recomputing it per side.
-    val bandRel = bandRelation(signaturesFromSets(sets), sizeAware = true).persist()
+    // The band relation is numBands narrow rows per doc but carries the
+    // k-hash signature computation; persisting it means the self-join's two
+    // sides share ONE signature pass instead of recomputing it per side.
+    val bandRel = bandRelation(signaturesFromSets(sets, banding),
+      sizeAware = true, banding).persist()
     // try/finally, not success-path cleanup: a failed materialization
     // (executor loss mid-localCheckpoint is the documented default-mode
     // risk) must not leave corpus-sized intermediates persisted or a live

@@ -18,7 +18,8 @@ object TextHashing {
   /** Mersenne prime 2^31-1, the classic universal-hash modulus. */
   val P: Long = 2147483647L
 
-  /** (a, b) parameter pairs for the MinHash signature family. */
+  /** (a, b) parameter pairs for the MinHash signature family (the
+    * default 16-hash profile). */
   val MinHashParams: Seq[(Long, Long)] = Seq(
     (387810361L, 900157577L), (972596951L, 135623063L),
     (529316621L, 733157407L), (186153317L, 447879239L),
@@ -29,9 +30,52 @@ object TextHashing {
     (810374137L, 495310021L), (362159509L, 948271783L),
     (689143687L, 417096911L), (250317689L, 562938341L))
 
+  /** The scaled-profile superset: the 16 default pairs (identical, so
+    * j < 16 hashes agree across profiles) plus 14 more for the 30-hash
+    * signature. Fixed odd multipliers like the first 16. */
+  val MinHashParamsScaled: Seq[(Long, Long)] = MinHashParams ++ Seq(
+    (541727813L, 382190947L), (863519429L, 740216561L),
+    (194853277L, 618409871L), (927364517L, 283751909L),
+    (375208631L, 851694473L), (608941759L, 127385621L),
+    (742583171L, 964027337L), (289176449L, 506839217L),
+    (956402833L, 341758067L), (417290561L, 789523411L),
+    (683947237L, 215086559L), (150638921L, 637412783L),
+    (824075693L, 472951031L), (561839047L, 908364179L))
+
   /** Number of 4-row bands over the 16-hash signature (LSH banding). */
   val NumBands = 4
   val RowsPerBand = 4
+
+  /** An LSH banding profile: `numBands` bands of `rowsPerBand` hashes
+    * each over a `numHashes = numBands·rowsPerBand`-hash signature.
+    *
+    * The (b, r) pair is THE selectivity knob as corpora grow
+    * (SCALING.md "Banded dedup at large absolute scale"): a candidate's
+    * band-collision probability at similarity s is 1 − (1 − s^r)^b, so
+    * more rows per band sharpen buckets — `Default` (4, 4) catches an
+    * s = 0.7 pair with p ≈ 0.67 and an s = 0.1 junk pair with ~4·10⁻⁴;
+    * `Scaled` (6, 5) keeps the same ~0.67 recall at threshold (and
+    * ≥ 0.99 for the s ≥ 0.9 pairs dedup targets) while cutting the
+    * junk-collision rate ~6.7× (6·0.1⁵ ≈ 6·10⁻⁵) — the difference
+    * between quadratic and linear candidate growth once C(n,2)
+    * outgrows the band's selectivity. Hash j < 16 is the same
+    * universal hash in both profiles (MinHashParamsScaled extends
+    * MinHashParams), so the scaled signature is a superset
+    * computation, not a re-keying. */
+  final case class LshBanding(numBands: Int, rowsPerBand: Int) {
+    val numHashes: Int = numBands * rowsPerBand
+    require(numHashes <= MinHashParamsScaled.length,
+      s"profile needs $numHashes hashes; only ${MinHashParamsScaled.length} parameter pairs exist")
+    /** Registered one-pass kernel computing this profile's signature. */
+    def kernelName: String =
+      if (numHashes == 16) "graft_minhash_sig" else "graft_minhash_sig30"
+  }
+  object LshBanding {
+    /** The oracle-frozen default: 16 hashes, 4 bands × 4 rows. */
+    val Default: LshBanding = LshBanding(NumBands, RowsPerBand)
+    /** The large-corpus profile: 30 hashes, 6 bands × 5 rows. */
+    val Scaled: LshBanding = LshBanding(6, 5)
+  }
 
   /** 3-gram character shingles of `text` as an array column (deterministic,
     * order = position; dedupe with array_distinct downstream). */
@@ -71,29 +115,32 @@ object TextHashing {
       s" + CAST(ascii(substr($g,2,1)) AS BIGINT)*2097152" +
       s" + ascii(substr($g,3,1)))"
 
+  // The four minHashJ* accessors index the SCALED superset so j ∈ [0, 30)
+  // resolves; j < 16 reads the identical default pair either way.
+
   /** Universal hash for WIDE (up to 2^63) base hashes: reduce mod P
     * BEFORE the affine map — h·a on a wide hash would overflow 64 bits
     * (wrapping in Spark with ANSI off, erroring in DuckDB: divergence
     * either way). For the narrow base-256 hashes the unreduced minHashJ
     * stays the oracle-frozen form. */
   def minHashJWide(h: Column, j: Int): Column = {
-    val (a, b) = MinHashParams(j)
+    val (a, b) = MinHashParamsScaled(j)
     ((h % lit(P)) * lit(a) + lit(b)) % lit(P)
   }
 
   def minHashJWideSql(h: String, j: Int): String = {
-    val (a, b) = MinHashParams(j)
+    val (a, b) = MinHashParamsScaled(j)
     s"((($h % $P)*$a + $b) % $P)"
   }
 
   /** j-th universal hash of a base hash column. */
   def minHashJ(h: Column, j: Int): Column = {
-    val (a, b) = MinHashParams(j)
+    val (a, b) = MinHashParamsScaled(j)
     (h * lit(a) + lit(b)) % lit(P)
   }
 
   def minHashJSql(h: String, j: Int): String = {
-    val (a, b) = MinHashParams(j)
+    val (a, b) = MinHashParamsScaled(j)
     s"(($h*$a + $b) % $P)"
   }
 

@@ -27,22 +27,26 @@ object PipelineQueries extends QueryPack {
        |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2,1))) AS i
        |  FROM $src
        |),
-       |gr AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS g FROM pos),
+       |gr AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 3) AS g FROM pos),
        |hs AS (SELECT doc_id, CAST(${gramHashSql("g")} AS BIGINT) AS h FROM gr)""".stripMargin
   private val shingleCte = shingleCteOver("documents")
 
-  private val minSqlCols =
-    MinHashParams.indices.map(j => s"min(${minHashJSql("h", j)}) AS m$j").mkString(", ")
+  private def minSqlColsFor(k: Int) =
+    (0 until k).map(j => s"min(${minHashJSql("h", j)}) AS m$j").mkString(", ")
+  private val minSqlCols = minSqlColsFor(LshBanding.Default.numHashes)
 
   // Wide-hash variant (codepoint shingles): mod-P reduction BEFORE the
   // affine map, mirroring TextHashing.minHashJWide.
   private val cpMinSqlCols =
     MinHashParams.indices.map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")
 
-  private val bandSql = (0 until NumBands).map { b =>
-    val cols = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
-    s"SELECT doc_id, $b AS band, concat_ws('-', $cols) AS sig FROM mh"
-  }.mkString(" UNION ALL ")
+  private def bandSqlFor(banding: LshBanding) =
+    (0 until banding.numBands).map { b =>
+      val cols = (0 until banding.rowsPerBand)
+        .map(r => s"m${b * banding.rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('-', $cols) AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+  private val bandSql = bandSqlFor(LshBanding.Default)
 
   /** One BMP codepoint (0x80..0xFFFF) as a UTF-8 string — the q139
     * decode(unhex(conv)) construction generalized to 2-byte sequences, so
@@ -58,19 +62,28 @@ object PipelineQueries extends QueryPack {
   }
 
   // Full MinHash-LSH pair pipeline as a CTE chain ending in
-  // pr(id_a, id_b, jaccard) — shared by the q44/q44b/q66 oracles.
-  private def minhashPairsCtesOver(src: String) =
+  // pr(id_a, id_b, jaccard) — shared by the q44/q44b/q66 oracles; the
+  // banding parameter replays the SCALED (6 bands × 5 rows) profile for
+  // q194 from the same generator.
+  // MATERIALIZED on the heavy links: DuckDB inlines non-materialized CTEs
+  // per REFERENCE, so q66/q174's `edges` (which reads pr twice) and the
+  // recursive reach (which re-reads edges per iteration) were re-running
+  // the candidate×gram inter join — ~1e9 rows at sf0.1 — several times
+  // over, exhausting 200+ GB of spill. Pinning pr (and its feeders) makes
+  // the chain evaluate once; the pr relation itself is pair-count-sized.
+  private def minhashPairsCtesOver(src: String,
+      banding: LshBanding = LshBanding.Default) =
     s"""${shingleCteOver(src)},
-       |mh AS (SELECT doc_id, $minSqlCols FROM hs GROUP BY doc_id),
-       |bands AS ($bandSql),
-       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+       |mh AS MATERIALIZED (SELECT doc_id, ${minSqlColsFor(banding.numHashes)} FROM hs GROUP BY doc_id),
+       |bands AS (${bandSqlFor(banding)}),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
        |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
        |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
        |          JOIN gr a ON a.doc_id = id_a
        |          JOIN gr b ON b.doc_id = id_b AND a.g = b.g
        |          GROUP BY id_a, id_b),
-       |pr AS (
+       |pr AS MATERIALIZED (
        |  SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
@@ -2040,6 +2053,19 @@ object PipelineQueries extends QueryPack {
       graft.operators.GraphRank.transitivityAudit(pairs)
     }),
 
+    // ---- MinHash-LSH under the SCALED (6 bands × 5 rows, 30-hash)
+    // banding profile — the large-corpus selectivity setting whose
+    // candidate volume stays near-linear where the default (4, 4)
+    // profile goes quadratic (SCALING.md "Banded dedup at large absolute
+    // scale"). Same verify semantics; the oracle replays the scaled
+    // banding from the same generator, so the profile is gate-verified
+    // bit-for-bit like the default.
+    "q194_dedup_minhash_scaled" -> ((s, dir) => {
+      Dedup.minHashLshPairsScaled(load(s, dir, "documents"),
+          "doc_id", "text", 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- q173's forced SHUFFLE_HASH twin (1-byte budget): the plan the
     // operator takes when the eval set's embeddings outgrow the
     // broadcast budget. Shares q173's oracle verbatim.
@@ -2114,6 +2140,13 @@ object PipelineQueries extends QueryPack {
 
     "q44b_dedup_minhash_shuffle" ->
       s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
+
+    // The same generator replaying the SCALED profile (30 hashes, 6×5
+    // banding) — candidates differ from q44's, the verify threshold is
+    // identical.
+    "q194_dedup_minhash_scaled" ->
+      s"""WITH ${minhashPairsCtesOver("documents", LshBanding.Scaled)}
          |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the

@@ -214,6 +214,8 @@ object ScalingBench {
       "q190_mean_pool",
       "q191_apportioned_sample",
       "q192_data_card_v2")
+      // q194_dedup_minhash_scaled is timed by its dedicated block below
+      // (pairs without the gate's orderBy, plus CC over the scaled pairs)
 
   def main(args: Array[String]): Unit = {
     val tenxDir = args.headOption.getOrElse("/tmp/graft_scaling_10x")
@@ -255,6 +257,37 @@ object ScalingBench {
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
+    // SPARK_GRAFT_SCALING_TIERS="/tmp/h50k=50000,/tmp/h500k=500000"
+    // REPLACES the default (driver sf0.1 + tenxDir) sweep dirs with an
+    // explicit tier ladder — each missing tier is generated with the
+    // given doc count (embeddings at 2n/5 vectors, the 10× ratio) under
+    // the SPARK_GRAFT_SCALING_HEAPS distribution flag. This is how the
+    // two-decade exponent fits below get SAME-DISTRIBUTION points.
+    val sweepDirs: Seq[String] = sys.env.get("SPARK_GRAFT_SCALING_TIERS") match {
+      case Some(spec) =>
+        spec.split(",").toSeq.map { kv =>
+          val Array(d, n) = kv.split("=")
+          val nd = n.toLong
+          if (!new java.io.File(s"$d/documents.parquet").exists()) {
+            println(s"[scaling] generating tier $d ($nd docs, heaps=$heapsGen)")
+            generate(spark, d, nd, heapsGen)
+          }
+          if (!new java.io.File(s"$d/embeddings.parquet").exists()) {
+            println(s"[scaling] generating tier embeddings at $d (${math.max(nd * 2 / 5, 100L)} vectors)")
+            generateEmb(spark, d, math.max(nd * 2 / 5, 100L))
+          }
+          d
+        }
+      case None => Seq("/root/testdata/sf0.1", tenxDir)
+    }
+
+    // per-tier stats for the exponent fit: dir -> (nDocs, parallel
+    // efficiency measured right before that tier's sweep); medians keyed
+    // (query, dir). PE-normalizing each point before fitting removes
+    // host co-tenancy drift from the slope (the r10 lesson).
+    val tierStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+    val tierMedians = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
+
     // SPARK_GRAFT_SCALING_ONLY=q121b,q123 restricts the sweep while
     // iterating — the SAME rule as Verify's SPARK_GRAFT_ONLY
     // (graft.QuerySelect: exact name or non-digit-extending prefix).
@@ -262,9 +295,11 @@ object ScalingBench {
     val selected = queries.filter(q =>
       only.forall(graft.QuerySelect.matches(_, q)))
 
-    for (dir <- Seq("/root/testdata/sf0.1", tenxDir)) {
+    for (dir <- sweepDirs) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-      println(s"[scaling] corpus $dir: $nDocs docs")
+      val pe = graft.Bench.parallelEfficiency()
+      tierStats(dir) = (nDocs, pe)
+      println(f"[scaling] corpus $dir: $nDocs docs, parallel_efficiency=$pe%.2f")
       for (q <- selected) {
         // noop sink, not count(): count() lets Catalyst prune projections
         // and even eliminate unique-key outer joins (q94's rebuild side
@@ -289,8 +324,66 @@ object ScalingBench {
           else if (q.startsWith("q143") || q.startsWith("q144"))
             s" rounds=${graft.operators.SuffixIndex.lastRounds}"
           else ""
-        println(f"[scaling] $q%-28s $dir%-28s median=${median(runs.map(_._1))}%7.2f s" +
-          f" rows=${runs.head._2}%-7d$extra")
+        val med = median(runs.map(_._1))
+        tierMedians((q, dir)) = med
+        println(f"[scaling] $q%-28s $dir%-28s median=$med%7.2f s" +
+          f" eff=${med * pe}%7.2f core-s rows=${runs.head._2}%-7d$extra")
+      }
+
+      // q144 COST ATTRIBUTION: one instrumented crossDocRepeats run per
+      // tier — per-level pair-table survivor counts (start, minLen
+      // rank-equality prefilter, then each level's dead-pair prune), the
+      // r12 verdict's ask. Diagnostic mode checkpoints per level, so its
+      // wall time is NOT comparable to the sweep's fused run; the counts
+      // are the deliverable.
+      if (only.forall(graft.QuerySelect.matches(_, "q144_lcp_repeats"))) {
+        import graft.operators.SuffixIndex
+        spark.catalog.clearCache()
+        SuffixIndex.crossDocRepeats(
+            spark.read.parquet(s"$dir/documents.parquet")
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", levelStats = true)
+          .write.format("noop").mode("overwrite").save()
+        val counts = SuffixIndex.lastLevelSurvivors
+          .map { case (l, n) => s"$l=$n" }.mkString(" ")
+        println(s"[scaling] q144_level_survivors         $dir $counts")
+      }
+
+      // The SCALED banding profile (q194 shape) + clustering over its
+      // pairs — the dedup configuration that runs at the top tier, where
+      // the default (4,4) banding is candidate-bound (SCALING.md). Pairs
+      // and the q66b-shape forced-distributed CC are timed separately so
+      // the exponent fit attributes cost to the right stage.
+      if (only.forall(graft.QuerySelect.matches(_, "q194_dedup_minhash_scaled"))) {
+        import graft.operators.TextHashing.LshBanding
+        spark.catalog.clearCache()
+        def scaledPairs() = Dedup.minHashLshPairsManaged(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", 0.7, banding = LshBanding.Scaled).df
+        val pairRows = scaledPairs().count()
+        val pairRuns = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          scaledPairs().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val pmed = median(pairRuns)
+        tierMedians(("q194_dedup_minhash_scaled", dir)) = pmed
+        println(f"[scaling] q194_dedup_minhash_scaled  $dir%-28s median=$pmed%7.2f s" +
+          f" eff=${pmed * pe}%7.2f core-s rows=$pairRows%-7d")
+        spark.catalog.clearCache()
+        val pairs = scaledPairs().persist(); pairs.count()
+        val ccRuns = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0L)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        pairs.unpersist(blocking = false)
+        val cmed = median(ccRuns)
+        tierMedians(("q66b_cc_over_scaled_pairs", dir)) = cmed
+        println(f"[scaling] q66b_cc_over_scaled_pairs  $dir%-28s median=$cmed%7.2f s" +
+          f" eff=${cmed * pe}%7.2f core-s rounds=${Dedup.lastDistributedRounds}")
       }
 
       // THE incremental claim (q81 shape): a FIXED batch against a
@@ -321,8 +414,34 @@ object ScalingBench {
           (System.nanoTime() - t0) / 1e9
         }
         bands.unpersist(blocking = false); sets.unpersist(blocking = false)
-        println(f"[scaling] q81_incremental_fixedbatch $dir%-28s median=${median(runs)}%7.2f s" +
-          f" rows=$rows%-7d")
+        val bmed = median(runs)
+        tierMedians(("q81_incremental_fixedbatch", dir)) = bmed
+        println(f"[scaling] q81_incremental_fixedbatch $dir%-28s median=$bmed%7.2f s" +
+          f" eff=${bmed * tierStats(dir)._2}%7.2f core-s rows=$rows%-7d")
+      }
+    }
+
+    // FITTED GROWTH EXPONENT per query over the measured tiers:
+    // least-squares slope of log(PE-normalized median) vs log(nDocs).
+    // alpha ≈ 1 is corpus-linear, < 1 sub-linear (fixed overhead still
+    // amortizing), > 1 super-linear (the thing the 100 TB story must
+    // either fix or floor-document). Needs >= 2 tiers; PE-normalization
+    // keeps host co-tenancy drift between tiers out of the slope.
+    if (tierStats.size >= 2) {
+      val measured = tierMedians.keys.map(_._1).toSeq.distinct
+      for (q <- measured) {
+        val pts = tierStats.toSeq.flatMap { case (d, (n, pe)) =>
+          tierMedians.get((q, d)).map(t => (math.log(n.toDouble), math.log(t * pe)))
+        }
+        if (pts.size >= 2) {
+          val k = pts.size
+          val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+          val sxx = pts.map(p => p._1 * p._1).sum
+          val sxy = pts.map(p => p._1 * p._2).sum
+          val alpha = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+          println(f"[scaling] exponent $q%-30s alpha=$alpha%5.2f over $k tiers" +
+            f" (${tierStats.head._2._1} -> ${tierStats.last._2._1} docs, PE-normalized)")
+        }
       }
     }
 
@@ -436,7 +555,13 @@ object ScalingBench {
         graft.QuerySelect.matches(t, "q124_label_prop"))) {
       import graft.operators.GraphRank
       import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-      for ((nV, nE) <- Seq((20000L, 100000L), (200000L, 1000000L))) {
+      // SPARK_GRAFT_SCALING_GRAPH100X=true adds the third decade
+      // (2M vertices, 10M edges + a 600k-degree celebrity) — the 100×
+      // point for the Latapy bound and LPA's edge-linear rounds.
+      val graphTiers = Seq((20000L, 100000L), (200000L, 1000000L)) ++
+        (if (sys.env.get("SPARK_GRAFT_SCALING_GRAPH100X").contains("true"))
+           Seq((2000000L, 10000000L)) else Nil)
+      for ((nV, nE) <- graphTiers) {
         val rand = spark.range(nE).select(
           pmod(xxhash64(col("id"), lit(1)), lit(nV)).as("src"),
           pmod(xxhash64(col("id"), lit(2)), lit(nV)).as("dst"),

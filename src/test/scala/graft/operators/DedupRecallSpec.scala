@@ -29,6 +29,37 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.3f")
   }
 
+  test("scaled (6x5, 30-hash) banding: no false positives, strong dups kept, junk candidates cut") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val exact = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.7))
+    val scaled = pairs(Dedup.minHashLshPairsScaled(docs, "doc_id", "text", 0.7))
+    assert(scaled.subsetOf(exact)) // same exact-Jaccard verify stage
+    val recall = if (exact.isEmpty) 1.0 else (scaled & exact).size.toDouble / exact.size
+    info(f"scaled-banding recall ${recall}%.3f over ${exact.size} exact pairs")
+    // (6,5): P(candidate | j=0.7) = 1-(1-0.7^5)^6 ~ 0.67 — same floor as
+    // the default profile's 1-(1-0.7^4)^4
+    assert(recall >= 0.5, f"recall $recall%.3f")
+    // strong duplicates (j >= 0.9, p >= 0.99 under both profiles): the
+    // scaled profile must find every one the default profile finds
+    val strong = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
+    assert(pairs(strong).subsetOf(scaled),
+      "scaled profile missed a j >= 0.9 duplicate")
+    // the profile's reason to exist: sub-threshold band collisions are
+    // rarer, so the CANDIDATE stage (pre-verify) shrinks. Compare
+    // candidate counts on the same signatures-from-sets chain.
+    val sets = Dedup.gramSets(docs, "doc_id", "text").persist()
+    try {
+      import graft.operators.TextHashing.LshBanding
+      def candCount(b: LshBanding) = Dedup.lshCandidates(
+        Dedup.signaturesFromSets(sets, b), 0.7, b).count()
+      val defCands = candCount(LshBanding.Default)
+      val scaledCands = candCount(LshBanding.Scaled)
+      info(s"candidates: default=$defCands scaled=$scaledCands")
+      assert(scaledCands <= defCands,
+        s"scaled banding produced MORE candidates ($scaledCands > $defCands)")
+    } finally sets.unpersist(blocking = false)
+  }
+
   test("cosine sign-LSH recall vs exact all-pairs at threshold 0.4") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val exact = pairs(SimilaritySearch.cosineDupPairsExact(emb, 0.4))

@@ -52,6 +52,24 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(evals == 1, s"expected one kernel eval in the plan, got $evals:\n${plan.take(2000)}")
   }
 
+  test("scaled 30-hash kernel matches its composable form; j < 16 equals the default profile") {
+    import TextHashing.LshBanding
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+    val sets = Dedup.gramSets(docs, "doc_id", "text")
+    val scaledCols = "sid" +: (0 until LshBanding.Scaled.numHashes).map(j => s"m$j")
+    val a = Dedup.signaturesFromSets(sets, LshBanding.Scaled)
+      .select(scaledCols.map(col): _*).orderBy("sid").collect().toSeq
+    val b = Dedup.signaturesFromSetsComposable(sets, LshBanding.Scaled)
+      .select(scaledCols.map(col): _*).orderBy("sid").collect().toSeq
+    assert(a.nonEmpty && a == b)
+    // profile compatibility: the first 16 hashes are the default profile
+    val defSig = Dedup.signaturesFromSets(sets)
+      .select(cols.map(col): _*).orderBy("sid").collect().toSeq
+    val prefix = Dedup.signaturesFromSets(sets, LshBanding.Scaled)
+      .select(cols.map(col): _*).orderBy("sid").collect().toSeq
+    assert(prefix == defSig)
+  }
+
   test("empty gram set yields null signature (array_min semantics)") {
     val empty = spark.sql(
       "SELECT graft_minhash_sig(CAST(array() AS ARRAY<BIGINT>)) AS s").collect()(0)
