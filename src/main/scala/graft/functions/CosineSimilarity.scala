@@ -124,6 +124,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_max_r6_cosine"),
+      new ExpressionInfo(classOf[MaxRoundedCosine].getName, "graft_max_r6_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_max_r6_cosine takes exactly 2 arguments")
+        MaxRoundedCosine(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig30"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig30"),
       (children: Seq[Expression]) => {

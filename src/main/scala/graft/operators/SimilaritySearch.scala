@@ -1073,13 +1073,18 @@ object SimilaritySearch {
     * sampling one dense cluster k times.
     *
     * Shape: k driver rounds, each ONE narrow distributed pass — the
-    * selected set is ≤ k vectors, inlined as literal arrays into a
-    * `greatest(cos(emb, s₁), …)` expression (no join, no shuffle; the
-    * scan + TakeOrdered(1) is the whole step), and each round collects
-    * exactly one row (a k-bounded driver collect, the partition-offset
-    * class). `cands` must be PRE-CAPPED by the caller (top-N relevance
-    * via [[bruteForceTopK]]/[[ivfPqTopK]] — selection never scans the
-    * corpus; it refines a bounded shortlist).
+    * selected set is ≤ k vectors, shipped as ONE literal
+    * array<array<float>> argument to the codegen'd graft_max_r6_cosine
+    * kernel (no join, no shuffle; the scan + TakeOrdered(1) is the
+    * whole step), and each round collects exactly one row (a k-bounded
+    * driver collect, the partition-offset class). The kernel replaces
+    * the earlier `greatest(r6(cos(emb, s₁)), …)` chain, whose
+    * expression tree grew O(k) and plan compile ~O(k²) per round
+    * (MaxCosineKernelSpec pins value equivalence — same accumulation,
+    * same HALF_UP r6, same max). `cands` must be PRE-CAPPED by the
+    * caller (top-N relevance via [[bruteForceTopK]]/[[ivfPqTopK]] —
+    * selection never scans the corpus; it refines a bounded
+    * shortlist).
     *
     * Cross-engine parity: rel is caller-supplied (r6), pair cosines are
     * r6-rounded, and with the default λ = 0.5 the score arithmetic is
@@ -1096,8 +1101,8 @@ object SimilaritySearch {
       val score =
         if (pickedVecs.isEmpty) col("rel")
         else {
-          val maxSim = pickedVecs.map(v =>
-            r6(cosine(col("embedding"), typedLit(v)))).reduce(greatest(_, _))
+          val maxSim = call_function("graft_max_r6_cosine",
+            col("embedding"), typedLit(pickedVecs.toSeq))
           col("rel") * lambda - maxSim * (1.0 - lambda)
         }
       val top = base.filter(!col("vec_id").isInCollection(picked.map(_._2)))
