@@ -190,6 +190,7 @@ object ScalingBench {
       "q168_k_anonymity",
       "q169_crawl_schedule",
       "q170_ann_ivfpq",
+      "q170b_ann_ivfpq_shuffle",
       "q171_k_generalize",
       // round-12 tier (documents/embeddings shapes; q188 needs lineitem,
       // which the 10× generator does not mirror — its 9-cell aggregate
@@ -257,6 +258,19 @@ object ScalingBench {
 
     def median(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
 
+    // clearCache() drops persisted relations but NOT localCheckpoint
+    // (truncated-lineage) blocks — those free only when the JVM GC lets
+    // the ContextCleaner reap the RDD references. A 48g heap GCs lazily,
+    // so the suffix builds' level tables (~5 GB each, several builds per
+    // measured query) piled up as zombie disk blocks and exhausted the
+    // sandbox disk at the 500k tier. Forcing a GC between measurements
+    // keeps the block manager honest; it runs OUTSIDE every timed region.
+    def reclaim(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200) // let the async ContextCleaner drain
+    }
+
     // SPARK_GRAFT_SCALING_TIERS="/tmp/h50k=50000,/tmp/h500k=500000"
     // REPLACES the default (driver sf0.1 + tenxDir) sweep dirs with an
     // explicit tier ladder — each missing tier is generated with the
@@ -310,7 +324,7 @@ object ScalingBench {
         // accumulated storage pressure across the (growing) query list
         // slowed later queries ~2× via eviction/GC, which is measurement
         // noise, not operator cost.
-        spark.catalog.clearCache()
+        reclaim()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -338,7 +352,7 @@ object ScalingBench {
       // are the deliverable.
       if (only.forall(graft.QuerySelect.matches(_, "q144_lcp_repeats"))) {
         import graft.operators.SuffixIndex
-        spark.catalog.clearCache()
+        reclaim()
         SuffixIndex.crossDocRepeats(
             spark.read.parquet(s"$dir/documents.parquet")
               .select(col("doc_id"), col("text")),
@@ -356,7 +370,7 @@ object ScalingBench {
       // the exponent fit attributes cost to the right stage.
       if (only.forall(graft.QuerySelect.matches(_, "q194_dedup_minhash_scaled"))) {
         import graft.operators.TextHashing.LshBanding
-        spark.catalog.clearCache()
+        reclaim()
         def scaledPairs() = Dedup.minHashLshPairsManaged(
           spark.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("text")),
@@ -371,7 +385,7 @@ object ScalingBench {
         tierMedians(("q194_dedup_minhash_scaled", dir)) = pmed
         println(f"[scaling] q194_dedup_minhash_scaled  $dir%-28s median=$pmed%7.2f s" +
           f" eff=${pmed * pe}%7.2f core-s rows=$pairRows%-7d")
-        spark.catalog.clearCache()
+        reclaim()
         val pairs = scaledPairs().persist(); pairs.count()
         val ccRuns = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -401,7 +415,7 @@ object ScalingBench {
           .toDF("doc_id", "text")
         val existing = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text")).filter(col("doc_id") >= 500L)
-        spark.catalog.clearCache()
+        reclaim()
         val index = Dedup.dedupIndex(existing, "doc_id", "text")
         val bands = index.bands.persist(); bands.count()
         val sets = index.sets.persist(); sets.count()
@@ -453,7 +467,7 @@ object ScalingBench {
     // printed to pin the saturation.
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
          if only.forall(graft.QuerySelect.matches(_, "q114_pagerank"))) {
-      spark.catalog.clearCache()
+      reclaim()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       val q = SparkEntry.queries("q114_pagerank")
       val edges = {
@@ -536,7 +550,7 @@ object ScalingBench {
           payload = Seq("v_event_id", "v_value"), tieBreak = "event_id")
         for ((label, mk) <- Seq("q90_asof_rewrite" -> (() => rewrite()),
                                 "q90b_asof_native" -> (() => native()))) {
-          spark.catalog.clearCache(); ev.persist(); ev.count()
+          reclaim(); ev.persist(); ev.count()
           peak.set(0L)
           val runs = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
@@ -571,7 +585,7 @@ object ScalingBench {
           .select(lit(0L).as("src"), col("id").as("dst"), lit(1L).as("w"))
         val edges = rand.union(celeb)
         val m = edges.count()
-        spark.catalog.clearCache()
+        reclaim()
         val triRuns = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           GraphRank.triangleCounts(edges)
@@ -582,7 +596,7 @@ object ScalingBench {
           f" median=${median(triRuns)}%7.2f s wedges=${GraphRank.lastWedgeCount}" +
           f" maxOutDeg=${GraphRank.lastMaxOutDegree}" +
           f" sqrtM=${math.sqrt(m.toDouble).toLong}")
-        spark.catalog.clearCache()
+        reclaim()
         val lpaRuns = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           GraphRank.labelPropagation(edges, 4)
