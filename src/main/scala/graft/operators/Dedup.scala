@@ -275,7 +275,41 @@ object Dedup {
   }
 
   private def pairsFromBands(exploded: DataFrame, minSizeRatio: Double,
-                             sizeAware: Boolean): DataFrame = {
+                             sizeAware: Boolean): DataFrame =
+    pairsFromBands(exploded, minSizeRatio, sizeAware, 0L)
+
+  /** `maxBucket` > 0 drops band rows landing in buckets LARGER than the
+    * cap before the self-join — the standard industrial LSH guard for
+    * corpora whose shingle universe saturates (bucket histogram: when a
+    * handful of ubiquitous grams own every minhash, hot buckets grow
+    * linearly with the corpus and Σ C(size,2) goes Ω(n²) under ANY
+    * (b, r); SCALING.md round 13). The RECALL trade is quantified, not
+    * silent: a true pair is lost only if EVERY band it collides in is
+    * hot — at s ≥ 0.9 each of the scaled profile's 6 bands collides
+    * with p ≈ 0.59 independently, so a pair typically collides in 3–4
+    * bands and survives unless all of them exceed the cap (measured on
+    * planted dups in DedupRecallSpec and the ScalingBench capped block).
+    * An oversized bucket is also the LOW-PRECISION region: its members
+    * share one ubiquitous band key, not content. Cap 0 = exact banding
+    * (every gate keeps 0). */
+  private def pairsFromBands(exploded: DataFrame, minSizeRatio: Double,
+                             sizeAware: Boolean, maxBucket: Long): DataFrame = {
+    val pruned =
+      if (maxBucket <= 0L) exploded
+      else {
+        // bucket sizes are a |buckets|-row relation (band-key
+        // cardinality); AQE broadcasts it back onto the band rows
+        val keep = exploded.groupBy(col("sig"))
+          .agg(count(lit(1)).as("_bs"))
+          .filter(col("_bs") <= maxBucket)
+          .select(col("sig"))
+        exploded.join(keep, Seq("sig"))
+      }
+    pairsFromBandsImpl(pruned, minSizeRatio, sizeAware)
+  }
+
+  private def pairsFromBandsImpl(exploded: DataFrame, minSizeRatio: Double,
+                                 sizeAware: Boolean): DataFrame = {
     val joinCond = {
       val base = col("x.sig") === col("y.sig") && col("x.sid") < col("y.sid")
       if (sizeAware)
@@ -340,7 +374,8 @@ object Dedup {
     * DedupLifecycleSpec pins both properties. */
   def minHashLshPairsManaged(docs: DataFrame, id: String, text: String, threshold: Double,
                              broadcastBudgetBytes: Long = BroadcastVerifyMaxBytes,
-                             banding: LshBanding = LshBanding.Default): ManagedPairs = {
+                             banding: LshBanding = LshBanding.Default,
+                             maxBucket: Long = 0L): ManagedPairs = {
     // Materialization barriers between stages, mirroring the role the
     // reference's CacheMachines play between kernels
     // (docsrc/source/engine/caches.rst):
@@ -372,7 +407,7 @@ object Dedup {
     // risk) must not leave corpus-sized intermediates persisted or a live
     // verify broadcast behind in a long-lived session
     try {
-      val cands = pairsFromBands(bandRel, threshold, sizeAware = true)
+      val cands = pairsFromBands(bandRel, threshold, sizeAware = true, maxBucket)
       val integralId = docs.schema(id).dataType match {
         case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
         case _ => false

@@ -344,6 +344,38 @@ object ScalingBench {
           f" eff=${med * pe}%7.2f core-s rows=${runs.head._2}%-7d$extra")
       }
 
+      // BAND-BUCKET DIAGNOSTIC (select q194_bucket_histogram): per
+      // profile, the band-bucket size distribution and the EXACT implied
+      // candidate volume Σ C(size, 2) — one aggregation pass over the
+      // band relation, no pair join, so it is safe to run at tiers where
+      // the join itself would exhaust disk. This is how the candidate
+      // explosion is attributed to data (hot buckets) instead of guessed
+      // from sampled-pair Jaccard models.
+      if (only.forall(graft.QuerySelect.matches(_, "q194_bucket_histogram"))) {
+        import graft.operators.TextHashing.LshBanding
+        import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum, max => fmax, col => fcol}
+        val sets = Dedup.gramSets(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")), "doc_id", "text").persist()
+        try {
+          for (b <- Seq(LshBanding.Default, LshBanding.Scaled)) {
+            val sizes = Dedup.bandRelation(
+                Dedup.signaturesFromSets(sets, b), sizeAware = false, b)
+              .groupBy(fcol("sig")).agg(fcount(flit(1)).as("s"))
+            val agg = sizes.agg(
+              fsum(org.apache.spark.sql.functions.expr("s * (s - 1) div 2"))
+                .as("cand"),
+              fmax(fcol("s")).as("maxb"),
+              fcount(flit(1)).as("buckets")).collect()(0)
+            val top = sizes.orderBy(fcol("s").desc).limit(10).collect()
+              .map(_.getLong(1)).mkString(",")
+            println(s"[scaling] q194_bucket_histogram (${b.numBands}x${b.rowsPerBand}) $dir " +
+              s"cand=${agg.getLong(0)} maxBucket=${agg.getLong(1)} " +
+              s"buckets=${agg.getLong(2)} top10=$top")
+          }
+        } finally sets.unpersist(blocking = false)
+      }
+
       // q144 COST ATTRIBUTION: one instrumented crossDocRepeats run per
       // tier — per-level pair-table survivor counts (start, minLen
       // rank-equality prefilter, then each level's dead-pair prune), the
@@ -361,6 +393,43 @@ object ScalingBench {
         val counts = SuffixIndex.lastLevelSurvivors
           .map { case (l, n) => s"$l=$n" }.mkString(" ")
         println(s"[scaling] q144_level_survivors         $dir $counts")
+      }
+
+      // CAPPED scaled banding (select q194_capped): the scaled profile
+      // plus the bucket-size cap (SPARK_GRAFT_SCALING_MAXBUCKET, default
+      // 500) — the configuration for gram-universe-saturated corpora
+      // where the bucket histogram shows Ω(n²) candidates under any
+      // (b, r). Reports found pairs AND recall vs the planted 2%
+      // mutation count (ids with id%50==3, id>0 — the ground truth this
+      // generator embeds), so the cap's trade is measured per tier.
+      if (only.forall(graft.QuerySelect.matches(_, "q194_capped"))) {
+        import graft.operators.TextHashing.LshBanding
+        reclaim()
+        val cap = sys.env.get("SPARK_GRAFT_SCALING_MAXBUCKET")
+          .map(_.toLong).getOrElse(500L)
+        def cappedPairs() = Dedup.minHashLshPairsManaged(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", 0.7, banding = LshBanding.Scaled,
+          maxBucket = cap).df
+        val found = cappedPairs().persist()
+        val nFound = found.count()
+        // planted ground truth: (id-1, id) for id%50==3 — count how many
+        // the capped run recovers
+        val planted = found.filter(
+          col("id_b") === col("id_a") + 1 && col("id_b") % 50 === 3).count()
+        val nPlanted = nDocs / 50 // ids 3, 53, ... (id 3 > 0 qualifies)
+        found.unpersist(blocking = false)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          cappedPairs().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cmed = median(runs)
+        tierMedians(("q194_capped", dir)) = cmed
+        println(f"[scaling] q194_capped(cap=$cap)       $dir%-28s median=$cmed%7.2f s" +
+          f" eff=${cmed * pe}%7.2f core-s rows=$nFound%-7d" +
+          f" planted=$planted/$nPlanted")
       }
 
       // The SCALED banding profile (q194 shape) + clustering over its

@@ -60,6 +60,28 @@ class DedupRecallSpec extends AnyFunSuite {
     } finally sets.unpersist(blocking = false)
   }
 
+  test("bucket cap: above the max bucket it is exact; aggressive cap keeps planted strong dups") {
+    import graft.operators.TextHashing.LshBanding
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val uncapped = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 0.7))
+    // cap far above any bucket on this corpus -> bit-identical output
+    val high = pairs(Dedup.minHashLshPairsManaged(docs, "doc_id", "text", 0.7,
+      maxBucket = 1000000L).df)
+    assert(high === uncapped)
+    // aggressive cap: recall trade is measured, not silent. Strong dups
+    // collide in multiple bands; losing the hot ones must not lose the
+    // pair wholesale.
+    val capped = pairs(Dedup.minHashLshPairsManaged(docs, "doc_id", "text", 0.7,
+      maxBucket = 25L).df)
+    assert(capped.subsetOf(uncapped)) // cap only ever REMOVES candidates
+    val strong = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9))
+    val kept = if (strong.isEmpty) 1.0
+      else (capped & strong).size.toDouble / strong.size
+    info(f"cap=25 keeps ${kept}%.3f of j >= 0.9 pairs" +
+      s" (${(capped & strong).size}/${strong.size}), total ${capped.size}/${uncapped.size}")
+    assert(kept >= 0.9, f"aggressive cap lost too many strong dups: $kept%.3f")
+  }
+
   test("cosine sign-LSH recall vs exact all-pairs at threshold 0.4") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val exact = pairs(SimilaritySearch.cosineDupPairsExact(emb, 0.4))
