@@ -302,6 +302,22 @@ object ScalingBench {
     val tierStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
     val tierMedians = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
 
+    // PEAK per-task execution memory per measured query (max over all
+    // tasks of the query's 3 runs) — the "partitions fit in executor
+    // memory" claim as a number instead of a plan argument. Same
+    // listener mechanism the as-of block uses; peakExecutionMemory is
+    // the task's high-water mark across its operators (sort/agg/join
+    // buffers), i.e. the per-task budget a cluster executor must grant.
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val memListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          peakTaskMem.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+      }
+    }
+    spark.sparkContext.addSparkListener(memListener)
+
     // SPARK_GRAFT_SCALING_ONLY=q121b,q123 restricts the sweep while
     // iterating — the SAME rule as Verify's SPARK_GRAFT_ONLY
     // (graft.QuerySelect: exact name or non-digit-extending prefix).
@@ -326,6 +342,7 @@ object ScalingBench {
         // noise, not operator cost.
         reclaim()
         val rows = SparkEntry.queries(q)(spark, dir).count()
+        peakTaskMem.set(0L) // count() above warms plans; measure the runs
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(spark, dir)
@@ -341,7 +358,8 @@ object ScalingBench {
         val med = median(runs.map(_._1))
         tierMedians((q, dir)) = med
         println(f"[scaling] $q%-28s $dir%-28s median=$med%7.2f s" +
-          f" eff=${med * pe}%7.2f core-s rows=${runs.head._2}%-7d$extra")
+          f" eff=${med * pe}%7.2f core-s rows=${runs.head._2}%-7d" +
+          f" peakTaskMem=${peakTaskMem.get() / 1024 / 1024}MiB$extra")
       }
 
       // BAND-BUCKET DIAGNOSTIC (select q194_bucket_histogram): per
@@ -430,6 +448,23 @@ object ScalingBench {
         println(f"[scaling] q194_capped(cap=$cap)       $dir%-28s median=$cmed%7.2f s" +
           f" eff=${cmed * pe}%7.2f core-s rows=$nFound%-7d" +
           f" planted=$planted/$nPlanted")
+        // clustering over the capped pairs — the q66b shape at the tier
+        // where only the capped candidate stage is feasible; input is
+        // the dup-tail pair graph, so this bounds the full
+        // pairs→clusters dedup composition at the top tier
+        reclaim()
+        val cpairs = cappedPairs().persist(); cpairs.count()
+        val ccRuns = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          Dedup.connectedComponents(cpairs, smallGraphMaxEdges = 0L)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        cpairs.unpersist(blocking = false)
+        val ccm = median(ccRuns)
+        tierMedians(("q66b_cc_over_capped_pairs", dir)) = ccm
+        println(f"[scaling] q66b_cc_over_capped_pairs $dir%-28s median=$ccm%7.2f s" +
+          f" eff=${ccm * pe}%7.2f core-s rounds=${Dedup.lastDistributedRounds}")
       }
 
       // The SCALED banding profile (q194 shape) + clustering over its
