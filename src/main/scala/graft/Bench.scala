@@ -193,6 +193,10 @@ object Bench {
     "q187_distinctive_terms",  // per-group c-TF-IDF lift panel
     "q192_data_card_v2",    // composite per-source release panel
     "q194_dedup_minhash_scaled", // 30-hash 6x5 banding (the 100 TB dedup profile)
+    "q195_winnow_fingerprints", // MOSS winnowing: row-local window-min selection
+    "q196_winnow_neardup",  // winnow fingerprint pairs, df-capped equi-join
+    "q197_dsir_weights",    // rational DSIR weights + importance resample
+    "q198_c4_line_filter",  // C4 line rules: one row-local array projection
     "q_tpch_09",            // 6-way join + derived partsupp + agg (widest TPC-H shape)
     "q_tpch_21")            // 4-way + EXISTS/NOT-EXISTS semi/anti stack
   // q96_containment is excluded with q43 (same deliberately-quadratic

@@ -1226,4 +1226,42 @@ object Dedup {
         coalesce(col("_clean"), lit("")).as(text),
         coalesce(col("_nk"), lit(0L)).as("n_kept"))
   }
+
+  /** Winnowing near-dup pairs (the MOSS cross-document step over
+    * TextHashing.winnowFingerprints): doc pairs sharing ≥ `minShared`
+    * selected fingerprints. Third pairing family beside MinHash-LSH
+    * (q44: probabilistic on set resemblance) and SimHash (q45: Hamming
+    * bands on a global sketch) — winnowing is the one with the LOCAL
+    * guarantee: a verbatim run of ≥ w + k − 1 shared tokens always
+    * produces a shared fingerprint, so short quotes/plagiarized spans
+    * can't slip through the way a low-Jaccard pair slips past LSH.
+    *
+    * Scale shape: fingerprint extraction is row-local (no corpus
+    * explode before the projection); the pair join is an equi-join on
+    * the fingerprint with a document-frequency cap — a fingerprint in
+    * more than `dfCap` docs is boilerplate, not plagiarism (the q79
+    * df-threshold argument), and capping it bounds per-key join fanout
+    * at C(dfCap, 2), which is what keeps the candidate volume linear in
+    * corpus size instead of quadratic in hot-key frequency. */
+  def winnowPairs(docs: DataFrame, id: String, text: String,
+                  k: Int = 5, w: Int = 4,
+                  minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    require(minShared >= 1, "winnowPairs needs minShared >= 1")
+    require(dfCap >= 2, "winnowPairs needs dfCap >= 2")
+    val sel = docs.select(col(id).as("_wid"),
+        explode(TextHashing.winnowFingerprints(col(text), k, w)).as("fp"))
+    // array_distinct upstream → (doc, fp) already unique; count(*) is df.
+    val shareable = sel.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2 && col("_nd") <= dfCap)
+      .select(col("fp"))
+    val f = sel.join(shareable, "fp")
+    val fa = f.select(col("fp"), col("_wid").as("id_a"))
+    val fb = f.select(col("fp"), col("_wid").as("id_b"))
+    fa.join(fb, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -510,4 +510,50 @@ object Sampling {
         assignSplit(splitBucket(col("rep_id").cast("string")),
           trainPer10k, valPer10k))
   }
+
+  /** DSIR-shaped importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * how target-like its HASHED-feature distribution is, with features =
+    * md5₄₈(token) mod `buckets` — the same no-vocab hashing trick as the
+    * q113 classifier and q126 vectorizer, so the estimator needs no
+    * lookup table and no broadcast of anything unbounded.
+    *
+    * Exactness doctrine: DSIR's per-token log(p_target/p_raw) sum is
+    * transcendental, so cross-engine bit-parity is impossible; the
+    * rational surrogate here is the RATIO OF SUMS — per doc,
+    * w_num = Σ_tokens (c_target[b]+1) and w_den = Σ_tokens (c_raw[b]+1)
+    * (add-one smoothing), both exact BIGINTs, and the weight is their
+    * ONE correctly-rounded double divide (the q106 priority doctrine).
+    * Docs dense in buckets the target corpus favors score high, exactly
+    * DSIR's ordering intent; what is lost vs the log form is only the
+    * per-token independence weighting, not the target-likeness signal.
+    *
+    * Scale: the bucket-count relation is ≤ `buckets` rows (fixed, 2⁸–2²⁰)
+    * — one map-side-combinable aggregate over the corpus, attached back
+    * by an explicit broadcast; the per-doc fold is a second combinable
+    * aggregate. Nothing grows with corpus size except the two scans.
+    * Docs with no non-empty token emit no row (no features → no weight),
+    * matching the other token-fold operators. Output: (pid, w_num,
+    * w_den, weight). Compose with [[prioritySample]] (priority = weight
+    * / content-keyed uniform) for the paper's importance RESAMPLING. */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, id: String,
+                  text: String, isTarget: Column, buckets: Int = 256)
+    : org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, "dsirWeights needs buckets >= 2")
+    val toks = docs
+      .select(col(id).as("pid"), isTarget.as("_tgt"),
+        explode(split(col(text), " ")).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .select(col("pid"), col("_tgt"),
+        (TextAnalysis.md5Hash48(col("_t")) % buckets).as("_b"))
+    val counts = toks.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_craw"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ctgt"))
+    toks.join(broadcast(counts), "_b")
+      .groupBy(col("pid"))
+      .agg(sum(col("_ctgt") + 1L).as("w_num"),
+        sum(col("_craw") + 1L).as("w_den"))
+      .withColumn("weight",
+        col("w_num").cast("double") / col("w_den").cast("double"))
+  }
 }

@@ -1284,4 +1284,39 @@ object TextAnalysis {
       .withColumn("cum_types", sum(col("new_types")).over(w))
       .withColumnRenamed("b", "bucket")
   }
+
+  /** C4 line-level rule filter (Raffel et al. 2020 §2.2 — the cleaning
+    * pass behind the C4 corpus, still the canonical web-curation recipe):
+    * keep a line only if it (1) ends in a terminal punctuation mark,
+    * (2) has ≥ `minWordsPerLine` words, (3) contains no '{' (the "no
+    * code" rule), (4) doesn't contain "lorem ipsum", (5) doesn't contain
+    * "javascript" (the enable-JS boilerplate rule); then DROP whole docs
+    * with fewer than `minLinesPerDoc` surviving lines. Distinct from the
+    * Gopher filters (q68: doc-level repetition/ratio thresholds) — C4's
+    * unit is the LINE, and the doc is rebuilt from kept lines.
+    *
+    * Scale shape: the entire filter is ONE row-local array projection
+    * (split → filter lambda → array_join) — no explode, no shuffle, no
+    * state; at 100 TB it pipelines inside whole-stage codegen on the
+    * scan. Output: id, n_lines, n_kept, kept_doc, and clean_md5 (md5 of
+    * the newline-rejoined kept lines; NULL for dropped docs so the byte
+    * pin can't mask the doc-level rule). */
+  def c4LineFilter(docs: org.apache.spark.sql.DataFrame, id: String,
+                   text: String, minWordsPerLine: Int = 5,
+                   minLinesPerDoc: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(minWordsPerLine >= 1 && minLinesPerDoc >= 1,
+      "c4LineFilter thresholds must be >= 1")
+    val lines = split(col(text), "\n")
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(l, " ")) >= minWordsPerLine &&
+        !l.contains("{") &&
+        !lower(l).contains("lorem ipsum") &&
+        !lower(l).contains("javascript"))
+    docs.select(col(id), size(lines).as("n_lines"), kept.as("_kept"))
+      .select(col(id), col("n_lines"), size(col("_kept")).as("n_kept"),
+        (size(col("_kept")) >= minLinesPerDoc).as("kept_doc"),
+        when(size(col("_kept")) >= minLinesPerDoc,
+          md5(array_join(col("_kept"), "\n"))).as("clean_md5"))
+  }
 }

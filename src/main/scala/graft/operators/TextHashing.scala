@@ -144,6 +144,44 @@ object TextHashing {
     s"(($h*$a + $b) % $P)"
   }
 
+  // --- Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+  // §4 — the MOSS algorithm). Third fingerprint family next to MinHash
+  // (resemblance estimate) and SimHash (Hamming sketch): winnowing selects
+  // the MIN gram hash in every window of `w` consecutive token k-grams,
+  // which guarantees any shared token run of ≥ w + k − 1 tokens yields at
+  // least one shared fingerprint (the local-fingerprinting guarantee the
+  // other two families lack — they can miss short verbatim matches).
+  // Both steps are row-local array transforms: at 100 TB, fingerprint
+  // extraction is ONE codegen'd projection with no explode, no window
+  // shuffle, no per-position state — the per-doc selection the paper
+  // calls "local" is literally local to the row here.
+
+  /** Position-ordered 48-bit hashes of the text's token k-grams (NOT
+    * distinct — winnowing needs the positional sequence). Docs with
+    * fewer than k tokens have no grams. Mirrored in SQL by the oracle's
+    * unnest(range)+md5Hash48Sql chain. */
+  def winnowGramHashes(text: Column, k: Int): Column = {
+    require(k >= 1, "winnowGramHashes needs k >= 1")
+    val toks = split(text, " ")
+    when(size(toks) < k, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => TextAnalysis.md5Hash48(concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** The winnowed fingerprint SET: distinct window-minima over windows of
+    * `w` consecutive gram hashes. A doc with 1 ≤ n_grams < w degenerates
+    * to one whole-doc window (min over all grams) — the paper's guarantee
+    * needs every gram covered by ≥ 1 window. Density: ≤ max(n−w+1, 1)
+    * fingerprints for n grams, ~2/(w+1)·n expected after dedup. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(w >= 1, "winnowFingerprints needs w >= 1")
+    val gh = winnowGramHashes(text, k)
+    when(size(gh) === 0, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(gh) - (w - 1), lit(1))),
+        j => array_min(slice(gh, j, lit(w))))))
+  }
+
   /** Cheap fixed-width token hash for SimHash: ascii polynomial over the
     * first 4 chars + length mixing. Word-sized tokens only — collisions are
     * acceptable for a similarity sketch. */

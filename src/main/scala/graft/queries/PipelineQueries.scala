@@ -31,6 +31,29 @@ object PipelineQueries extends QueryPack {
        |hs AS (SELECT doc_id, CAST(${gramHashSql("g")} AS BIGINT) AS h FROM gr)""".stripMargin
   private val shingleCte = shingleCteOver("documents")
 
+  // Shared DuckDB CTE chain for the winnowing gates (q195/q196): token
+  // 5-gram md5-48 hashes in position order, window-of-4 minima (the
+  // degenerate <4-gram doc keeps one whole-doc window via greatest), and
+  // the distinct selected set per doc. Mirrors
+  // TextHashing.winnowFingerprints(text, 5, 4) step for step.
+  private val winnowCtes =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+4], ' ')) AS m
+       |  FROM toks, unnest(range(1, len(ts) - 3)) AS r(i)
+       |  WHERE len(ts) >= 5),
+       |g AS (SELECT doc_id, pos,
+       |             CAST(${graft.operators.TextAnalysis.hex48Sql("m")} AS BIGINT) AS h
+       |      FROM g0),
+       |wn AS (
+       |  SELECT doc_id, pos,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |         count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g),
+       |sel AS (SELECT DISTINCT doc_id, fp FROM wn
+       |        WHERE pos <= greatest(ng - 3, 1))""".stripMargin
+
   private def minSqlColsFor(k: Int) =
     (0 until k).map(j => s"min(${minHashJSql("h", j)}) AS m$j").mkString(", ")
   private val minSqlCols = minSqlColsFor(LshBanding.Default.numHashes)
@@ -2108,6 +2131,97 @@ object PipelineQueries extends QueryPack {
           graft.Tables.r6(col("n_suppressed").cast("double") /
             col("n_docs").cast("double")).as("suppressed_frac"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Winnowing fingerprint panel (MOSS, Schleimer et al. 2003):
+    // per-doc selected-fingerprint statistics from the row-local
+    // window-min selection (k=5 token grams, w=4 windows) — n_fps/sum/
+    // min/max pin the selected SET integer-exactly, so the oracle's
+    // window-function replay proves the array-transform selection
+    // picks byte-identical minima.
+    "q195_winnow_fingerprints" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val fps = TextHashing.winnowFingerprints(col("text"), 5, 4)
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(size(toks) - 4, lit(0)).cast("long").as("n_grams"),
+          fps.as("_f"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("_f")).cast("long").as("n_fps"),
+          aggregate(col("_f"), lit(0L), (a, x) => a + x).as("fp_sum"),
+          array_min(col("_f")).as("fp_min"),
+          array_max(col("_f")).as("fp_max"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Winnowing near-dup pairs: docs sharing ≥3 selected
+    // fingerprints (df-capped equi-join — a fingerprint in >50 docs is
+    // boilerplate, q79's argument). The third pairing family next to
+    // MinHash-LSH (q44) and SimHash (q45), and the only one with the
+    // LOCAL guarantee: any shared verbatim run of ≥ w+k−1 = 8 tokens
+    // yields a shared fingerprint (WinnowSpec pins the guarantee).
+    "q196_winnow_neardup" -> ((s, dir) => {
+      Dedup.winnowPairs(load(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, minShared = 3, dfCap = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- DSIR importance weights + resampling (Xie et al. 2023):
+    // rational target-likeness weights over hashed unigram buckets
+    // (target = lang-en docs), then the paper's importance RESAMPLING
+    // as the q106 priority construction (priority = weight / content-
+    // keyed uniform), top-100, doc_id tiebreak (unique — exact-dup
+    // texts can't make the cut order ambiguous the way a text tiebreak
+    // could). The selected SET is the gate: which docs survive pins
+    // both the weights and the priorities.
+    "q197_dsir_weights" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val wts = Sampling.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 256)
+      val u = (TextAnalysis.md5Hash48(col("text")) + lit(1L)).cast("double") /
+        lit((1L << 48).toDouble)
+      val pri = wts
+        .join(docs.select(col("doc_id").as("pid"), col("source"), col("text")),
+          "pid")
+        .withColumn("_pri", col("weight") / u)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("_pri").desc, col("pid"))
+      pri.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 100)
+        .select(col("pid").as("doc_id"), col("source"),
+          col("w_num"), col("w_den"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- C4 line-level rule filter (Raffel et al. 2020 §2.2) over a
+    // line-structured corpus derived in-query (8-token sentences + one
+    // planted junk line per doc_id%7 family — each junk line fails
+    // EXACTLY one rule except the code line, which fails two, so every
+    // rule's firing set is independently pinned). Docs keeping <3 lines
+    // are dropped; clean_md5 byte-pins the rebuilt text of survivors.
+    "q198_c4_line_filter" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val real = transform(sequence(lit(1), size(toks), lit(8)),
+        p => concat(concat_ws(" ", slice(toks, p, lit(8))), lit(".")))
+      val junk = when(col("doc_id") % 7 === 1,
+          array(lit("function() { return 0 }")))
+        .when(col("doc_id") % 7 === 2,
+          array(lit("lorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 7 === 3,
+          array(lit("please enable javascript to view this page.")))
+        .when(col("doc_id") % 7 === 4, array(lit("short line.")))
+        .when(col("doc_id") % 7 === 5,
+          array(lit("no terminal punctuation here at all")))
+        .otherwise(array().cast("array<string>"))
+      val lined = load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(concat(real, junk), "\n").as("text"))
+      TextAnalysis.c4LineFilter(lined, "doc_id", "text",
+          minWordsPerLine = 5, minLinesPerDoc = 3)
+        .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("kept_doc").cast("int").as("kept_doc"), col("clean_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2148,6 +2262,100 @@ object PipelineQueries extends QueryPack {
     "q194_dedup_minhash_scaled" ->
       s"""WITH ${minhashPairsCtesOver("documents", LshBanding.Scaled)}
          |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
+
+    // Winnowing selection replayed as a window-function min over the
+    // positional gram-hash stream — same hash, same window coverage
+    // (pos ≤ max(ng−w+1, 1)), same distinct set; the panel's integer
+    // aggregates pin the set exactly.
+    "q195_winnow_fingerprints" ->
+      s"""WITH $winnowCtes,
+         |agg AS (SELECT doc_id, count(*) AS n_fps,
+         |               CAST(sum(fp) AS BIGINT) AS fp_sum,
+         |               min(fp) AS fp_min, max(fp) AS fp_max
+         |        FROM sel GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(greatest(len(string_split(d.text, ' ')) - 4, 0) AS BIGINT)
+         |         AS n_grams,
+         |       CAST(coalesce(a.n_fps, 0) AS BIGINT) AS n_fps,
+         |       CAST(coalesce(a.fp_sum, 0) AS BIGINT) AS fp_sum,
+         |       a.fp_min, a.fp_max
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same selected sets, df-capped fingerprint equi-join, pair rollup.
+    "q196_winnow_neardup" ->
+      s"""WITH $winnowCtes,
+         |dfc AS (SELECT fp, count(*) AS nd FROM sel GROUP BY fp),
+         |sh AS (SELECT fp FROM dfc WHERE nd BETWEEN 2 AND 50),
+         |f2 AS (SELECT s.doc_id, s.fp FROM sel s JOIN sh USING (fp)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |              CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Rational DSIR replayed: same md5-48 bucket hash, same add-one
+    // ratio-of-sums, the same TWO-divide priority composition in the
+    // same order (num/den, then ÷ (h+1)/2^48 — each divide exactly
+    // rounded, so the doubles and hence the top-100 agree bit-for-bit).
+    "q197_dsir_weights" ->
+      (s"""WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
+         |                  unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |tb AS (SELECT doc_id, tgt,
+         |              (${graft.operators.TextAnalysis.md5Hash48Sql("tok")}) % 256 AS b
+         |       FROM t WHERE length(tok) > 0),
+         |cnt AS (SELECT b, count(*) AS craw,
+         |               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ctgt
+         |        FROM tb GROUP BY b),
+         |d AS (SELECT tb.doc_id,
+         |             CAST(sum(ctgt + 1) AS BIGINT) AS w_num,
+         |             CAST(sum(craw + 1) AS BIGINT) AS w_den
+         |      FROM tb JOIN cnt USING (b) GROUP BY tb.doc_id),
+         |p AS (SELECT d.doc_id, doc.source, d.w_num, d.w_den,
+         |             (CAST(d.w_num AS DOUBLE) / CAST(d.w_den AS DOUBLE))
+         |             / (CAST(${graft.operators.TextAnalysis.md5Hash48Sql("doc.text")} + 1 AS DOUBLE)
+         |                / 281474976710656.0) AS pri
+         |      FROM d JOIN documents doc USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
+         |      FROM p)
+         |SELECT doc_id, source, w_num, w_den FROM r WHERE rn <= 100
+         |ORDER BY doc_id""".stripMargin),
+
+    // The same line construction (8-token sentences, one junk line per
+    // doc_id%7 family at ordering key 1e6 = after every real line) and
+    // the same five C4 rules; md5 over the newline-rejoined kept lines.
+    "q198_c4_line_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |rl AS (SELECT doc_id, p, array_to_string(ts[p:p+7], ' ') || '.' AS line
+        |       FROM toks, unnest(range(1, len(ts) + 1, 8)) AS r(p)),
+        |jk AS (SELECT doc_id, 1000000 AS p,
+        |              CASE doc_id % 7
+        |                WHEN 1 THEN 'function() { return 0 }'
+        |                WHEN 2 THEN 'lorem ipsum dolor sit amet.'
+        |                WHEN 3 THEN 'please enable javascript to view this page.'
+        |                WHEN 4 THEN 'short line.'
+        |                WHEN 5 THEN 'no terminal punctuation here at all'
+        |              END AS line
+        |       FROM documents WHERE doc_id % 7 BETWEEN 1 AND 5),
+        |al AS (SELECT * FROM rl UNION ALL SELECT * FROM jk),
+        |kp AS (SELECT doc_id, p, line FROM al
+        |       WHERE right(line, 1) IN ('.', '!', '?', '"')
+        |         AND len(string_split(line, ' ')) >= 5
+        |         AND line NOT LIKE '%{%'
+        |         AND lower(line) NOT LIKE '%lorem ipsum%'
+        |         AND lower(line) NOT LIKE '%javascript%'),
+        |ag AS (SELECT doc_id, count(*) AS n_kept,
+        |              md5(string_agg(line, chr(10) ORDER BY p)) AS all_md5
+        |       FROM kp GROUP BY doc_id),
+        |nl AS (SELECT doc_id, count(*) AS n_lines FROM al GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_lines AS BIGINT) AS n_lines,
+        |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CASE WHEN coalesce(a.n_kept, 0) >= 3 THEN 1 ELSE 0 END AS kept_doc,
+        |       CASE WHEN coalesce(a.n_kept, 0) >= 3 THEN a.all_md5 END AS clean_md5
+        |FROM nl n LEFT JOIN ag a USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by
