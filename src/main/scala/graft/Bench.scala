@@ -197,6 +197,7 @@ object Bench {
     "q196_winnow_neardup",  // winnow fingerprint pairs, df-capped equi-join
     "q197_dsir_weights",    // rational DSIR weights + importance resample
     "q198_c4_line_filter",  // C4 line rules: one row-local array projection
+    "q199_dedup_minhash_tokens", // token-shingle LSH (the saturated-universe fix)
     "q_tpch_09",            // 6-way join + derived partsupp + agg (widest TPC-H shape)
     "q_tpch_21")            // 4-way + EXISTS/NOT-EXISTS semi/anti stack
   // q96_containment is excluded with q43 (same deliberately-quadratic

@@ -157,6 +157,59 @@ object Dedup {
     } finally bandRel.unpersist(blocking = false)
   }
 
+  /** (sid, gs) with gs = sorted distinct md5-48 TOKEN k-shingle hashes —
+    * the token-universe gram sets (TextHashing.tokenShingleHashSet has
+    * the saturation rationale). Null text drops out like the other set
+    * builders. */
+  def tokenShingleSets(docs: DataFrame, id: String, text: String,
+                       k: Int = 3): DataFrame =
+    docs.select(col(id).as("sid"),
+        TextHashing.tokenShingleHashSet(col(text), k).as("gs"))
+      .filter(col("gs").isNotNull)
+
+  /** Signature projection for WIDE (up to 2⁴⁸) gram hashes under an
+    * arbitrary banding profile: mod-P reduction before the affine map
+    * (minHashJWide — h·a on a wide hash would overflow 64 bits). The
+    * composable array-fold form; shared by the token-shingle pipeline
+    * and the ScalingBench bucket diagnostics. */
+  private[graft] def wideSignaturesFromSets(sets: DataFrame,
+                                            banding: LshBanding): DataFrame =
+    sets.select(col("sid") +: size(col("gs")).as("gn") +:
+      (0 until banding.numHashes).map(j =>
+        array_min(transform(col("gs"), h => minHashJWide(h, j))).as(s"m$j")): _*)
+
+  /** MinHash-LSH near-dup pairs over TOKEN k-shingles — the profile for
+    * corpora whose CHARACTER-gram universe saturates (narrow alphabets,
+    * templated/synthetic text). SCALING.md round 13 measured the failure
+    * it fixes: at a fixed ~1,580-gram char-3 universe, band candidates
+    * grow exactly n² under any (b, r) because the fixed minhash
+    * functions concentrate on ubiquitous grams; the token universe grows
+    * with the vocabulary (Heaps), so the min is spread across an
+    * expanding gram population and hot buckets cannot form structurally.
+    *
+    * Same banding/candidate/verify machinery as [[minHashLshPairs]]
+    * (size prefilter in the band join, optional bucket cap, sorted-array
+    * merge-walk verify — hash-width-agnostic); only the SET DEFINITION
+    * changes, so the returned `jaccard` is token-shingle resemblance,
+    * not char-3-gram resemblance — a different (coarser-grained, word-
+    * order-sensitive) similarity measure, which is why this is a new
+    * operator rather than a flag on q44's. Defaults to the Scaled
+    * banding: the token profile exists for large corpora. */
+  def minHashLshPairsTokens(docs: DataFrame, id: String, text: String,
+                            threshold: Double, k: Int = 3,
+                            banding: LshBanding = LshBanding.Scaled,
+                            maxBucket: Long = 0L): DataFrame = {
+    val sets = truncateLineage(tokenShingleSets(docs, id, text, k))
+    val bandRel = bandRelation(wideSignaturesFromSets(sets, banding),
+      sizeAware = true, banding).persist()
+    try {
+      val cands = pairsFromBands(bandRel, threshold, sizeAware = true, maxBucket)
+      truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
+        .select(col("id_a"), col("id_b"), jaccardCol)
+        .filter(col("jaccard") >= threshold)
+    } finally bandRel.unpersist(blocking = false)
+  }
+
   /** 16-hash MinHash signature per document, computed as array folds over
     * the doc's own gram-hash set (array_min of transform) — a pure
     * projection with NO shuffle. The naive shape (explode grams, groupBy

@@ -182,6 +182,34 @@ object TextHashing {
         j => array_min(slice(gh, j, lit(w))))))
   }
 
+  /** Sorted distinct 48-bit md5 hashes of the text's TOKEN k-shingles —
+    * the token-universe gram set for MinHash dedup. The char-3-gram set
+    * ([[shingles3]]) has a universe bounded by |alphabet|³, which
+    * SATURATES on narrow-alphabet corpora (SCALING.md round 13: ~1,580
+    * distinct grams regardless of corpus size, fixed minhash functions
+    * concentrate on whichever ubiquitous gram ranks first, hot band
+    * buckets grow linearly, and candidates go Ω(n²) under ANY (b, r)
+    * banding). Token k-shingles draw from the vocabulary^k universe,
+    * which grows with the corpus (Heaps' law), so min-concentration
+    * cannot happen structurally — the universe-growing knob the r13
+    * saturation analysis prescribed.
+    *
+    * Hash-set semantics: md5-48 is not injective the way the base-256
+    * char-gram hash is, but both engines compute the SAME md5, so the
+    * hash-set Jaccard the verify stage measures is cross-engine exact;
+    * vs true shingle-set Jaccard the collision error is ≤ n_grams²/2⁴⁸
+    * per doc — absorbed by the similarity threshold. A doc with fewer
+    * than k tokens degenerates to ONE whole-doc shingle (greatest(…,1)),
+    * so short docs stay in the dedup universe instead of silently
+    * dropping out. Row-local projection: no explode, no shuffle. */
+  def tokenShingleHashSet(text: Column, k: Int): Column = {
+    require(k >= 1, "tokenShingleHashSet needs k >= 1")
+    val toks = split(text, " ")
+    sort_array(array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => TextAnalysis.md5Hash48(concat_ws(" ", slice(toks, i, lit(k)))))))
+  }
+
   /** Cheap fixed-width token hash for SimHash: ascii polynomial over the
     * first 4 chars + length mixing. Word-sized tokens only — collisions are
     * acceptable for a similarity sketch. */

@@ -112,6 +112,37 @@ object PipelineQueries extends QueryPack {
        |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
   private val minhashPairsCtes = minhashPairsCtesOver("documents")
 
+  // TOKEN-shingle variant of the pair chain (q199): token k-shingles in
+  // place of char 3-grams, md5-48 gram hashes (wide ⇒ the mod-P-first
+  // minhash family), hash-set Jaccard in the verify. Same banding/
+  // candidate skeleton; the degenerate <k-token doc keeps ONE whole-doc
+  // shingle via greatest(…, 2) on the range bound, mirroring the Spark
+  // side's greatest(size−k+1, 1).
+  private def tokenMinhashPairsCtes(banding: LshBanding, k: Int) = {
+    val wideMin = (0 until banding.numHashes)
+      .map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tg AS (SELECT doc_id, array_to_string(ts[i:i+${k - 1}], ' ') AS g
+       |       FROM toks, unnest(range(1, greatest(len(ts) - ${k - 2}, 2))) AS r(i)),
+       |hs AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         CAST(${graft.operators.TextAnalysis.md5Hash48Sql("g")} AS BIGINT) AS h
+       |  FROM tg),
+       |mh AS MATERIALIZED (SELECT doc_id, $wideMin FROM hs GROUP BY doc_id),
+       |bands AS (${bandSqlFor(banding)}),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+       |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
+       |          JOIN hs a ON a.doc_id = id_a
+       |          JOIN hs b ON b.doc_id = id_b AND a.h = b.h
+       |          GROUP BY id_a, id_b),
+       |pr AS MATERIALIZED (
+       |  SELECT id_a, id_b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
+  }
+
   // aHash replay shared by the q121/q121b/q125 oracles: BMP fill
   // pattern -> gray sums -> floor grid -> cross-multiplied threshold
   // bits -> two 32-bit hash halves. One definition, three consumers --
@@ -2222,6 +2253,21 @@ object PipelineQueries extends QueryPack {
           col("n_kept").cast("long").as("n_kept"),
           col("kept_doc").cast("int").as("kept_doc"), col("clean_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- MinHash-LSH over TOKEN 3-shingles (scaled banding) — the
+    // universe-growing dedup profile for corpora whose char-gram universe
+    // saturates (SCALING.md round 13: fixed ~1,580-gram universe ⇒
+    // min-concentration ⇒ Ω(n²) candidates under ANY (b, r); the token
+    // universe grows with the vocabulary, so hot buckets cannot form
+    // structurally). Verified bit-for-bit like q44/q194: the oracle
+    // replays token shingling, the wide (mod-P-first) minhash family,
+    // banding, and hash-set Jaccard from the same constants.
+    "q199_dedup_minhash_tokens" -> ((s, dir) => {
+      Dedup.minHashLshPairsTokens(load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.7, k = 3,
+          banding = LshBanding.Scaled)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2356,6 +2402,12 @@ object PipelineQueries extends QueryPack {
         |       CASE WHEN coalesce(a.n_kept, 0) >= 3 THEN a.all_md5 END AS clean_md5
         |FROM nl n LEFT JOIN ag a USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
+
+    // Token-shingle pair chain replayed under the scaled banding — same
+    // minhash constants, wide (mod-P-first) family, hash-set Jaccard.
+    "q199_dedup_minhash_tokens" ->
+      s"""WITH ${tokenMinhashPairsCtes(LshBanding.Scaled, 3)}
+         |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by

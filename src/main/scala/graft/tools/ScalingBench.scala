@@ -392,6 +392,31 @@ object ScalingBench {
               s"buckets=${agg.getLong(2)} top10=$top")
           }
         } finally sets.unpersist(blocking = false)
+        // TOKEN-shingle profile over the same corpus: the universe-growing
+        // fix for the saturation the char-gram rows above measure. Same
+        // Σ C(size, 2) candidate accounting, so the collapse (or not) of
+        // the n² term is read off the same metric.
+        val tsets = Dedup.tokenShingleSets(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")), "doc_id", "text").persist()
+        try {
+          val b = LshBanding.Scaled
+          val sizes = Dedup.bandRelation(
+              Dedup.wideSignaturesFromSets(tsets, b), sizeAware = false, b)
+            .groupBy(fcol("sig")).agg(fcount(flit(1)).as("s"))
+          val agg = sizes.agg(
+            fsum(org.apache.spark.sql.functions.expr("s * (s - 1) div 2"))
+              .as("cand"),
+            fmax(fcol("s")).as("maxb"),
+            fcount(flit(1)).as("buckets")).collect()(0)
+          val top = sizes.orderBy(fcol("s").desc).limit(10).collect()
+            .map(_.getLong(1)).mkString(",")
+          val uni = tsets.select(org.apache.spark.sql.functions
+            .explode(fcol("gs")).as("h")).distinct().count()
+          println(s"[scaling] q199_bucket_histogram (tokens ${b.numBands}x${b.rowsPerBand}) $dir " +
+            s"cand=${agg.getLong(0)} maxBucket=${agg.getLong(1)} " +
+            s"buckets=${agg.getLong(2)} universe=$uni top10=$top")
+        } finally tsets.unpersist(blocking = false)
       }
 
       // q144 COST ATTRIBUTION: one instrumented crossDocRepeats run per
@@ -411,6 +436,35 @@ object ScalingBench {
         val counts = SuffixIndex.lastLevelSurvivors
           .map { case (l, n) => s"$l=$n" }.mkString(" ")
         println(s"[scaling] q144_level_survivors         $dir $counts")
+      }
+
+      // TOKEN-shingle pairs (select q199_dedup_minhash_tokens): the
+      // uncapped universe-growing profile at every tier, with recall vs
+      // the same planted 2% mutations the capped block measures — the
+      // head-to-head against q194's cap-mitigated char-gram banding.
+      if (only.forall(graft.QuerySelect.matches(_, "q199_dedup_minhash_tokens"))) {
+        import graft.operators.TextHashing.LshBanding
+        reclaim()
+        def tokenPairs() = Dedup.minHashLshPairsTokens(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", 0.7, banding = LshBanding.Scaled)
+        val found = tokenPairs().persist()
+        val nFound = found.count()
+        val planted = found.filter(
+          col("id_b") === col("id_a") + 1 && col("id_b") % 50 === 3).count()
+        val nPlanted = nDocs / 50
+        found.unpersist(blocking = false)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          tokenPairs().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tmed = median(runs)
+        tierMedians(("q199_dedup_minhash_tokens", dir)) = tmed
+        println(f"[scaling] q199_dedup_minhash_tokens $dir%-28s median=$tmed%7.2f s" +
+          f" eff=${tmed * pe}%7.2f core-s rows=$nFound%-7d" +
+          f" planted=$planted/$nPlanted")
       }
 
       // CAPPED scaled banding (select q194_capped): the scaled profile
