@@ -163,8 +163,8 @@ object Dedup {
     * builders. */
   def tokenShingleSets(docs: DataFrame, id: String, text: String,
                        k: Int = 3): DataFrame =
-    docs.select(col(id).as("sid"),
-        TextHashing.tokenShingleHashSet(col(text), k).as("gs"))
+    docs.select(col(id).as("sid"), split(col(text), " ").as("_ts"))
+      .select(col("sid"), TextHashing.tokenShingleHashes(col("_ts"), k).as("gs"))
       .filter(col("gs").isNotNull)
 
   /** Signature projection for WIDE (up to 2⁴⁸) gram hashes under an
@@ -1301,8 +1301,16 @@ object Dedup {
                   minShared: Int = 3, dfCap: Int = 50): DataFrame = {
     require(minShared >= 1, "winnowPairs needs minShared >= 1")
     require(dfCap >= 2, "winnowPairs needs dfCap >= 2")
-    val sel = docs.select(col(id).as("_wid"),
-        explode(TextHashing.winnowFingerprints(col(text), k, w)).as("fp"))
+    // Two projections, NOT one fused expression: the gram-hash array must
+    // be an attribute before the window-min transform consumes it, or the
+    // interpreted HOF re-evaluates the md5 gram chain per window
+    // (winnowSelect scaladoc; measured 213 s → sub-second at sf0.1).
+    val sel = docs
+      .select(col(id).as("_wid"), split(col(text), " ").as("_ts"))
+      .select(col("_wid"),
+        TextHashing.gramHashesFromTokens(col("_ts"), k).as("_gh"))
+      .select(col("_wid"),
+        explode(TextHashing.winnowSelect(col("_gh"), w)).as("fp"))
     // array_distinct upstream → (doc, fp) already unique; count(*) is df.
     val shareable = sel.groupBy(col("fp"))
       .agg(count(lit(1)).as("_nd"))

@@ -239,4 +239,54 @@ object Packing {
         coalesce(col("n_masked"), lit(0L)).as("n_masked"),
         col("corrupted"))
   }
+
+  /** Fill-in-the-middle document transform (Bavarian et al. 2022 — the
+    * FIM objective behind code-completion training data; the sibling of
+    * [[spanCorruption]]'s T5 objective). Per doc, two content-keyed cut
+    * points split the CHARACTER stream into (prefix, middle, suffix);
+    * with probability `fimRatePct`/100 the doc is rearranged into the
+    * sentinel form — PSM `<PRE>p<SUF>s<MID>m` or SPM `<SUF>s<PRE>p<MID>m`,
+    * chosen 50/50 — else it passes through as plain autoregressive text
+    * (mode 'ar'). All decisions are md5-derived from the text itself
+    * (the q67 content-keyed doctrine): reproducible across runs,
+    * engines, and partitionings, no RNG state.
+    *
+    * Scale shape: ONE row-local projection — no explode, no shuffle, no
+    * state; at 100 TB it fuses into the scan like c4LineFilter. Output
+    * pins the transform byte-exactly: (id, mode, cut_lo, cut_hi,
+    * out_md5, out_len) where out_md5 is md5 of the reassembled string.
+    * Cut points are character offsets in [0, n] (empty prefix/middle/
+    * suffix all legal — the paper keeps degenerate splits so the model
+    * sees boundary cases). */
+  def fimTransform(docs: DataFrame, id: String, text: String,
+                   fimRatePct: Int = 50): DataFrame = {
+    require(fimRatePct >= 0 && fimRatePct <= 100,
+      "fimTransform needs fimRatePct in [0, 100]")
+    val t = col(text)
+    val n = length(t)
+    val h1 = graft.operators.TextAnalysis.md5Hash48(concat(t, lit(":c1")))
+    val h2 = graft.operators.TextAnalysis.md5Hash48(concat(t, lit(":c2")))
+    val hf = graft.operators.TextAnalysis.md5Hash48(concat(t, lit(":fim")))
+    val a = h1 % (n + 1)
+    val b = h2 % (n + 1)
+    val lo = least(a, b)
+    val hi = greatest(a, b)
+    val pre = t.substr(lit(1), lo.cast("int"))
+    val mid = t.substr((lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suf = t.substr((hi + 1).cast("int"), (n - hi).cast("int"))
+    // floor(hf/100) is exact here: hf < 2^48 and a double quotient can
+    // only sit within 1 ulp of an integer when hf is a multiple of 100,
+    // where IEEE division is exact (same argument as spanCorruption's
+    // floor(h/20) offsets).
+    val isFim = hf % 100 < fimRatePct
+    val isPsm = floor(hf / 100).cast("long") % 2 === 0
+    val out = when(!isFim, t)
+      .when(isPsm, concat(lit("<PRE>"), pre, lit("<SUF>"), suf, lit("<MID>"), mid))
+      .otherwise(concat(lit("<SUF>"), suf, lit("<PRE>"), pre, lit("<MID>"), mid))
+    docs.select(col(id),
+      when(!isFim, lit("ar")).when(isPsm, lit("psm")).otherwise(lit("spm"))
+        .as("mode"),
+      lo.cast("long").as("cut_lo"), hi.cast("long").as("cut_hi"),
+      md5(out).as("out_md5"), length(out).cast("long").as("out_len"))
+  }
 }

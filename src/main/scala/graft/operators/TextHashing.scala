@@ -156,31 +156,56 @@ object TextHashing {
   // shuffle, no per-position state — the per-doc selection the paper
   // calls "local" is literally local to the row here.
 
-  /** Position-ordered 48-bit hashes of the text's token k-grams (NOT
-    * distinct — winnowing needs the positional sequence). Docs with
-    * fewer than k tokens have no grams. Mirrored in SQL by the oracle's
-    * unnest(range)+md5Hash48Sql chain. */
-  def winnowGramHashes(text: Column, k: Int): Column = {
-    require(k >= 1, "winnowGramHashes needs k >= 1")
-    val toks = split(text, " ")
-    when(size(toks) < k, array().cast("array<long>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => TextAnalysis.md5Hash48(concat_ws(" ", slice(toks, i, lit(k))))))
+  /** Position-ordered 48-bit hashes of the k-grams over an ALREADY-SPLIT
+    * token-array attribute (NOT distinct — winnowing needs the positional
+    * sequence). Docs with fewer than k tokens have no grams. Mirrored in
+    * SQL by the oracle's unnest(range)+md5Hash48Sql chain.
+    *
+    * `ts` must be a materialized attribute for the same reason as
+    * [[winnowSelect]]'s `gh`: the slice inside the transform lambda
+    * re-evaluates its child per gram, so a fused split(text) argument
+    * costs O(n_grams × |text|) re-splits per doc. */
+  def gramHashesFromTokens(ts: Column, k: Int): Column = {
+    require(k >= 1, "gramHashesFromTokens needs k >= 1")
+    when(size(ts) < k, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)),
+        i => TextAnalysis.md5Hash48(concat_ws(" ", slice(ts, i, lit(k))))))
   }
 
-  /** The winnowed fingerprint SET: distinct window-minima over windows of
-    * `w` consecutive gram hashes. A doc with 1 ≤ n_grams < w degenerates
-    * to one whole-doc window (min over all grams) — the paper's guarantee
-    * needs every gram covered by ≥ 1 window. Density: ≤ max(n−w+1, 1)
-    * fingerprints for n grams, ~2/(w+1)·n expected after dedup. */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
-    require(w >= 1, "winnowFingerprints needs w >= 1")
-    val gh = winnowGramHashes(text, k)
+  /** Composable reference form over raw text — specs/small fixtures only
+    * (hot paths: split → barrier → [[gramHashesFromTokens]]). */
+  def winnowGramHashes(text: Column, k: Int): Column =
+    gramHashesFromTokens(split(text, " "), k)
+
+  /** Window-min selection over an ALREADY-MATERIALIZED gram-hash array
+    * column: distinct minima over windows of `w` consecutive hashes. A
+    * doc with 1 ≤ n_grams < w degenerates to one whole-doc window (min
+    * over all grams) — the paper's guarantee needs every gram covered by
+    * ≥ 1 window. Density: ≤ max(n−w+1, 1) fingerprints for n grams,
+    * ~2/(w+1)·n expected after dedup.
+    *
+    * `gh` MUST be a plain attribute (a column materialized by a prior
+    * projection), not the [[winnowGramHashes]] expression itself: HOF
+    * lambda arguments are inlined and re-evaluated PER ELEMENT (the
+    * round-9 CSE doctrine), so passing the gram expression here costs
+    * O(n_windows × n_grams) interpreted md5+re-split work per doc —
+    * measured 240 s vs <1 s at sf0.1 for the q195 panel. Operators
+    * below (winnowPairs, q195) all use the two-projection barrier. */
+  def winnowSelect(gh: Column, w: Int): Column = {
+    require(w >= 1, "winnowSelect needs w >= 1")
     when(size(gh) === 0, array().cast("array<long>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), greatest(size(gh) - (w - 1), lit(1))),
         j => array_min(slice(gh, j, lit(w))))))
   }
+
+  /** Composable one-expression form (selection fused over the gram
+    * expression) — the REFERENCE semantics for specs and small fixtures
+    * only. Hot paths must use winnowGramHashes → barrier →
+    * [[winnowSelect]] (see winnowSelect's scaladoc for the measured
+    * per-element re-evaluation cost of skipping the barrier). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    winnowSelect(winnowGramHashes(text, k), w)
 
   /** Sorted distinct 48-bit md5 hashes of the text's TOKEN k-shingles —
     * the token-universe gram set for MinHash dedup. The char-3-gram set
@@ -202,13 +227,18 @@ object TextHashing {
     * than k tokens degenerates to ONE whole-doc shingle (greatest(…,1)),
     * so short docs stay in the dedup universe instead of silently
     * dropping out. Row-local projection: no explode, no shuffle. */
-  def tokenShingleHashSet(text: Column, k: Int): Column = {
-    require(k >= 1, "tokenShingleHashSet needs k >= 1")
-    val toks = split(text, " ")
+  def tokenShingleHashes(ts: Column, k: Int): Column = {
+    require(k >= 1, "tokenShingleHashes needs k >= 1")
     sort_array(array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => TextAnalysis.md5Hash48(concat_ws(" ", slice(toks, i, lit(k)))))))
+      sequence(lit(1), greatest(size(ts) - (k - 1), lit(1))),
+      i => TextAnalysis.md5Hash48(concat_ws(" ", slice(ts, i, lit(k)))))))
   }
+
+  /** Composable reference form over raw text — specs/small fixtures only;
+    * Dedup.tokenShingleSets barriers the split first (winnowSelect
+    * scaladoc has the per-element re-evaluation doctrine). */
+  def tokenShingleHashSet(text: Column, k: Int): Column =
+    tokenShingleHashes(split(text, " "), k)
 
   /** Cheap fixed-width token hash for SimHash: ascii polynomial over the
     * first 4 chars + length mixing. Word-sized tokens only — collisions are

@@ -2171,12 +2171,17 @@ object PipelineQueries extends QueryPack {
     // window-function replay proves the array-transform selection
     // picks byte-identical minima.
     "q195_winnow_fingerprints" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val fps = TextHashing.winnowFingerprints(col("text"), 5, 4)
+      // tokens, gram hashes, and the window-min selection each
+      // materialized before the next stage consumes them (winnowSelect
+      // scaladoc: the fused form re-evaluates the md5 gram chain per
+      // window in the interpreted HOF — measured 240 s vs <1 s here)
       load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("_ts"))
         .select(col("doc_id"),
-          greatest(size(toks) - 4, lit(0)).cast("long").as("n_grams"),
-          fps.as("_f"))
+          greatest(size(col("_ts")) - 4, lit(0)).cast("long").as("n_grams"),
+          TextHashing.gramHashesFromTokens(col("_ts"), 5).as("_gh"))
+        .select(col("doc_id"), col("n_grams"),
+          TextHashing.winnowSelect(col("_gh"), 4).as("_f"))
         .select(col("doc_id"), col("n_grams"),
           size(col("_f")).cast("long").as("n_fps"),
           aggregate(col("_f"), lit(0L), (a, x) => a + x).as("fp_sum"),
@@ -2268,6 +2273,17 @@ object PipelineQueries extends QueryPack {
           "doc_id", "text", threshold = 0.7, k = 3,
           banding = LshBanding.Scaled)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Fill-in-the-middle transform (Bavarian et al. 2022): content-
+    // keyed character cuts, 50% FIM rate split evenly PSM/SPM, md5 byte
+    // pin of every reassembled doc — which proves prefix/middle/suffix
+    // slicing AND sentinel concatenation agree with the oracle to the
+    // byte, for all three modes and the degenerate empty-segment cuts.
+    "q200_fim_transform" -> ((s, dir) => {
+      Packing.fimTransform(load(s, dir, "documents"), "doc_id", "text",
+          fimRatePct = 50)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2408,6 +2424,36 @@ object PipelineQueries extends QueryPack {
     "q199_dedup_minhash_tokens" ->
       s"""WITH ${tokenMinhashPairsCtes(LshBanding.Scaled, 3)}
          |SELECT id_a, id_b, jaccard FROM pr ORDER BY id_a, id_b""".stripMargin,
+
+    // FIM replay: same md5-derived cuts/mode coin (// is DuckDB integer
+    // division — exact, matching Spark's proven-exact floor(hf/100)),
+    // same sentinel concatenation, md5 over the reassembled string.
+    "q200_fim_transform" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+         |  CAST(${graft.operators.TextAnalysis.md5Hash48Sql("(text || ':c1')")} AS BIGINT) % (length(text) + 1) AS a,
+         |  CAST(${graft.operators.TextAnalysis.md5Hash48Sql("(text || ':c2')")} AS BIGINT) % (length(text) + 1) AS b,
+         |  CAST(${graft.operators.TextAnalysis.md5Hash48Sql("(text || ':fim')")} AS BIGINT) AS hf
+         |  FROM documents),
+         |c AS (SELECT doc_id, text, n, hf,
+         |             least(a, b) AS lo, greatest(a, b) AS hi FROM d),
+         |t AS (SELECT doc_id, lo, hi,
+         |  CASE WHEN hf % 100 >= 50 THEN 'ar'
+         |       WHEN (hf // 100) % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+         |  CASE WHEN hf % 100 >= 50 THEN text
+         |       WHEN (hf // 100) % 2 = 0 THEN
+         |         '<PRE>' || substr(text, 1, lo) || '<SUF>' ||
+         |         substr(text, hi + 1, n - hi) || '<MID>' ||
+         |         substr(text, lo + 1, hi - lo)
+         |       ELSE
+         |         '<SUF>' || substr(text, hi + 1, n - hi) || '<PRE>' ||
+         |         substr(text, 1, lo) || '<MID>' ||
+         |         substr(text, lo + 1, hi - lo)
+         |  END AS out
+         |  FROM c)
+         |SELECT doc_id, mode, CAST(lo AS BIGINT) AS cut_lo,
+         |       CAST(hi AS BIGINT) AS cut_hi, md5(out) AS out_md5,
+         |       CAST(length(out) AS BIGINT) AS out_len
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by
