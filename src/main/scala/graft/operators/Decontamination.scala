@@ -30,16 +30,24 @@ import org.apache.spark.sql.functions._
  */
 object Decontamination {
 
-  /** Distinct md5 fingerprints of the text's token n-grams (whitespace
-    * tokens, windows of n, space-rejoined before hashing). Row-local,
-    * codegen-friendly (array transform, no UDF); empty below n tokens. */
-  def tokenGramFingerprints(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+  /** Distinct md5 fingerprints of the token n-grams over an
+    * ALREADY-SPLIT token-array attribute (whitespace tokens, windows of
+    * n, space-rejoined before hashing). Row-local, no UDF; empty below n
+    * tokens. `ts` must be a materialized attribute — the slice inside
+    * the transform lambda re-evaluates its child per gram, so a fused
+    * split(text) argument costs O(n_grams × |text|) re-splits per doc
+    * (the round-13 winnowing doctrine, TextHashing.winnowSelect). */
+  def tokenGramFingerprintsFromTokens(ts: Column, n: Int): Column = {
+    val grams = when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => md5(concat_ws(" ", slice(ts, i, lit(n))))))
     array_distinct(grams)
   }
+
+  /** Composable reference form over raw text — specs/small fixtures
+    * only; operator call sites barrier the split first. */
+  def tokenGramFingerprints(text: Column, n: Int): Column =
+    tokenGramFingerprintsFromTokens(split(text, " "), n)
 
   /** Contamination report: corpus docs sharing ≥1 token n-gram with the
     * eval set. `broadcastBudgetBytes` gates the eval-gram broadcast (md5
@@ -92,7 +100,8 @@ object Decontamination {
 
   private def distinctEvalGrams(evalSet: DataFrame, text: String, n: Int) =
     evalSet
-      .select(explode(tokenGramFingerprints(col(text), n)).as("g"))
+      .select(split(col(text), " ").as("_ts"))
+      .select(explode(tokenGramFingerprintsFromTokens(col("_ts"), n)).as("g"))
       .distinct()
 
   /** Corpus-side gram explode + overlap join + per-doc report, shared by
@@ -109,7 +118,8 @@ object Decontamination {
     // which the isNotNull filter (and the inner join) drops — answers
     // identical, expression evaluated once.
     val grams = corpus
-      .select(col(id).as("cid"), tokenGramFingerprints(col(text), n).as("gs"))
+      .select(col(id).as("cid"), split(col(text), " ").as("_ts"))
+      .select(col("cid"), tokenGramFingerprintsFromTokens(col("_ts"), n).as("gs"))
       .select(col("cid"), size(col("gs")).as("n_grams"), explode_outer(col("gs")).as("g"))
       .filter(col("g").isNotNull)
     val pruned = prefilter.fold(grams)(p => grams.filter(p(col("g"))))
@@ -137,8 +147,9 @@ object Decontamination {
   def crossSourceOverlap(docs: DataFrame, source: String, text: String,
                          n: Int = 3, maxSources: Int = 5): DataFrame = {
     val bySrc = docs
-      .select(col(source).as("src"),
-        explode(tokenGramFingerprints(col(text), n)).as("g"))
+      .select(col(source).as("src"), split(col(text), " ").as("_ts"))
+      .select(col("src"),
+        explode(tokenGramFingerprintsFromTokens(col("_ts"), n)).as("g"))
       .distinct()
     bySrc.groupBy(col("g"))
       .agg(sort_array(collect_set(col("src"))).as("srcs"))

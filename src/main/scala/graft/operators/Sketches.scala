@@ -170,8 +170,9 @@ object Sketches {
   def kmvSourceSimilarity(docs: DataFrame, source: String, text: String,
                           n: Int = 2, k: Int = 64): DataFrame = {
     val grams = docs
-      .select(col(source).as("src"),
-        explode(Decontamination.tokenGramFingerprints(col(text), n)).as("fp"))
+      .select(col(source).as("src"), split(col(text), " ").as("_ts"))
+      .select(col("src"),
+        explode(Decontamination.tokenGramFingerprintsFromTokens(col("_ts"), n)).as("fp"))
       .select(col("src"), TextAnalysis.hex48(col("fp")).as("h"))
     val sk = kmvHashSketch(grams, col("src"), col("h"), k)
       .select(col("g"), col("hs"))

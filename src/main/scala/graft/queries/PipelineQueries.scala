@@ -688,11 +688,14 @@ object PipelineQueries extends QueryPack {
           min(when(col("c2") === 1, col("doc_id")))
             .over(Window.partitionBy(TextAnalysis.contentFingerprint(col("text")))))
         .withColumn("c3", (col("c2") === 1 && col("doc_id") === col("minid")).cast("int"))
-      val evalGrams = evalSet.select(explode(
-        Decontamination.tokenGramFingerprints(col("text"), 8)).as("g")).distinct()
+      val evalGrams = evalSet.select(split(col("text"), " ").as("_ts"))
+        .select(explode(
+          Decontamination.tokenGramFingerprintsFromTokens(col("_ts"), 8)).as("g"))
+        .distinct()
       val contamIds = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("_ts"))
         .select(col("doc_id"), explode(
-          Decontamination.tokenGramFingerprints(col("text"), 8)).as("g"))
+          Decontamination.tokenGramFingerprintsFromTokens(col("_ts"), 8)).as("g"))
         .join(broadcast(evalGrams), "g")
         .select(col("doc_id")).distinct().withColumn("is_contam", lit(1))
       val agg = deduped.join(contamIds, Seq("doc_id"), "left")
@@ -2236,7 +2239,9 @@ object PipelineQueries extends QueryPack {
     // rule's firing set is independently pinned). Docs keeping <3 lines
     // are dropped; clean_md5 byte-pins the rebuilt text of survivors.
     "q198_c4_line_filter" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
+      // split barriered before the sentence transform (HOF doctrine —
+      // slice inside the lambda would re-split the text per sentence)
+      val toks = col("_ts")
       val real = transform(sequence(lit(1), size(toks), lit(8)),
         p => concat(concat_ws(" ", slice(toks, p, lit(8))), lit(".")))
       val junk = when(col("doc_id") % 7 === 1,
@@ -2250,6 +2255,7 @@ object PipelineQueries extends QueryPack {
           array(lit("no terminal punctuation here at all")))
         .otherwise(array().cast("array<string>"))
       val lined = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("_ts"))
         .select(col("doc_id"),
           array_join(concat(real, junk), "\n").as("text"))
       TextAnalysis.c4LineFilter(lined, "doc_id", "text",

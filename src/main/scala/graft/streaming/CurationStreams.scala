@@ -29,8 +29,10 @@ object CurationStreams {
     * reuse across micro-batches (the static side of the join; Spark
     * re-plans it per batch, so persist() it for long streams). */
   def evalGramSet(evalSet: DataFrame, text: String, n: Int): DataFrame =
-    evalSet.select(explode(
-      Decontamination.tokenGramFingerprints(col(text), n)).as("g")).distinct()
+    evalSet.select(split(col(text), " ").as("_ts"))
+      .select(explode(
+        Decontamination.tokenGramFingerprintsFromTokens(col("_ts"), n)).as("g"))
+      .distinct()
 
   /** Contaminated doc ids from a STREAMING doc source: explode each
     * incoming doc's gram fingerprints (row-local projection), left-semi
@@ -42,8 +44,9 @@ object CurationStreams {
   def contaminatedIds(docs: DataFrame, evalGrams: DataFrame,
                       id: String, text: String, n: Int = 8): DataFrame =
     docs
+      .select(col(id), split(col(text), " ").as("_ts"))
       .select(col(id), explode(
-        Decontamination.tokenGramFingerprints(col(text), n)).as("g"))
+        Decontamination.tokenGramFingerprintsFromTokens(col("_ts"), n)).as("g"))
       .join(evalGrams, Seq("g"), "left_semi")
       .dropDuplicates(id)
 
