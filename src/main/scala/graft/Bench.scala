@@ -199,6 +199,7 @@ object Bench {
     "q198_c4_line_filter",  // C4 line rules: one row-local array projection
     "q199_dedup_minhash_tokens", // token-shingle LSH (the saturated-universe fix)
     "q200_fim_transform",   // FIM rearrangement: one row-local projection
+    "q201_ict_pairs",       // ICT query/context pairs: one row-local projection
     "q_tpch_09",            // 6-way join + derived partsupp + agg (widest TPC-H shape)
     "q_tpch_21")            // 4-way + EXISTS/NOT-EXISTS semi/anti stack
   // q96_containment is excluded with q43 (same deliberately-quadratic

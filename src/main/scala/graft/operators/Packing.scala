@@ -289,4 +289,45 @@ object Packing {
       lo.cast("long").as("cut_lo"), hi.cast("long").as("cut_hi"),
       md5(out).as("out_md5"), length(out).cast("long").as("out_len"))
   }
+
+  /** Inverse Cloze Task pair construction (Lee et al. 2019, ORQA — the
+    * standard retriever-pretraining objective): per doc, one token BLOCK
+    * (size `blockSize`, the pseudo-sentence unit — robust on corpora
+    * without punctuation) becomes the pseudo-QUERY and the rest of the
+    * doc the pseudo-EVIDENCE context; with probability `keepPct`/100 the
+    * block stays in the context too (the paper's lexical-overlap escape
+    * hatch — the retriever must not learn that the answer never shares
+    * words with the query). Block choice and keep-coin are md5-derived
+    * from the text (the content-keyed doctrine): reproducible across
+    * runs/engines/partitionings.
+    *
+    * Scale shape: split barriered to an attribute, then ONE row-local
+    * projection (slices + concat) — no explode, no shuffle; pairs for a
+    * 100 TB corpus are built at scan speed. Output byte-pins both sides:
+    * (id, n_blocks, blk_idx, kept, query_md5, ctx_md5). */
+  def ictPairs(docs: DataFrame, id: String, text: String,
+               blockSize: Int = 8, keepPct: Int = 10): DataFrame = {
+    require(blockSize >= 1, "ictPairs needs blockSize >= 1")
+    require(keepPct >= 0 && keepPct <= 100, "ictPairs needs keepPct in [0, 100]")
+    val h = graft.operators.TextAnalysis.md5Hash48(concat(col(text), lit(":ict")))
+    val hk = graft.operators.TextAnalysis.md5Hash48(concat(col(text), lit(":keep")))
+    val withTs = docs.select(col(id), h.as("_h"), hk.as("_hk"),
+      split(col(text), " ").as("_ts"))
+    val n = size(col("_ts"))
+    // integer ceil-div via exact double floor (n ≤ 2^31, well inside the
+    // 2^53 window; same argument as fimTransform's mode coin)
+    val nb = floor((n + (blockSize - 1)).cast("double") / blockSize).cast("long")
+    val j = col("_h") % nb
+    val kept = col("_hk") % 100 < keepPct
+    val start = (j * blockSize).cast("int") // 0-based token offset of the block
+    val query = concat_ws(" ", slice(col("_ts"), start + 1, lit(blockSize)))
+    val ctx = when(kept, concat_ws(" ", col("_ts")))
+      .otherwise(concat_ws(" ", concat(
+        slice(col("_ts"), lit(1), start),
+        slice(col("_ts"), start + blockSize + 1,
+          greatest(n - (start + blockSize), lit(0))))))
+    withTs.select(col(id), nb.as("n_blocks"), j.cast("long").as("blk_idx"),
+      kept.cast("int").as("kept"),
+      md5(query).as("query_md5"), md5(ctx).as("ctx_md5"))
+  }
 }

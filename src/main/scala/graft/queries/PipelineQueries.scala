@@ -2290,6 +2290,17 @@ object PipelineQueries extends QueryPack {
       Packing.fimTransform(load(s, dir, "documents"), "doc_id", "text",
           fimRatePct = 50)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Inverse Cloze Task pairs (Lee et al. 2019): content-keyed
+    // block-as-query extraction with the 10% keep-in-context coin; both
+    // sides md5 byte-pinned, so block slicing, removal, and rejoin are
+    // proven byte-identical — including last-block truncation and the
+    // single-block degenerate (empty context).
+    "q201_ict_pairs" -> ((s, dir) => {
+      Packing.ictPairs(load(s, dir, "documents"), "doc_id", "text",
+          blockSize = 8, keepPct = 10)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2460,6 +2471,31 @@ object PipelineQueries extends QueryPack {
          |       CAST(hi AS BIGINT) AS cut_hi, md5(out) AS out_md5,
          |       CAST(length(out) AS BIGINT) AS out_len
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // ICT replay: same md5 block/keep coins, same 8-token blocks, the
+    // removed-block context rebuilt from the two list slices.
+    "q201_ict_pairs" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+         |           FROM documents),
+         |d AS (SELECT doc_id, ts, len(ts) AS n,
+         |             CAST((len(ts) + 7) // 8 AS BIGINT) AS nb,
+         |             CAST(${graft.operators.TextAnalysis.md5Hash48Sql("(text || ':ict')")} AS BIGINT) AS h,
+         |             CAST(${graft.operators.TextAnalysis.md5Hash48Sql("(text || ':keep')")} AS BIGINT) AS hk
+         |      FROM t),
+         |s AS (SELECT doc_id, ts, n, nb, h % nb AS j,
+         |             (hk % 100 < 10) AS kept FROM d),
+         |o AS (SELECT doc_id, nb, j, kept,
+         |             array_to_string(ts[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)], ' ') AS q,
+         |             CASE WHEN kept THEN array_to_string(ts, ' ')
+         |                  ELSE array_to_string(list_concat(
+         |                         ts[1:CAST(j*8 AS INT)],
+         |                         ts[CAST(j*8+9 AS INT):CAST(n AS INT)]), ' ')
+         |             END AS ctx
+         |      FROM s)
+         |SELECT doc_id, nb AS n_blocks, CAST(j AS BIGINT) AS blk_idx,
+         |       CASE WHEN kept THEN 1 ELSE 0 END AS kept,
+         |       md5(q) AS query_md5, md5(ctx) AS ctx_md5
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by

@@ -438,6 +438,35 @@ object ScalingBench {
         println(s"[scaling] q144_level_survivors         $dir $counts")
       }
 
+      // WINNOWING pairs (select q196_winnow_neardup): the third pairing
+      // family at the tiers — df-capped fingerprint equi-join, recall vs
+      // the planted mutations. The fingerprint universe is token-5-gram
+      // md5s (Heaps-growing like q199's shingles), so the df cap should
+      // rarely bite and candidates should stay near-linear.
+      if (only.forall(graft.QuerySelect.matches(_, "q196_winnow_neardup"))) {
+        reclaim()
+        def wPairs() = Dedup.winnowPairs(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5, w = 4, minShared = 3, dfCap = 50)
+        val found = wPairs().persist()
+        val nFound = found.count()
+        val planted = found.filter(
+          col("id_b") === col("id_a") + 1 && col("id_b") % 50 === 3).count()
+        val nPlanted = nDocs / 50
+        found.unpersist(blocking = false)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          wPairs().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wmed = median(runs)
+        tierMedians(("q196_winnow_neardup", dir)) = wmed
+        println(f"[scaling] q196_winnow_neardup        $dir%-28s median=$wmed%7.2f s" +
+          f" eff=${wmed * pe}%7.2f core-s rows=$nFound%-7d" +
+          f" planted=$planted/$nPlanted")
+      }
+
       // TOKEN-shingle pairs (select q199_dedup_minhash_tokens): the
       // uncapped universe-growing profile at every tier, with recall vs
       // the same planted 2% mutations the capped block measures — the
