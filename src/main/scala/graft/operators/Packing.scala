@@ -247,7 +247,12 @@ object Packing {
     * with probability `fimRatePct`/100 the doc is rearranged into the
     * sentinel form — PSM `<PRE>p<SUF>s<MID>m` or SPM `<SUF>s<PRE>p<MID>m`,
     * chosen 50/50 — else it passes through as plain autoregressive text
-    * (mode 'ar'). All decisions are md5-derived from the text itself
+    * (mode 'ar'). The SPM form here is the paper's NAIVE SPM variant
+    * (§D: sentinels reordered with the segments); Bavarian et al.'s
+    * recommended SPM keeps the sentinels in PSM order
+    * (`<PRE><SUF>s<MID>` then prefix+middle) for cache-friendliness —
+    * a sentinel-layout choice only, orthogonal to the cut-point and
+    * rate machinery pinned here. All decisions are md5-derived from the text itself
     * (the q67 content-keyed doctrine): reproducible across runs,
     * engines, and partitionings, no RNG state.
     *

@@ -540,12 +540,16 @@ object Sampling {
                   text: String, isTarget: Column, buckets: Int = 256)
     : org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, "dsirWeights needs buckets >= 2")
-    val toks = docs
+    // Two consumers read this exploded relation (the bucket-count
+    // aggregate and the per-doc fold join): truncate lineage so the
+    // corpus-wide token explode — the expensive scan — runs ONCE, the
+    // same two-consumer doctrine as minHashLshPairsTokens' gram sets.
+    val toks = Dedup.truncateLineage(docs
       .select(col(id).as("pid"), isTarget.as("_tgt"),
         explode(split(col(text), " ")).as("_t"))
       .filter(length(col("_t")) > 0)
       .select(col("pid"), col("_tgt"),
-        (TextAnalysis.md5Hash48(col("_t")) % buckets).as("_b"))
+        (TextAnalysis.md5Hash48(col("_t")) % buckets).as("_b")))
     val counts = toks.groupBy(col("_b"))
       .agg(count(lit(1)).as("_craw"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ctgt"))

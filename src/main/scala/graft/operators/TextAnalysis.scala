@@ -1285,22 +1285,28 @@ object TextAnalysis {
       .withColumnRenamed("b", "bucket")
   }
 
-  /** C4 line-level rule filter (Raffel et al. 2020 §2.2 — the cleaning
-    * pass behind the C4 corpus, still the canonical web-curation recipe):
-    * keep a line only if it (1) ends in a terminal punctuation mark,
-    * (2) has ≥ `minWordsPerLine` words, (3) contains no '{' (the "no
-    * code" rule), (4) doesn't contain "lorem ipsum", (5) doesn't contain
-    * "javascript" (the enable-JS boilerplate rule); then DROP whole docs
-    * with fewer than `minLinesPerDoc` surviving lines. Distinct from the
+  /** C4 cleaning filter (Raffel et al. 2020 §2.2 — the pass behind the
+    * C4 corpus, still the canonical web-curation recipe), at the paper's
+    * two levels. LINE rules — keep a line only if it (1) ends in a
+    * terminal punctuation mark, (2) has ≥ `minWordsPerLine` words,
+    * (3) doesn't contain "javascript" (the enable-JS boilerplate rule).
+    * PAGE rules — drop the WHOLE doc when the text contains '{' (the
+    * "no code" rule) or "lorem ipsum" (both page-level removals in the
+    * paper, not line removals — a page with placeholder text or curly
+    * braces anywhere is discarded entirely), or when fewer than
+    * `minLinesPerDoc` lines survive the line rules. Distinct from the
     * Gopher filters (q68: doc-level repetition/ratio thresholds) — C4's
     * unit is the LINE, and the doc is rebuilt from kept lines.
     *
     * Scale shape: the entire filter is ONE row-local array projection
-    * (split → filter lambda → array_join) — no explode, no shuffle, no
+    * (split → filter lambda → array_join; the page rules are plain
+    * substring predicates on the full text) — no explode, no shuffle, no
     * state; at 100 TB it pipelines inside whole-stage codegen on the
-    * scan. Output: id, n_lines, n_kept, kept_doc, and clean_md5 (md5 of
-    * the newline-rejoined kept lines; NULL for dropped docs so the byte
-    * pin can't mask the doc-level rule). */
+    * scan. Output: id, n_lines, n_kept (line-rule survivors, reported
+    * even for page-dropped docs so the two levels stay independently
+    * observable), kept_doc, and clean_md5 (md5 of the newline-rejoined
+    * kept lines; NULL for dropped docs so the byte pin can't mask the
+    * doc-level rules). */
   def c4LineFilter(docs: org.apache.spark.sql.DataFrame, id: String,
                    text: String, minWordsPerLine: Int = 5,
                    minLinesPerDoc: Int = 3): org.apache.spark.sql.DataFrame = {
@@ -1310,13 +1316,18 @@ object TextAnalysis {
     val kept = filter(lines, l =>
       substring(l, -1, 1).isin(".", "!", "?", "\"") &&
         size(split(l, " ")) >= minWordsPerLine &&
-        !l.contains("{") &&
-        !lower(l).contains("lorem ipsum") &&
         !lower(l).contains("javascript"))
-    docs.select(col(id), size(lines).as("n_lines"), kept.as("_kept"))
+    // Page-level per the paper: '{' and "lorem ipsum" anywhere in the
+    // text discard the page. Checked on the full text (equivalent to
+    // any-line: neither pattern can span a '\n' boundary).
+    val pageClean = !col(text).contains("{") &&
+      !lower(col(text)).contains("lorem ipsum")
+    docs.select(col(id), size(lines).as("n_lines"), kept.as("_kept"),
+        pageClean.as("_page_ok"))
       .select(col(id), col("n_lines"), size(col("_kept")).as("n_kept"),
-        (size(col("_kept")) >= minLinesPerDoc).as("kept_doc"),
-        when(size(col("_kept")) >= minLinesPerDoc,
+        (col("_page_ok") && size(col("_kept")) >= minLinesPerDoc)
+          .as("kept_doc"),
+        when(col("_page_ok") && size(col("_kept")) >= minLinesPerDoc,
           md5(array_join(col("_kept"), "\n"))).as("clean_md5"))
   }
 }

@@ -2187,7 +2187,14 @@ object PipelineQueries extends QueryPack {
           TextHashing.winnowSelect(col("_gh"), 4).as("_f"))
         .select(col("doc_id"), col("n_grams"),
           size(col("_f")).cast("long").as("n_fps"),
-          aggregate(col("_f"), lit(0L), (a, x) => a + x).as("fp_sum"),
+          // modular sum (mod 2^61): fps are md5-48 values < 2^48, so the
+          // accumulator stays < 2^61 + 2^48 — no silent long wrap at ANY
+          // per-doc fingerprint count (the unreduced fold would wrap
+          // around ~2^15 fps/doc while the oracle's HUGEINT sum errored
+          // — an asymmetric failure). Oracle: sum(fp) % 2^61 in HUGEINT,
+          // identical by modular-addition associativity.
+          aggregate(col("_f"), lit(0L),
+            (a, x) => (a + x) % lit(2305843009213693952L)).as("fp_sum"),
           array_min(col("_f")).as("fp_min"),
           array_max(col("_f")).as("fp_max"))
         .orderBy(col("doc_id"))
@@ -2232,12 +2239,14 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- C4 line-level rule filter (Raffel et al. 2020 §2.2) over a
+    // ---- C4 cleaning filter (Raffel et al. 2020 §2.2) over a
     // line-structured corpus derived in-query (8-token sentences + one
-    // planted junk line per doc_id%7 family — each junk line fails
-    // EXACTLY one rule except the code line, which fails two, so every
-    // rule's firing set is independently pinned). Docs keeping <3 lines
-    // are dropped; clean_md5 byte-pins the rebuilt text of survivors.
+    // planted junk line per doc_id%7 family). Families 1 ('{') and 2
+    // ('lorem ipsum') pin the PAGE-level rules — the whole doc is
+    // dropped, per the paper; families 3/4/5 pin the three LINE rules
+    // (javascript / short / no terminal punct) — only the junk line is
+    // removed. Docs keeping <3 lines are also dropped; clean_md5
+    // byte-pins the rebuilt text of survivors.
     "q198_c4_line_filter" -> ((s, dir) => {
       // split barriered before the sentence transform (HOF doctrine —
       // slice inside the lambda would re-split the text per sentence)
@@ -2254,8 +2263,14 @@ object PipelineQueries extends QueryPack {
         .when(col("doc_id") % 7 === 5,
           array(lit("no terminal punctuation here at all")))
         .otherwise(array().cast("array<string>"))
+      // translate guards the fixture: a '\n' inside a source token would
+      // silently desynchronize the Spark re-split line count from the
+      // oracle's constructed-row count (current corpora contain none;
+      // the strip makes a future generator change unable to break the
+      // gate silently). The oracle applies the same replace(chr(10)).
       val lined = load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("_ts"))
+        .select(col("doc_id"),
+          split(translate(col("text"), "\n", " "), " ").as("_ts"))
         .select(col("doc_id"),
           array_join(concat(real, junk), "\n").as("text"))
       TextAnalysis.c4LineFilter(lined, "doc_id", "text",
@@ -2345,11 +2360,13 @@ object PipelineQueries extends QueryPack {
     // Winnowing selection replayed as a window-function min over the
     // positional gram-hash stream — same hash, same window coverage
     // (pos ≤ max(ng−w+1, 1)), same distinct set; the panel's integer
-    // aggregates pin the set exactly.
+    // aggregates pin the set exactly. fp_sum reduces mod 2^61 on both
+    // engines (exact HUGEINT sum here, overflow-free modular fold on
+    // the Spark side — associativity makes them equal).
     "q195_winnow_fingerprints" ->
       s"""WITH $winnowCtes,
          |agg AS (SELECT doc_id, count(*) AS n_fps,
-         |               CAST(sum(fp) AS BIGINT) AS fp_sum,
+         |               CAST(sum(fp) % 2305843009213693952 AS BIGINT) AS fp_sum,
          |               min(fp) AS fp_min, max(fp) AS fp_max
          |        FROM sel GROUP BY doc_id)
          |SELECT d.doc_id,
@@ -2402,11 +2419,16 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, source, w_num, w_den FROM r WHERE rn <= 100
          |ORDER BY doc_id""".stripMargin),
 
-    // The same line construction (8-token sentences, one junk line per
-    // doc_id%7 family at ordering key 1e6 = after every real line) and
-    // the same five C4 rules; md5 over the newline-rejoined kept lines.
+    // The same line construction (8-token sentences over the
+    // newline-stripped text, one junk line per doc_id%7 family at
+    // ordering key 1e6 = after every real line), the paper's two rule
+    // levels — page-level '{'/'lorem ipsum' computed as an any-line
+    // bool_or (equivalent to the full-text check: neither pattern can
+    // span a chr(10)) — and md5 over the newline-rejoined kept lines.
     "q198_c4_line_filter" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |              string_split(replace(text, chr(10), ' '), ' ') AS ts
+        |              FROM documents),
         |rl AS (SELECT doc_id, p, array_to_string(ts[p:p+7], ' ') || '.' AS line
         |       FROM toks, unnest(range(1, len(ts) + 1, 8)) AS r(p)),
         |jk AS (SELECT doc_id, 1000000 AS p,
@@ -2419,21 +2441,25 @@ object PipelineQueries extends QueryPack {
         |              END AS line
         |       FROM documents WHERE doc_id % 7 BETWEEN 1 AND 5),
         |al AS (SELECT * FROM rl UNION ALL SELECT * FROM jk),
+        |pg AS (SELECT doc_id,
+        |              bool_or(line LIKE '%{%'
+        |                      OR lower(line) LIKE '%lorem ipsum%') AS page_bad,
+        |              count(*) AS n_lines
+        |       FROM al GROUP BY doc_id),
         |kp AS (SELECT doc_id, p, line FROM al
         |       WHERE right(line, 1) IN ('.', '!', '?', '"')
         |         AND len(string_split(line, ' ')) >= 5
-        |         AND line NOT LIKE '%{%'
-        |         AND lower(line) NOT LIKE '%lorem ipsum%'
         |         AND lower(line) NOT LIKE '%javascript%'),
         |ag AS (SELECT doc_id, count(*) AS n_kept,
         |              md5(string_agg(line, chr(10) ORDER BY p)) AS all_md5
-        |       FROM kp GROUP BY doc_id),
-        |nl AS (SELECT doc_id, count(*) AS n_lines FROM al GROUP BY doc_id)
+        |       FROM kp GROUP BY doc_id)
         |SELECT n.doc_id, CAST(n.n_lines AS BIGINT) AS n_lines,
         |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-        |       CASE WHEN coalesce(a.n_kept, 0) >= 3 THEN 1 ELSE 0 END AS kept_doc,
-        |       CASE WHEN coalesce(a.n_kept, 0) >= 3 THEN a.all_md5 END AS clean_md5
-        |FROM nl n LEFT JOIN ag a USING (doc_id)
+        |       CASE WHEN NOT n.page_bad AND coalesce(a.n_kept, 0) >= 3
+        |            THEN 1 ELSE 0 END AS kept_doc,
+        |       CASE WHEN NOT n.page_bad AND coalesce(a.n_kept, 0) >= 3
+        |            THEN a.all_md5 END AS clean_md5
+        |FROM pg n LEFT JOIN ag a USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
 
     // Token-shingle pair chain replayed under the scaled banding — same

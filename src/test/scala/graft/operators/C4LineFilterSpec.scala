@@ -5,8 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** C4 line-level rules (TextAnalysis.c4LineFilter, Raffel et al. 2020
-  * §2.2): each of the five rules fires independently, the doc-level
+/** C4 rules (TextAnalysis.c4LineFilter, Raffel et al. 2020 §2.2) at the
+  * paper's two levels: the three LINE rules fire independently, the two
+  * PAGE rules ('{' / "lorem ipsum") drop the whole doc, the doc-level
   * min-lines drop, the rebuilt-text md5, and the row-local plan shape
   * (no shuffle). Cross-engine value parity is the q198 DuckDB gate. */
 class C4LineFilterSpec extends AnyFunSuite {
@@ -23,20 +24,34 @@ class C4LineFilterSpec extends AnyFunSuite {
         ((r.getInt(1), r.getInt(2), r.getBoolean(3), Option(r.getString(4)))))
       .toMap
 
-  test("each rule drops exactly its line") {
+  test("each LINE rule drops exactly its line") {
     val lines = Seq(
       goodLine,                                      // kept
       "no terminal punctuation at all here",         // rule 1: terminal punct
       "too short.",                                  // rule 2: min words
-      "a code line with { braces } in it.",          // rule 3: no '{'
-      "some Lorem Ipsum dolor sit amet filler.",     // rule 4: lorem ipsum (case-insens)
-      "please enable JavaScript to view this page.", // rule 5: javascript (case-insens)
+      "please enable JavaScript to view this page.", // rule 3: javascript (case-insens)
       "another perfectly fine closing sentence!")    // kept (bang terminal)
     val got = run(Seq(1L -> lines.mkString("\n")))
     val (nLines, nKept, kept, _) = got(1L)
-    assert(nLines === 7)
+    assert(nLines === 5)
     assert(nKept === 2)
     assert(!kept, "2 kept lines < minLinesPerDoc=3 must drop the doc")
+  }
+
+  test("PAGE rules drop the whole doc, not the offending line (paper §2.2)") {
+    val enough = Seq(goodLine,
+      "a second acceptable sentence goes right here.",
+      "and a third one to clear the minimum!")
+    val braces = (enough :+ "a code line with { braces } in it.").mkString("\n")
+    val lorem = (enough :+ "some Lorem Ipsum dolor sit amet filler.").mkString("\n")
+    val got = run(Seq(1L -> braces, 2L -> lorem, 3L -> enough.mkString("\n")))
+    // both docs clear minLinesPerDoc on line rules alone (the page-bad
+    // line itself passes every LINE rule) — only the page rule drops them
+    assert(got(1L)._2 === 4 && !got(1L)._3 && got(1L)._4 === None,
+      "'{' anywhere must discard the page")
+    assert(got(2L)._2 === 4 && !got(2L)._3 && got(2L)._4 === None,
+      "'lorem ipsum' anywhere must discard the page")
+    assert(got(3L)._3, "the control doc without page triggers survives")
   }
 
   test("terminal punctuation set is . ! ? and double-quote") {
@@ -56,7 +71,7 @@ class C4LineFilterSpec extends AnyFunSuite {
     val keptLines = Seq(goodLine,
       "a second acceptable sentence goes right here.",
       "and a third one to clear the minimum!")
-    val doc = (keptLines :+ "dropped { line } here.").mkString("\n")
+    val doc = (keptLines :+ "dropped for missing terminal punctuation").mkString("\n")
     val got = run(Seq(1L -> doc))
     val expectMd5 = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -67,8 +82,8 @@ class C4LineFilterSpec extends AnyFunSuite {
   }
 
   test("dropped docs carry NULL clean_md5") {
-    val got = run(Seq(1L -> s"$goodLine\nnothing else survives {.", 2L -> ""))
-    assert(got(1L)._4 === None)
+    val got = run(Seq(1L -> s"$goodLine\nnothing else here survives the rules", 2L -> ""))
+    assert(!got(1L)._3 && got(1L)._4 === None)
     assert(!got(2L)._3 && got(2L)._4 === None)
   }
 
