@@ -150,6 +150,7 @@ object Dedup {
     // the verified pairs, so the finally-unpersist is safe.
     val bandRel = bandRelation(sigs, sizeAware = true).persist()
     try {
+      guardCandidateBudget(bandRel, maxBucket = 0L)
       val cands = pairsFromBands(bandRel, threshold, sizeAware = true)
       truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
         .select(col("id_a"), col("id_b"), jaccardCol)
@@ -203,6 +204,7 @@ object Dedup {
     val bandRel = bandRelation(wideSignaturesFromSets(sets, banding),
       sizeAware = true, banding).persist()
     try {
+      guardCandidateBudget(bandRel, maxBucket)
       val cands = pairsFromBands(bandRel, threshold, sizeAware = true, maxBucket)
       truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
         .select(col("id_a"), col("id_b"), jaccardCol)
@@ -361,6 +363,179 @@ object Dedup {
     pairsFromBandsImpl(pruned, minSizeRatio, sizeAware)
   }
 
+  /** Default candidate-pair budget for the banding pre-flight guard:
+    * 10⁸ pairs ≈ 40% of the measured 2.667×10⁸-candidate run that
+    * exhausted 77 GB of shuffle disk at the 500k saturated tier
+    * (SCALING.md round 13) — comfortably above any healthy corpus
+    * (candidates grow ~linearly with the dup rate; the 500k HEAPS tier
+    * measures ~10⁵) and comfortably below the measured failure.
+    * Override per session with `graft.dedup.candidatePairBudget`
+    * (0 disables the guard). */
+  val DefaultCandidatePairBudget: Long = 100000000L
+
+  /** One-aggregate candidate-volume histogram over a band relation:
+    * (Σ C(size,2) over buckets the self-join will actually visit — i.e.
+    * buckets ≤ `maxBucket` when a cap is set — , max bucket size,
+    * bucket count). This is the estimate that DIAGNOSED the round-13
+    * saturation failure (266.7M at 500k docs) in one cheap pass; the
+    * size-ratio prefilter can only shrink the true join output below it,
+    * never above. */
+  private[graft] def candidatePairStats(exploded: DataFrame,
+                                        maxBucket: Long): (Long, Long, Long) = {
+    val sizes = exploded.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+    val visited = if (maxBucket > 0L) sizes.filter(col("n") <= maxBucket) else sizes
+    // shiftright, not `/`: Column./ is true division (double) — the
+    // C(n,2) product is even, so the shift is the exact integer halve
+    val r = visited
+      .agg(sum(shiftright(col("n") * (col("n") - 1), 1)),
+        max(col("n")), count(lit(1)))
+      .collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
+  }
+
+  /** Pre-flight candidate-budget guard for the banding self-join: on a
+    * gram-universe-saturated corpus, uncapped banding is Ω(n²) in
+    * candidates (round 13 measured 266.7M at 500k docs — 77 GB of
+    * shuffle spill before the join died), and nothing used to warn
+    * before the join was attempted. This runs the Σ C(size,2) histogram
+    * (one aggregate over the already-persisted band relation) and fails
+    * LOUDLY above the session budget, naming the escape hatches; a
+    * failed guard costs one cheap aggregate, a missed one costs the
+    * cluster's shuffle disk. Returns the estimate for observability. */
+  private def guardCandidateBudget(bandRel: DataFrame, maxBucket: Long): Long = {
+    val budget = bandRel.sparkSession.conf
+      .getOption("graft.dedup.candidatePairBudget")
+      .map(_.toLong).getOrElse(DefaultCandidatePairBudget)
+    if (budget <= 0L) return -1L
+    val (estPairs, maxBucketSeen, nBuckets) = candidatePairStats(bandRel, maxBucket)
+    if (estPairs > budget) {
+      throw new IllegalStateException(
+        s"minHashLshPairs pre-flight: banding would generate ~$estPairs candidate " +
+        s"pairs (largest visited bucket $maxBucketSeen of $nBuckets buckets), over " +
+        s"the ${budget}-pair budget (graft.dedup.candidatePairBudget). This is the " +
+        "gram-universe-saturation regime (SCALING.md round 13: a fixed shingle " +
+        "universe concentrates minhashes into hot buckets and candidates grow " +
+        "quadratically under ANY (bands, rows)). Escape hatches, in preference " +
+        "order: (1) switch to token shingles — minHashLshPairsTokens, whose gram " +
+        "universe grows with the vocabulary so hot buckets cannot form (q199: max " +
+        "bucket 2 at every measured tier); (2) set maxBucket (500 kept 99.7% " +
+        "planted recall at the tier that killed uncapped char banding); (3) raise " +
+        "graft.dedup.candidatePairBudget if this volume is genuinely intended.")
+    }
+    estPairs
+  }
+
+  /** Output of [[recommendProfile]]: the near-dup shingle profile a
+    * bounded probe recommends for a corpus, plus the measurements the
+    * decision rests on (so callers can log WHY, not just WHAT). */
+  final case class DedupProfileRecommendation(
+      profile: String,       // "char" | "codepoint" | "token"
+      maxBucket: Long,       // recommended bucket cap (0 = uncapped)
+      sampleDocs: Long,      // docs actually probed
+      nonAsciiRate: Double,  // mean non-ASCII char fraction across the sample
+      distinctGrams: Long,   // char-3 gram universe of the sample
+      newGramRate: Double,   // universe fraction unseen in the content-keyed half
+      estPairsPerDoc: Double // Σ C(bucket,2)/|sample| under the chosen profile
+  )
+
+  /** Shingle-profile auto-selection — the round-13 saturation discovery
+    * (SCALING.md "Gram-universe saturation") shipped as an operator. A
+    * bounded content-keyed sample (top `sampleDocs` by md5 of text — a
+    * deterministic uniform sample, one top-k scan) answers the two
+    * questions that decide the profile:
+    *
+    *  1. '''Is the text CJK/wide-unicode?''' (mean non-ASCII char
+    *     fraction ≥ 0.3) → `codepoint` — base-256 char grams collide on
+    *     codepoints > 255 and their hash-set Jaccard drifts from true
+    *     gram Jaccard (the q139 rationale).
+    *  2. '''Does the char-3-gram universe still grow, or has it
+    *     saturated?''' Measured as the fraction of the sample's gram
+    *     universe UNSEEN in a content-keyed half of the sample. An
+    *     organic (Heaps-law) corpus keeps minting grams — the half
+    *     misses a sizable share (measured ≥ 0.05 on the growing-vocab
+    *     fixtures and the driver corpora); a saturated (alphabet-bounded /
+    *     templated) universe is fully covered by half the docs (< 0.02
+    *     measured on the fixed-vocab synthetic at every tier). Saturated
+    *     → `token`: the token-shingle universe grows with the VOCABULARY,
+    *     so minhash mass cannot concentrate and hot buckets cannot form
+    *     structurally (q199: max bucket 2 at 5k/50k/500k, α = 0.83,
+    *     uncapped completion at the tier where char banding died at
+    *     266.7M candidates / 77 GB of spill). Growing → `char` (q44/q194:
+    *     the finer-grained, word-order-robust resemblance).
+    *
+    * The cap recommendation comes from the sample's OWN band-bucket
+    * histogram under the chosen profile (the same Σ C(size,2) estimate
+    * the pre-flight guard runs): a healthy corpus measures ≪ 1 candidate
+    * pair per doc (candidates track the dup rate), so estPairsPerDoc >
+    * 16 means even the chosen profile is concentrating — recommend the
+    * measured-safe cap 500 (99.7% planted recall at the 500k tier,
+    * completing where uncapped exhausted shuffle disk). Exact-duplicate
+    * storms trip this under ANY profile, which is precisely when the cap
+    * is wanted.
+    *
+    * Cost: one top-k scan of the corpus + three aggregates over the
+    * ≤ `sampleDocs`-row sample — safe to run unconditionally before any
+    * large dedup job. RecommendProfileSpec pins all three regimes on the
+    * generators that measured them. */
+  def recommendProfile(docs: DataFrame, id: String, text: String,
+                       sampleDocs: Int = 2048): DedupProfileRecommendation = {
+    require(sampleDocs >= 64, "recommendProfile needs sampleDocs >= 64")
+    val h = graft.operators.TextAnalysis.md5Hash48(col("t"))
+    val sample = truncateLineage(docs
+      .select(col(id).as("sid"), col(text).as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+      .orderBy(h, col("sid"))
+      .limit(sampleDocs)
+      .select(col("sid"), col("t"), (h % 2 === 0).as("_half")))
+    val n = sample.count()
+    require(n > 0, "recommendProfile: no non-empty docs to probe")
+
+    // non-ASCII char fraction, row-local then averaged (stripping the
+    // ASCII range leaves exactly the non-ASCII chars)
+    val nonAscii = sample.agg(avg(
+      length(regexp_replace(col("t"), "[\\x00-\\x7F]", "")).cast("double")
+        / length(col("t")))).collect()(0).getDouble(0)
+
+    // char-3 gram universe + its coverage by the content-keyed half
+    // (the one-pass gram-set kernel, with _half riding along)
+    val g = sample
+      .select(col("_half"),
+        call_function("graft_gram_hash_set", col("t")).as("gs"))
+      .filter(col("gs").isNotNull)
+      .select(col("_half"), explode(col("gs")).as("g"))
+    val gr = g.agg(countDistinct(col("g")),
+      countDistinct(when(col("_half"), col("g")))).collect()(0)
+    val universe = gr.getLong(0)
+    val halfSeen = gr.getLong(1)
+    val newGramRate =
+      if (universe == 0L) 0.0 else (universe - halfSeen).toDouble / universe
+
+    val profile =
+      if (nonAscii >= 0.30) "codepoint"
+      else if (newGramRate < 0.02) "token"
+      else "char"
+
+    // band-bucket histogram on the sample under the chosen profile
+    val bandRel = profile match {
+      case "token" => bandRelation(
+        wideSignaturesFromSets(tokenShingleSets(sample, "sid", "t"),
+          LshBanding.Scaled), sizeAware = false, LshBanding.Scaled)
+      case "codepoint" => bandRelation(
+        wideSignaturesFromSets(gramSetsCp(sample, "sid", "t"),
+          LshBanding.Default), sizeAware = false, LshBanding.Default)
+      case _ => bandRelation(
+        signaturesFromSets(gramSets(sample, "sid", "t"), LshBanding.Scaled),
+        sizeAware = false, LshBanding.Scaled)
+    }
+    val (estPairs, _, _) = candidatePairStats(bandRel, maxBucket = 0L)
+    val perDoc = estPairs.toDouble / n
+    DedupProfileRecommendation(profile,
+      maxBucket = if (perDoc > 16.0) 500L else 0L,
+      sampleDocs = n, nonAsciiRate = nonAscii, distinctGrams = universe,
+      newGramRate = newGramRate, estPairsPerDoc = perDoc)
+  }
+
   private def pairsFromBandsImpl(exploded: DataFrame, minSizeRatio: Double,
                                  sizeAware: Boolean): DataFrame = {
     val joinCond = {
@@ -460,6 +635,7 @@ object Dedup {
     // risk) must not leave corpus-sized intermediates persisted or a live
     // verify broadcast behind in a long-lived session
     try {
+      guardCandidateBudget(bandRel, maxBucket)
       val cands = pairsFromBands(bandRel, threshold, sizeAware = true, maxBucket)
       val integralId = docs.schema(id).dataType match {
         case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
@@ -806,6 +982,9 @@ object Dedup {
       // one signature pass over the batch.
       val inBands = bandRelation(signaturesFromSets(inSets), sizeAware = true).persist()
       try {
+        // same pre-flight as the batch pipelines: a saturated BATCH would
+        // quadratically blow up the within-batch self-join below
+        guardCandidateBudget(inBands, maxBucket = 0L)
         // band id is baked into the xxhash64 sig, so sig equality alone is
         // the banding condition; the size-ratio prefilter drops pairs that
         // cannot reach the jaccard threshold before the distinct's shuffle
