@@ -15,14 +15,13 @@ import org.apache.spark.sql.SparkSession
  *
  * Contamination evidence: a capture on a loaded machine is not a code
  * regression, but medians alone can't tell the two apart (BENCH_r05
- * recorded 43 s for a binary that measures 19 s idle). Three guards:
+ * recorded 43 s for a binary that measures 19 s idle). The guards:
  *  - "runs": every per-run time is printed, not just the median;
  *  - "calibration": a fixed single-threaded CPU microloop is timed before
- *    and after the query sweep — pure arithmetic, no allocation, so its
- *    time moves only with CPU contention/frequency, never with code
- *    under test;
- *  - "contaminated": true when calibration drifts >1.5× start-to-end or
- *    any query's run-to-run spread exceeds 2× — the artifact flags itself.
+ *    and after the sweep — pure arithmetic, no allocation, so its time
+ *    moves only with CPU contention/frequency, never with code under
+ *    test — and a SHORT probe of the same loop runs between queries, so
+ *    every query carries its own before/after calibration window;
  *  - "parallel_efficiency" (r10): nproc concurrent calibration loops vs
  *    one — catches host co-tenancy/CPU-quota drift that the
  *    single-threaded loop is blind to (the r10 bisect: calibration 1.0×
@@ -30,19 +29,35 @@ import org.apache.spark.sql.SparkSession
  *    shuffle-parallel query ~1.3× vs the r8 capture). An environment
  *    property for cross-round normalization, not a contamination flag.
  *
- * A flagged capture is a FAILED capture, not a record: main() re-runs the
- * whole sweep (up to MaxAttempts) until one comes back clean, prints only
- * that attempt's line, and exits non-zero if every attempt was
- * contaminated — so a contaminated number can never be a round's
- * committed artifact (the r6 capture self-flagged but was still
- * committed; this closes that loop).
+ * Acceptance is PER QUERY (r13 verdict #1 — the all-or-nothing sweep
+ * verdict spent 3×142×3 runs under co-tenancy and blessed nothing): a
+ * query's median is CLEAN when its own steady-state runs pass the spread
+ * gate AND its calibration window (the probes immediately before and
+ * after its run block) is quiet relative to the session's best probe.
+ * Attempt 1 sweeps everything; later attempts re-run ONLY the dirty
+ * queries. The committed line is assembled from clean per-query medians
+ * (each tagged with the attempt that produced it in "provenance");
+ * "contaminated" is true only if some query NEVER produced a clean
+ * median — in which case its least-dirty attempt is reported and main()
+ * exits non-zero, so a noisy number still can't become a blessed
+ * artifact. The guard's integrity is unchanged; what changed is that one
+ * noisy query no longer fails 141 clean ones.
  */
 object Bench {
 
-  /** Sweep attempts before giving up and exiting non-zero. A transient
-    * load excursion clears within one 20-40 s sweep; sustained load will
-    * fail all three, which is the honest outcome. */
-  val MaxAttempts = 3
+  /** Per-QUERY attempts before giving up on that query. Re-runs touch
+    * only dirty queries (seconds each), so this can sit well above the
+    * old whole-sweep cap of 3; a transient load excursion clears within
+    * one or two re-runs, sustained load fails them all — the honest
+    * outcome. */
+  val MaxAttempts = 5
+
+  /** A query's calibration window is quiet when the probes around its
+    * run block are within this factor of the session's fastest probe —
+    * the same 1.5× the old capture-level drift gate used. (Sustained
+    * whole-session contention keeps all probes uniformly high and is the
+    * parallel-efficiency probe's job to expose, as before.) */
+  val CalQuietRatio = 1.5
 
   /** Measured JIT tiering tail: a query's steady-state runs improve by at
     * most ~2.3× as C2 finishes (5.8→3.9→1.7 s observed on q45). A
@@ -244,21 +259,28 @@ object Bench {
   // keeps the default; the exceptions are q170b/q173b, where the forced
   // SHUFFLE path IS the 100 TB shape and therefore the one to guard.
 
-  /** Fixed CPU-bound microloop (xorshift64* mix, ~100M steps): single
-    * thread, no allocation, deterministic instruction count. Returns
-    * (elapsed seconds, checksum) — the checksum defeats DCE. */
-  def calibrate(): (Double, Long) = {
+  /** Fixed CPU-bound microloop (xorshift64* mix): single thread, no
+    * allocation, deterministic instruction count. Returns (elapsed
+    * seconds, checksum) — the checksum defeats DCE. 100M steps for the
+    * capture-level calibration (~0.2 s), [[ProbeSteps]] for the
+    * per-query windows. */
+  def calibrate(steps: Int = 100000000): (Double, Long) = {
     val t0 = System.nanoTime()
     var x = 0x9e3779b97f4a7c15L
     var acc = 0L
     var i = 0
-    while (i < 100000000) {
+    while (i < steps) {
       x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
       acc += x * 0x2545f4914f6cdd1dL
       i += 1
     }
     ((System.nanoTime() - t0) / 1e9, acc)
   }
+
+  /** Per-query probe length: ~0.1 s — long enough that scheduler jitter
+    * is noise on the measurement, short enough that 143 windows add
+    * ~15 s to a 3-minute sweep. */
+  val ProbeSteps = 50000000
 
   /** PARALLEL efficiency probe: nproc copies of the calibration loop run
     * concurrently; returns single-copy wall / parallel wall — 1.0 when
@@ -328,84 +350,130 @@ object Bench {
     def median(times: Seq[Double]): Double =
       if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2)
 
-    /** One full sweep → (JSON line, contaminated, spread, total). */
-    def sweep(attempt: Int): (String, Boolean, Double, Double) = {
-      val (calStart, _) = calibrate()
-      val allRuns = headline.map(n => n -> runTimes(n))
-      val (calEnd, _) = calibrate()
-
-      val results = allRuns.map { case (k, ts) => k -> median(ts) }
-      // spread = slowest/fastest STEADY-STATE run of one query (run 1 is
-      // dropped: codegen/JIT warmup routinely triples it). A later-run
-      // SLOWDOWN >2× is contention (JIT tiering keeps improving runs
-      // monotonically — measured 5.8→3.9→1.7 s on q45). A later-run
-      // IMPROVEMENT up to JitImprovementCeiling is that JIT tail; beyond
-      // ImprovementFlagRatio it means the EARLIER run was contended — a
-      // mid-sweep load spike reads as a big "improvement" and would
-      // otherwise slip through (observed: q44 runs [8.3, 29.0, 4.2] under
-      // a concurrent build). Intermittent contention shows up here,
-      // sustained contention in calibration drift; a flagged excursion
-      // still leaves the median intact either way. The 1 s absolute-range
-      // floor keeps sub-second jitter from false-flagging — machine-load
-      // distortion of the r5 kind moved individual queries by 5-14 s.
-      val spreadMax = allRuns.map { case (_, ts) =>
-        val ok = ts.drop(1).filter(_ > 0)
-        if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0
-        else {
-          val ratio = ok.max / ok.min
-          val slowdown = ok.indexOf(ok.max) > ok.indexOf(ok.min)
-          // normalize both signals onto the >2.0 trigger scale
-          if (slowdown) ratio
-          else if (ratio > ImprovementFlagRatio) ratio * 2.0 / ImprovementFlagRatio
-          else 1.0
-        }
-      }.max
-      val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
-      val contaminated = calDrift > 1.5 || spreadMax > 2.0
-
-      val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
-        .mkString("{", ",", "}")
-      val runsJson = allRuns.map { case (k, ts) =>
-        "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
-      }.mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val parEff = parallelEfficiency()
-      // PE-NORMALIZED total: wall × parallel efficiency = the core-seconds
-      // the host actually delivered. Cross-round comparisons should read
-      // THIS number — the r10→r11 "regressions" were pure PE drift
-      // (0.61→0.78 across captures with identical code); normalizing at
-      // the source ends that forensics (VERDICT r10/r11 ask).
-      val effTotal = total * parEff
-      val line =
-        f"""{"metric":"total","value":$total%.3f,"effective_core_sec":$effTotal%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f""" +
-        f""","parallel_efficiency":$parEff%.2f}""" +
-        f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated,"attempt":$attempt}"""
-      (line, contaminated, spreadMax, total)
+    // spread = slowest/fastest STEADY-STATE run of one query (run 1 is
+    // dropped: codegen/JIT warmup routinely triples it). A later-run
+    // SLOWDOWN >2× is contention (JIT tiering keeps improving runs
+    // monotonically — measured 5.8→3.9→1.7 s on q45). A later-run
+    // IMPROVEMENT up to JitImprovementCeiling is that JIT tail; beyond
+    // ImprovementFlagRatio it means the EARLIER run was contended — a
+    // mid-sweep load spike reads as a big "improvement" and would
+    // otherwise slip through (observed: q44 runs [8.3, 29.0, 4.2] under
+    // a concurrent build). A flagged excursion still leaves the median
+    // intact either way. The 1 s absolute-range floor keeps sub-second
+    // jitter from false-flagging — machine-load distortion of the r5
+    // kind moved individual queries by 5-14 s.
+    def spreadOf(ts: Seq[Double]): Double = {
+      val ok = ts.drop(1).filter(_ > 0)
+      if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0
+      else {
+        val ratio = ok.max / ok.min
+        val slowdown = ok.indexOf(ok.max) > ok.indexOf(ok.min)
+        // normalize both signals onto the >2.0 trigger scale
+        if (slowdown) ratio
+        else if (ratio > ImprovementFlagRatio) ratio * 2.0 / ImprovementFlagRatio
+        else 1.0
+      }
     }
+
+    /** One query's measurement: its runs plus the probe window around
+      * them. `calAfter` is shared with the next query's `calBefore` —
+      * one probe per boundary. */
+    final case class QMeasure(runs: Seq[Double], calBefore: Double,
+                              calAfter: Double, attempt: Int) {
+      val med: Double = median(runs)
+      val spread: Double = spreadOf(runs)
+      /** Worst window probe vs the session's best probe (set later). */
+      def calRatio(bestProbe: Double): Double =
+        math.max(calBefore, calAfter) / bestProbe
+      /** A failed query (-1 median) is a deterministic error, not noise
+        * — report it, don't re-measure it. */
+      def clean(bestProbe: Double): Boolean =
+        med < 0 || (spread <= 2.0 && calRatio(bestProbe) <= CalQuietRatio)
+    }
+
+    def probe(): Double = calibrate(ProbeSteps)._1
 
     runOnce("q01_tpch_q1") // warmup: JIT, codegen cache, FS metadata
+    val (calStart, _) = calibrate()
 
-    // A contaminated sweep is a FAILED measurement: retry (the JVM stays
-    // hot — later attempts are pure re-measurement, not re-warmup). Print
-    // exactly one JSON line: the first clean attempt, or — if the machine
-    // stayed loaded through all attempts — the least-contaminated one,
-    // with a non-zero exit so no driver records it as a clean run.
-    var best: (String, Boolean, Double, Double) = null
-    var attempt = 1
-    while (attempt <= MaxAttempts && (best == null || best._2)) {
-      val s = sweep(attempt)
-      System.err.println(
-        s"[bench] attempt $attempt: total=${f"${s._4}%.2f"}s spread=${f"${s._3}%.2f"} contaminated=${s._2}")
-      // clean always beats contaminated; among contaminated, least spread
-      // then least total (a clean sweep also ends the loop above)
-      if (best == null || (best._2 && !s._2) ||
-          (best._2 == s._2 && (s._3 < best._3 || (s._3 == best._3 && s._4 < best._4))))
-        best = s
+    // Per-query acceptance across attempts: attempt 1 sweeps everything,
+    // later attempts re-measure ONLY the queries whose window was dirty
+    // (the JVM stays hot — re-runs are pure re-measurement). `accepted`
+    // keeps the best measurement seen per query: clean beats dirty;
+    // among dirty, smaller spread then quieter window.
+    val accepted = scala.collection.mutable.Map[String, QMeasure]()
+    var bestProbe = Double.MaxValue
+    var pending: Seq[String] = headline
+    var attempt = 0
+    while (attempt < MaxAttempts && pending.nonEmpty) {
       attempt += 1
+      var before = probe()
+      bestProbe = math.min(bestProbe, before)
+      pending.foreach { name =>
+        val ts = runTimes(name)
+        val after = probe()
+        bestProbe = math.min(bestProbe, after)
+        val m = QMeasure(ts, before, after, attempt)
+        val prev = accepted.get(name)
+        val keep = prev match {
+          case None => m
+          case Some(p) =>
+            val (pc, mc) = (p.clean(bestProbe), m.clean(bestProbe))
+            if (pc != mc) { if (mc) m else p }
+            else if (m.spread != p.spread) { if (m.spread < p.spread) m else p }
+            else if (m.calRatio(bestProbe) < p.calRatio(bestProbe)) m else p
+        }
+        accepted(name) = keep
+        before = after
+      }
+      // re-evaluate with the attempt's final bestProbe: a probe that
+      // looked quiet against an inflated early baseline is re-judged
+      // against the true session floor
+      pending = headline.filter(n => !accepted(n).clean(bestProbe))
+      System.err.println(f"[bench] attempt $attempt: ${headline.size - pending.size}/${headline.size} clean, best_probe=$bestProbe%.3f s" +
+        (if (pending.nonEmpty) s", dirty: ${pending.take(8).mkString(",")}${if (pending.size > 8) ",…" else ""}" else ""))
     }
-    println(best._1)
+    val (calEnd, _) = calibrate()
+
+    val results = headline.map(n => n -> accepted(n))
+    val dirty = results.filter { case (_, m) => !m.clean(bestProbe) }
+    val contaminated = dirty.nonEmpty
+    val spreadMax = results.map(_._2.spread).max
+    val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
+    val total = results.map(_._2.med).filter(_ >= 0).sum
+    val parEff = parallelEfficiency()
+    // PE-NORMALIZED total: wall × parallel efficiency = the core-seconds
+    // the host actually delivered. Cross-round comparisons should read
+    // THIS number — the r10→r11 "regressions" were pure PE drift
+    // (0.61→0.78 across captures with identical code); normalizing at
+    // the source ends that forensics (VERDICT r10/r11 ask).
+    val effTotal = total * parEff
+
+    val qs = results.map { case (k, m) => "\"" + k + f"""":${m.med}%.3f""" }
+      .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, m) =>
+      "\"" + k + "\":[" + m.runs.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Per-query provenance (r13 verdict #1's "done" shape): which attempt
+    // produced the accepted median, whether it was clean, and its two
+    // acceptance signals — so a reader can audit any number in "queries"
+    // without re-deriving the gates.
+    val provJson = results.map { case (k, m) =>
+      "\"" + k + f"""":{"attempt":${m.attempt},"clean":${m.clean(bestProbe)},""" +
+        f""""spread":${m.spread}%.2f,"cal_ratio":${m.calRatio(bestProbe)}%.2f}"""
+    }.mkString("{", ",", "}")
+
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"effective_core_sec":$effTotal%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f""" +
+      f""","parallel_efficiency":$parEff%.2f,"best_probe_sec":$bestProbe%.3f}""" +
+      f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated,"attempt":$attempt""" +
+      f""","provenance":$provJson}"""
+    if (contaminated)
+      System.err.println(s"[bench] FAILED: ${dirty.size} queries never produced a clean median: " +
+        dirty.map(_._1).mkString(","))
+    println(line)
     spark.stop()
-    if (best._2) sys.exit(1)
+    if (contaminated) sys.exit(1)
   }
 }

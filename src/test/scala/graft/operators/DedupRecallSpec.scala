@@ -82,6 +82,31 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(kept >= 0.9, f"aggressive cap lost too many strong dups: $kept%.3f")
   }
 
+  test("winnow minShared sensitivity: 2 is a superset of 3 with measured recall/volume trade") {
+    // r13 verdict #7: q196's 2% planted-recall misses at minShared=3 are
+    // threshold semantics on the shortest docs; this pins the knob's
+    // behavior at both settings against exact n-gram Jaccard truth so
+    // the trade is a measured table, not a hand-wave (the ScalingBench
+    // q196 block measures the same sweep at the 5k/50k/500k tiers).
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val exact = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.7))
+    val ms3 = pairs(Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 5, w = 4, minShared = 3, dfCap = 50))
+    val ms2 = pairs(Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 5, w = 4, minShared = 2, dfCap = 50))
+    assert(ms3.subsetOf(ms2),
+      "relaxing minShared can only ADD pairs (same fingerprints, lower bar)")
+    def recall(s: Set[(Long, Long)]) =
+      if (exact.isEmpty) 1.0 else (s & exact).size.toDouble / exact.size
+    val (r3, r2) = (recall(ms3), recall(ms2))
+    info(f"minShared=3: ${ms3.size} pairs, recall $r3%.3f; " +
+      f"minShared=2: ${ms2.size} pairs, recall $r2%.3f over ${exact.size} exact")
+    assert(r2 >= r3, "recall must be monotone in the relaxation")
+    // winnowing selects ~1/w of grams; near-dups share long runs, so
+    // even the stricter setting must find most exact pairs here
+    assert(r3 >= 0.5, f"minShared=3 recall $r3%.3f")
+  }
+
   test("cosine sign-LSH recall vs exact all-pairs at threshold 0.4") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val exact = pairs(SimilaritySearch.cosineDupPairsExact(emb, 0.4))

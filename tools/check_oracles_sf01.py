@@ -5,7 +5,8 @@ Same normalize-and-compare as check_oracles.py, but sequential with
 unbuffered per-query progress, a memory/temp-bounded DuckDB connection
 (the suffix oracles spill hundreds of GB unbounded), and a per-query
 wall-clock report so pathological oracles are identified instead of
-silently hanging the whole run.
+silently hanging the whole run. check_one() is importable —
+run_sf01_gates.py uses it to build the per-round SF01_rN.json artifact.
 
 Usage: python tools/check_oracles_sf01.py SF_DIR OUT_DIR [query ...]
 """
@@ -25,59 +26,77 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def check_one(name: str, sf_dir: str, out_dir: str, oracles=None) -> dict:
+    """Compare one Verify parquet against its DuckDB oracle.
+
+    Returns {"status": "ok"|"fail", "rows": int, "oracle_sec": float,
+    "detail": str?}. A fresh bounded connection per query: the suffix
+    oracles spill hundreds of GB on an unbounded one.
+    """
+    if oracles is None:
+        with open(f"{out_dir}/oracle_sql.json") as f:
+            oracles = json.load(f)
+    try:
+        got = pd.read_parquet(f"{out_dir}/{name}")
+    except Exception as e:
+        return {"status": "fail", "detail": f"no spark output ({e})"}
+    con = duckdb.connect()  # fresh connection: bounded, isolated spill
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duck_sf01_spill'")
+    con.execute("SET max_temp_directory_size='60GB'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    t0 = time.time()
+    try:
+        exp = con.execute(oracles[name]).df()
+    except Exception as e:
+        con.close()
+        return {"status": "fail", "oracle_sec": round(time.time() - t0, 1),
+                "detail": f"oracle error: {e}"}
+    con.close()
+    oracle_sec = round(time.time() - t0, 1)
+    g, x = norm(got), norm(exp)
+    if list(g.columns) != list(x.columns) or len(g) != len(x):
+        return {"status": "fail", "oracle_sec": oracle_sec,
+                "detail": f"shape {g.shape} vs {x.shape}"}
+    bad = []
+    for c in g.columns:
+        a, b = g[c], x[c]
+        try:
+            import numpy as np
+            if np.issubdtype(a.dtype, np.floating) or \
+               np.issubdtype(b.dtype, np.floating):
+                same = np.allclose(a.astype(float), b.astype(float),
+                                   rtol=0, atol=1e-9, equal_nan=True)
+            else:
+                same = a.astype(str).equals(b.astype(str))
+        except Exception:
+            same = a.astype(str).equals(b.astype(str))
+        if not same:
+            bad.append(c)
+    if bad:
+        return {"status": "fail", "oracle_sec": oracle_sec,
+                "detail": f"value mismatch in {bad}"}
+    return {"status": "ok", "rows": int(len(g)), "oracle_sec": oracle_sec}
+
+
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     names = sys.argv[3:] or sorted(oracles)
     n_fail = 0
+    import os
     for name in names:
-        try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
-        except Exception:
+        if not os.path.exists(f"{out_dir}/{name}"):
             continue  # not in this Verify subset
-        con = duckdb.connect()  # fresh connection: bounded, isolated spill
-        con.execute("SET memory_limit='48GB'")
-        con.execute("SET temp_directory='/tmp/duck_sf01_spill'")
-        con.execute("SET max_temp_directory_size='60GB'")
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        t0 = time.time()
-        try:
-            exp = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error after {time.time()-t0:.0f}s: {e}",
+        r = check_one(name, sf_dir, out_dir, oracles)
+        if r["status"] == "ok":
+            print(f"ok   {name} ({r['rows']} rows, oracle {r['oracle_sec']}s)",
                   flush=True)
-            n_fail += 1
-            con.close()
-            continue
-        con.close()
-        g, x = norm(got), norm(exp)
-        if list(g.columns) != list(x.columns) or len(g) != len(x):
-            print(f"FAIL {name}: shape {g.shape} vs {x.shape}", flush=True)
-            n_fail += 1
-            continue
-        bad = []
-        for c in g.columns:
-            a, b = g[c], x[c]
-            try:
-                import numpy as np
-                if np.issubdtype(a.dtype, np.floating) or \
-                   np.issubdtype(b.dtype, np.floating):
-                    same = np.allclose(a.astype(float), b.astype(float),
-                                       rtol=0, atol=1e-9, equal_nan=True)
-                else:
-                    same = a.astype(str).equals(b.astype(str))
-            except Exception:
-                same = a.astype(str).equals(b.astype(str))
-            if not same:
-                bad.append(c)
-        if bad:
-            print(f"FAIL {name}: value mismatch in {bad}", flush=True)
-            n_fail += 1
         else:
-            print(f"ok   {name} ({len(g)} rows, oracle {time.time()-t0:.0f}s)",
-                  flush=True)
+            print(f"FAIL {name}: {r.get('detail')}", flush=True)
+            n_fail += 1
     print(f"{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILED'}", flush=True)
     return 1 if n_fail else 0
 
