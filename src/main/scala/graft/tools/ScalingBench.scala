@@ -589,11 +589,21 @@ object ScalingBench {
         try {
           def funnel() = {
             val docs = spark.read.parquet(s"$dir/documents.parquet")
-              .select(col("doc_id"), col("source"), col("text"))
-            TextAnalysis.langPredicted(docs, "text", Seq("doc_id", "source", "text"))
+              .select(col("doc_id"), col("source"), col("lang"), col("text"))
+            // und-fallback: the synthetic vocabulary contains no stopwords
+            // of any marker language, so the n-gram classifier abstains
+            // ("und") on every doc — fall back to the declared lang
+            // column when it does (the rule a real pipeline applies to
+            // crawl records carrying an HTML lang tag). ~20% retention,
+            // the funnel shape the composition needs; the classifier and
+            // quality scans still run at full width.
+            TextAnalysis.langPredicted(docs, "text",
+                Seq("doc_id", "source", "lang", "text"))
               .withColumn("quality", TextAnalysis.qualityScore(length(col("text")),
                 TextAnalysis.punctRatio(col("text")), TextAnalysis.meanWordLen(col("text"))))
-              .filter(col("predicted") === "en" && col("quality") >= 0.5)
+              .filter((col("predicted") === "en" ||
+                (col("predicted") === "und" && col("lang") === "en")) &&
+                col("quality") >= 0.5)
               .select(col("doc_id"), col("source"), col("text"))
               .localCheckpoint()
           }
