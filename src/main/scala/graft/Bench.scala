@@ -304,6 +304,51 @@ object Bench {
     serial / wall
   }
 
+  /** MEMORY-BANDWIDTH probe (r14): strided sum over a 64 MiB long array,
+    * 3 passes — moves with DRAM/LLC bandwidth, which the pure-register
+    * calibration loop never touches. The r14 drift episode motivated it:
+    * two clean captures read 1.22× the r13 wall at IDENTICAL calibration
+    * and parallel-efficiency numbers, with the inflation concentrated in
+    * memory/scheduling-heavy queries — a drift mode both existing probes
+    * are blind to. Reported as environment metadata (like PE), not a
+    * contamination flag. Returns seconds; the checksum defeats DCE. */
+  def memProbe(): Double = {
+    val n = 8 * 1024 * 1024 // longs = 64 MiB
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var pass = 0
+    while (pass < 3) {
+      // full-cycle strided walk: 137 is odd, n a power of two, so
+      // (j + 137) mod n visits every element once per pass at a
+      // prefetch-hostile ~1.1 KiB stride
+      var j = 0
+      var k = 0
+      while (k < n) { acc += a(j); j = (j + 137) & (n - 1); k += 1 }
+      pass += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == 42) System.err.println("") // defeat DCE
+    dt
+  }
+
+  /** JOB-LATENCY probe (r14): median wall of 20 trivial 32-partition
+    * Spark jobs — captures driver scheduling + task-launch latency +
+    * executor-thread steal, the per-job overhead that multiplies in
+    * many-job queries (iterative CC, localCheckpoint barriers, codebook
+    * training) and that the r14 drift inflated while single-job scans
+    * stayed flat. Milliseconds; environment metadata like PE. */
+  def jobProbe(spark: SparkSession): Double = {
+    val times = (1 to 20).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(0 until 32, 32).count()
+      (System.nanoTime() - t0) / 1e6
+    }
+    times.sorted.apply(times.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -442,6 +487,8 @@ object Bench {
     val calDrift = math.max(calStart, calEnd) / math.min(calStart, calEnd)
     val total = results.map(_._2.med).filter(_ >= 0).sum
     val parEff = parallelEfficiency()
+    val memSec = memProbe()
+    val jobMs = jobProbe(spark)
     // PE-NORMALIZED total: wall × parallel efficiency = the core-seconds
     // the host actually delivered. Cross-round comparisons should read
     // THIS number — the r10→r11 "regressions" were pure PE drift
@@ -466,7 +513,8 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"effective_core_sec":$effTotal%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       f""","runs":$runsJson,"calibration":{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"drift":$calDrift%.2f""" +
-      f""","parallel_efficiency":$parEff%.2f,"best_probe_sec":$bestProbe%.3f}""" +
+      f""","parallel_efficiency":$parEff%.2f,"best_probe_sec":$bestProbe%.3f""" +
+      f""","mem_probe_sec":$memSec%.3f,"job_probe_ms":$jobMs%.1f}""" +
       f""","spread_max":$spreadMax%.2f,"contaminated":$contaminated,"attempt":$attempt""" +
       f""","provenance":$provJson}"""
     if (contaminated)

@@ -428,16 +428,28 @@ object Dedup {
 
   /** Output of [[recommendProfile]]: the near-dup shingle profile a
     * bounded probe recommends for a corpus, plus the measurements the
-    * decision rests on (so callers can log WHY, not just WHAT). */
+    * decision rests on (so callers can log WHY, not just WHAT). All
+    * stored fields are INTEGER-exact — the decisions are integer
+    * comparisons on them, so the q202 DuckDB oracle replays the whole
+    * probe bit-for-bit; the doubles below are derived conveniences. */
   final case class DedupProfileRecommendation(
       profile: String,       // "char" | "codepoint" | "token"
       maxBucket: Long,       // recommended bucket cap (0 = uncapped)
       sampleDocs: Long,      // docs actually probed
-      nonAsciiRate: Double,  // mean non-ASCII char fraction across the sample
+      nonAsciiChars: Long,   // Σ non-ASCII chars over the sample
+      totalChars: Long,      // Σ chars over the sample
       distinctGrams: Long,   // char-3 gram universe of the sample
-      newGramRate: Double,   // universe fraction unseen in the content-keyed half
-      estPairsPerDoc: Double // Σ C(bucket,2)/|sample| under the chosen profile
-  )
+      halfSeenGrams: Long,   // universe members seen in the content-keyed half
+      estPairs: Long         // Σ C(bucket,2) under the chosen profile's banding
+  ) {
+    def nonAsciiRate: Double =
+      if (totalChars == 0L) 0.0 else nonAsciiChars.toDouble / totalChars
+    def newGramRate: Double =
+      if (distinctGrams == 0L) 0.0
+      else (distinctGrams - halfSeenGrams).toDouble / distinctGrams
+    def estPairsPerDoc: Double =
+      if (sampleDocs == 0L) 0.0 else estPairs.toDouble / sampleDocs
+  }
 
   /** Shingle-profile auto-selection — the round-13 saturation discovery
     * (SCALING.md "Gram-universe saturation") shipped as an operator. A
@@ -488,14 +500,17 @@ object Dedup {
       .orderBy(h, col("sid"))
       .limit(sampleDocs)
       .select(col("sid"), col("t"), (h % 2 === 0).as("_half")))
-    val n = sample.count()
-    require(n > 0, "recommendProfile: no non-empty docs to probe")
 
-    // non-ASCII char fraction, row-local then averaged (stripping the
-    // ASCII range leaves exactly the non-ASCII chars)
-    val nonAscii = sample.agg(avg(
-      length(regexp_replace(col("t"), "[\\x00-\\x7F]", "")).cast("double")
-        / length(col("t")))).collect()(0).getDouble(0)
+    // Σ non-ASCII chars / Σ chars (integer pair — stripping the ASCII
+    // range leaves exactly the non-ASCII chars) + the sample count, one
+    // aggregate
+    val naRow = sample.agg(
+      sum(length(regexp_replace(col("t"), "[\\x00-\\x7F]", "")).cast("long")),
+      sum(length(col("t")).cast("long")), count(lit(1))).collect()(0)
+    val n = naRow.getLong(2)
+    require(n > 0, "recommendProfile: no non-empty docs to probe")
+    val naNum = if (naRow.isNullAt(0)) 0L else naRow.getLong(0)
+    val naDen = if (naRow.isNullAt(1)) 0L else naRow.getLong(1)
 
     // char-3 gram universe + its coverage by the content-keyed half
     // (the one-pass gram-set kernel, with _half riding along)
@@ -508,12 +523,13 @@ object Dedup {
       countDistinct(when(col("_half"), col("g")))).collect()(0)
     val universe = gr.getLong(0)
     val halfSeen = gr.getLong(1)
-    val newGramRate =
-      if (universe == 0L) 0.0 else (universe - halfSeen).toDouble / universe
 
+    // integer decision rules (the q202 oracle replays them verbatim):
+    // nonAscii ≥ 0.30 ⇔ 10·naNum ≥ 3·naDen; newGramRate < 0.02 ⇔
+    // 50·(universe − halfSeen) < universe (with universe > 0)
     val profile =
-      if (nonAscii >= 0.30) "codepoint"
-      else if (newGramRate < 0.02) "token"
+      if (naNum * 10L >= naDen * 3L) "codepoint"
+      else if (universe > 0L && (universe - halfSeen) * 50L < universe) "token"
       else "char"
 
     // band-bucket histogram on the sample under the chosen profile
@@ -529,11 +545,12 @@ object Dedup {
         sizeAware = false, LshBanding.Scaled)
     }
     val (estPairs, _, _) = candidatePairStats(bandRel, maxBucket = 0L)
-    val perDoc = estPairs.toDouble / n
     DedupProfileRecommendation(profile,
-      maxBucket = if (perDoc > 16.0) 500L else 0L,
-      sampleDocs = n, nonAsciiRate = nonAscii, distinctGrams = universe,
-      newGramRate = newGramRate, estPairsPerDoc = perDoc)
+      // estPairsPerDoc > 16 ⇔ estPairs > 16·n, integer-exact
+      maxBucket = if (estPairs > 16L * n) 500L else 0L,
+      sampleDocs = n, nonAsciiChars = naNum, totalChars = naDen,
+      distinctGrams = universe, halfSeenGrams = halfSeen,
+      estPairs = estPairs)
   }
 
   private def pairsFromBandsImpl(exploded: DataFrame, minSizeRatio: Double,

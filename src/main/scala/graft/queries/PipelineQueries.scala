@@ -63,6 +63,16 @@ object PipelineQueries extends QueryPack {
   private val cpMinSqlCols =
     MinHashParams.indices.map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")
 
+  // bandSqlFor with the source relation name parameterized — the q202
+  // probe oracle builds THREE band relations (char/token/cp) in one
+  // query, so the fixed `FROM mh` of the pair-chain form can't serve.
+  private def bandSqlOver(mhRel: String, banding: LshBanding) =
+    (0 until banding.numBands).map { b =>
+      val cols = (0 until banding.rowsPerBand)
+        .map(r => s"m${b * banding.rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('-', $cols) AS sig FROM $mhRel"
+    }.mkString(" UNION ALL ")
+
   private def bandSqlFor(banding: LshBanding) =
     (0 until banding.numBands).map { b =>
       val cols = (0 until banding.rowsPerBand)
@@ -2316,6 +2326,23 @@ object PipelineQueries extends QueryPack {
       Packing.ictPairs(load(s, dir, "documents"), "doc_id", "text",
           blockSize = 8, keepPct = 10)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Dedup profile auto-selection (the round-13 saturation
+    // discovery as an oracle-GATED operator, not just a spec): the
+    // bounded content-keyed probe — non-ASCII char ratio, char-3-gram
+    // universe growth under a content-keyed half, Σ C(bucket,2) under
+    // the chosen profile's own banding — with every decision an INTEGER
+    // comparison, so the oracle replays sample selection, both hash
+    // families, the banding histograms, and the decision rules exactly.
+    "q202_dedup_profile" -> ((s, dir) => {
+      import s.implicits._
+      val r = Dedup.recommendProfile(load(s, dir, "documents"),
+        "doc_id", "text", sampleDocs = 2048)
+      Seq((r.profile, r.maxBucket, r.sampleDocs, r.nonAsciiChars,
+          r.totalChars, r.distinctGrams, r.halfSeenGrams, r.estPairs))
+        .toDF("profile", "max_bucket", "sample_docs", "non_ascii_chars",
+          "total_chars", "distinct_grams", "half_seen_grams", "est_pairs")
     })
   )
 
@@ -2522,6 +2549,79 @@ object PipelineQueries extends QueryPack {
          |       CASE WHEN kept THEN 1 ELSE 0 END AS kept,
          |       md5(q) AS query_md5, md5(ctx) AS ctx_md5
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Full probe replay: content-keyed top-2048 sample, Σ non-ASCII /
+    // Σ chars, char-3 universe + content-keyed-half coverage, then the
+    // band-bucket Σ C(size,2) under ALL THREE profiles (char scaled /
+    // token scaled-wide / codepoint default-wide) with the integer
+    // decision rules CASE-selecting the one the operator measures.
+    // Bucket keys here are (band, concat'd minhash string) vs Spark's
+    // xxhash64 — equal modulo a ~2⁻⁶⁴ hash collision, same argument as
+    // every pair-chain oracle.
+    "q202_dedup_profile" ->
+      s"""WITH smp AS MATERIALIZED (
+         |  SELECT doc_id, text AS t,
+         |         (${graft.operators.TextAnalysis.md5Hash48Sql("text")} % 2 = 0) AS half
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |  ORDER BY ${graft.operators.TextAnalysis.md5Hash48Sql("text")}, doc_id
+         |  LIMIT 2048),
+         |na AS (SELECT
+         |  CAST(coalesce(sum(length(regexp_replace(t, '[\\x00-\\x7F]', '', 'g'))), 0) AS BIGINT) AS na_num,
+         |  CAST(coalesce(sum(length(t)), 0) AS BIGINT) AS na_den,
+         |  CAST(count(*) AS BIGINT) AS n
+         |  FROM smp),
+         |pos AS (SELECT doc_id, t, half,
+         |               unnest(generate_series(1, greatest(length(t)-2, 1))) AS i
+         |        FROM smp),
+         |gr AS MATERIALIZED (SELECT DISTINCT doc_id, half, substr(t, i, 3) AS g
+         |                    FROM pos),
+         |hs AS MATERIALIZED (SELECT doc_id, half,
+         |                           CAST(${gramHashSql("g")} AS BIGINT) AS h
+         |                    FROM gr),
+         |uni AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS universe,
+         |               CAST(coalesce(count(DISTINCT h) FILTER (WHERE half), 0) AS BIGINT) AS half_seen
+         |        FROM hs),
+         |mhc AS (SELECT doc_id, ${minSqlColsFor(LshBanding.Scaled.numHashes)}
+         |        FROM hs GROUP BY doc_id),
+         |bndc AS (${bandSqlOver("mhc", LshBanding.Scaled)}),
+         |estc AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
+         |         FROM (SELECT count(*) AS cnt FROM bndc GROUP BY band, sig)),
+         |tts AS (SELECT doc_id, string_split(t, ' ') AS ts FROM smp),
+         |ttg AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |        FROM tts, unnest(range(1, greatest(len(ts) - 1, 2))) AS r(i)),
+         |ths AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |         CAST(${graft.operators.TextAnalysis.md5Hash48Sql("g")} AS BIGINT) AS h
+         |  FROM ttg),
+         |mht AS (SELECT doc_id, ${(0 until LshBanding.Scaled.numHashes)
+                    .map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")}
+         |        FROM ths GROUP BY doc_id),
+         |bndt AS (${bandSqlOver("mht", LshBanding.Scaled)}),
+         |estt AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
+         |         FROM (SELECT count(*) AS cnt FROM bndt GROUP BY band, sig)),
+         |chs AS (SELECT doc_id, CAST(${cpGramHashSql("g")} AS BIGINT) AS h FROM gr),
+         |mhcp AS (SELECT doc_id, $cpMinSqlCols FROM chs GROUP BY doc_id),
+         |bndcp AS (${bandSqlOver("mhcp", LshBanding.Default)}),
+         |estcp AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
+         |          FROM (SELECT count(*) AS cnt FROM bndcp GROUP BY band, sig)),
+         |dec AS (SELECT CASE WHEN na.na_num*10 >= na.na_den*3 THEN 'codepoint'
+         |                    WHEN uni.universe > 0
+         |                         AND (uni.universe - uni.half_seen)*50 < uni.universe THEN 'token'
+         |                    ELSE 'char' END AS profile,
+         |               na.na_num, na.na_den, na.n, uni.universe, uni.half_seen
+         |        FROM na, uni),
+         |sel AS (SELECT d.*,
+         |               CASE d.profile WHEN 'char' THEN (SELECT e FROM estc)
+         |                              WHEN 'token' THEN (SELECT e FROM estt)
+         |                              ELSE (SELECT e FROM estcp) END AS est
+         |        FROM dec d)
+         |SELECT profile,
+         |       CAST(CASE WHEN est > 16*n THEN 500 ELSE 0 END AS BIGINT) AS max_bucket,
+         |       n AS sample_docs, na_num AS non_ascii_chars,
+         |       na_den AS total_chars, universe AS distinct_grams,
+         |       half_seen AS half_seen_grams, est AS est_pairs
+         |FROM sel""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by
