@@ -197,6 +197,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharStats(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lang_scores"),
+      new ExpressionInfo(classOf[LangScores].getName, "graft_lang_scores"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_lang_scores takes exactly 1 argument")
+        LangScores(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hashed_margin"),
       new ExpressionInfo(classOf[HashedMargin].getName, "graft_hashed_margin"),
       (children: Seq[Expression]) => {

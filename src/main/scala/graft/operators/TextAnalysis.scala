@@ -29,7 +29,12 @@ object TextAnalysis {
       / needle.length).cast("int")
 
   /** Stopword-hit score for a language: total hits of its marker words
-    * (space-padded match so word boundaries are respected). */
+    * (space-padded match so word boundaries are respected). The
+    * COMPOSABLE reference form — |words| regexp_replace scans, each
+    * materializing a rewritten doc-sized string; langPredicted uses the
+    * one-pass graft_lang_scores kernel instead (LangScoresSpec pins the
+    * equivalence), keeping this as the semantics documentation and the
+    * spec oracle, the hashedLinearScoreComposable pattern. */
   def stopwordScore(text: Column, words: Seq[String]): Column = {
     val padded = concat(lit(" "), text, lit(" "))
     words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
@@ -64,12 +69,19 @@ object TextAnalysis {
     when(total === 0, "und").otherwise(pred)
   }
 
-  /** documents → (scores projected once) → predicted column. */
+  /** documents → (scores projected once) → predicted column. The panel
+    * is ONE kernel call (graft_lang_scores, all langs in one pass); the
+    * element_at projections reference the non-cheap `_ls` array k times,
+    * so CollapseProject keeps the barrier instead of inlining the kernel
+    * once per score (the signaturesFromSets precedent). */
   def langPredicted(df: org.apache.spark.sql.DataFrame, textCol: String, keep: Seq[String])
     : org.apache.spark.sql.DataFrame = {
-    val scored = df.select(
-      keep.map(col) ++
-        LangMarkers.map { case (lang, ws) => stopwordScore(col(textCol), ws).as(s"s_$lang") }: _*)
+    val scored = df
+      .select(keep.map(col) :+
+        call_function("graft_lang_scores", col(textCol)).as("_ls"): _*)
+      .select(keep.map(col) ++
+        LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+          element_at(col("_ls"), i + 1).as(s"s_$lang") }: _*)
     scored.withColumn("predicted",
       langFromScores(LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }))
   }
