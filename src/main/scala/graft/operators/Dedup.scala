@@ -27,7 +27,13 @@ import TextHashing._
   * reclaimed by the ContextCleaner once the DataFrame becomes unreachable
   * — close() just makes the release deterministic for long-lived
   * sessions. The DataFrame must not be used after close(). */
-final class ManagedPairs private[operators] (val df: DataFrame) extends AutoCloseable {
+final class ManagedPairs private[operators] (
+    val df: DataFrame,
+    /** The pre-flight guard's Σ C(bucket,2) candidate estimate for this
+      * pipeline run (-1 = guard disabled) — the same aggregate that
+      * enforced the budget, surfaced so the guard's one job also serves
+      * observability (r14 verdict #1). */
+    val guardEstPairs: Long = -1L) extends AutoCloseable {
   override def close(): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
@@ -139,7 +145,15 @@ object Dedup {
     * verify join is the q44b-proven SHUFFLE_HASH shape. Sets are
     * lineage-truncated once for their two consumers (banding + verify). */
   def minHashLshPairsCp(docs: DataFrame, id: String, text: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double): DataFrame =
+    minHashLshPairsCp(docs, id, text, threshold, maxBucket = 0L)
+
+  /** maxBucket > 0 applies the standard hot-bucket cap (see
+    * [[pairsFromBands]]) — the codepoint profile's only banding escape
+    * hatch (token shingles degenerate on unsegmented text), so the auto
+    * front door needs it dispatchable here too (r15). */
+  def minHashLshPairsCp(docs: DataFrame, id: String, text: String,
+                        threshold: Double, maxBucket: Long): DataFrame = {
     val sets = truncateLineage(gramSetsCp(docs, id, text))
     val sigs = sets.select(col("sid") +: size(col("gs")).as("gn") +:
       MinHashParams.indices.map(j =>
@@ -150,12 +164,29 @@ object Dedup {
     // the verified pairs, so the finally-unpersist is safe.
     val bandRel = bandRelation(sigs, sizeAware = true).persist()
     try {
-      guardCandidateBudget(bandRel, maxBucket = 0L)
-      val cands = pairsFromBands(bandRel, threshold, sizeAware = true)
-      truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
-        .select(col("id_a"), col("id_b"), jaccardCol)
-        .filter(col("jaccard") >= threshold)
+      val sizes = sharedSizes(bandRel, maxBucket)
+      try {
+        guardCandidateBudget(bandRel, maxBucket, CpHatches, sizes)
+        val cands = pairsFromBands(bandRel, threshold, sizeAware = true,
+          maxBucket, sizes)
+        truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
+          .select(col("id_a"), col("id_b"), jaccardCol)
+          .filter(col("jaccard") >= threshold)
+      } finally sizes.foreach(_.unpersist(blocking = false))
     } finally bandRel.unpersist(blocking = false)
+  }
+
+  /** Persisted band-bucket histogram, but only when TWO consumers exist
+    * (guard enabled AND cap set — r15 amortization: the guard's aggregate
+    * and the cap's keep-filter then read one histogram instead of
+    * aggregating the band relation twice). None when the cap is off (the
+    * guard's one-shot aggregate needs no persist) or the guard disabled. */
+  private def sharedSizes(bandRel: DataFrame, maxBucket: Long): Option[DataFrame] = {
+    val guardOn = bandRel.sparkSession.conf
+      .getOption("graft.dedup.candidatePairBudget")
+      .map(_.toLong).getOrElse(DefaultCandidatePairBudget) > 0L
+    if (guardOn && maxBucket > 0L) Some(bucketSizes(bandRel).persist())
+    else None
   }
 
   /** (sid, gs) with gs = sorted distinct md5-48 TOKEN k-shingle hashes —
@@ -204,11 +235,15 @@ object Dedup {
     val bandRel = bandRelation(wideSignaturesFromSets(sets, banding),
       sizeAware = true, banding).persist()
     try {
-      guardCandidateBudget(bandRel, maxBucket)
-      val cands = pairsFromBands(bandRel, threshold, sizeAware = true, maxBucket)
-      truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
-        .select(col("id_a"), col("id_b"), jaccardCol)
-        .filter(col("jaccard") >= threshold)
+      val sizes = sharedSizes(bandRel, maxBucket)
+      try {
+        guardCandidateBudget(bandRel, maxBucket, TokenHatches, sizes)
+        val cands = pairsFromBands(bandRel, threshold, sizeAware = true,
+          maxBucket, sizes)
+        truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
+          .select(col("id_a"), col("id_b"), jaccardCol)
+          .filter(col("jaccard") >= threshold)
+      } finally sizes.foreach(_.unpersist(blocking = false))
     } finally bandRel.unpersist(blocking = false)
   }
 
@@ -348,20 +383,29 @@ object Dedup {
     * share one ubiquitous band key, not content. Cap 0 = exact banding
     * (every gate keeps 0). */
   private def pairsFromBands(exploded: DataFrame, minSizeRatio: Double,
-                             sizeAware: Boolean, maxBucket: Long): DataFrame = {
+                             sizeAware: Boolean, maxBucket: Long,
+                             sizes: Option[DataFrame] = None): DataFrame = {
     val pruned =
       if (maxBucket <= 0L) exploded
       else {
         // bucket sizes are a |buckets|-row relation (band-key
-        // cardinality); AQE broadcasts it back onto the band rows
-        val keep = exploded.groupBy(col("sig"))
-          .agg(count(lit(1)).as("_bs"))
+        // cardinality); AQE broadcasts it back onto the band rows. When
+        // the caller already computed the histogram (the pre-flight
+        // guard's aggregate — r15 amortization), reuse it instead of
+        // re-aggregating the band relation.
+        val keep = sizes.getOrElse(bucketSizes(exploded))
           .filter(col("_bs") <= maxBucket)
           .select(col("sig"))
         exploded.join(keep, Seq("sig"))
       }
     pairsFromBandsImpl(pruned, minSizeRatio, sizeAware)
   }
+
+  /** (sig, _bs) band-bucket histogram — the |buckets|-row relation both
+    * the pre-flight guard and the bucket-cap filter derive from (shared
+    * so a capped pipeline aggregates the band relation ONCE). */
+  private[graft] def bucketSizes(exploded: DataFrame): DataFrame =
+    exploded.groupBy(col("sig")).agg(count(lit(1)).as("_bs"))
 
   /** Default candidate-pair budget for the banding pre-flight guard:
     * 10⁸ pairs ≈ 40% of the measured 2.667×10⁸-candidate run that
@@ -381,47 +425,93 @@ object Dedup {
     * size-ratio prefilter can only shrink the true join output below it,
     * never above. */
   private[graft] def candidatePairStats(exploded: DataFrame,
-                                        maxBucket: Long): (Long, Long, Long) = {
-    val sizes = exploded.groupBy(col("sig")).agg(count(lit(1)).as("n"))
-    val visited = if (maxBucket > 0L) sizes.filter(col("n") <= maxBucket) else sizes
+                                        maxBucket: Long): (Long, Long, Long) =
+    candidatePairStatsFromSizes(bucketSizes(exploded), maxBucket)
+
+  /** The same stats off an already-computed (sig, _bs) histogram — the
+    * shared-aggregate path (r15: a capped pipeline's guard and cap filter
+    * read ONE persisted histogram instead of aggregating twice). */
+  private[graft] def candidatePairStatsFromSizes(sizes: DataFrame,
+                                                 maxBucket: Long): (Long, Long, Long) = {
+    val visited = if (maxBucket > 0L) sizes.filter(col("_bs") <= maxBucket) else sizes
     // shiftright, not `/`: Column./ is true division (double) — the
     // C(n,2) product is even, so the shift is the exact integer halve
     val r = visited
-      .agg(sum(shiftright(col("n") * (col("n") - 1), 1)),
-        max(col("n")), count(lit(1)))
+      .agg(sum(shiftright(col("_bs") * (col("_bs") - 1), 1)),
+        max(col("_bs")), count(lit(1)))
       .collect()(0)
     (if (r.isNullAt(0)) 0L else r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
   }
+
+  /** Escape-hatch text per guard call site (r14 advisor: the one-size
+    * message named hatches the incremental call site doesn't have). */
+  private val CharHatches =
+    "Escape hatches, in preference order: (1) switch to token shingles — " +
+    "minHashLshPairsTokens, whose gram universe grows with the vocabulary so hot " +
+    "buckets cannot form (q199: max bucket 2 at every measured tier); (2) set " +
+    "maxBucket (500 kept 99.7% planted recall at the tier that killed uncapped " +
+    "char banding); (3) raise graft.dedup.candidatePairBudget if this volume is " +
+    "genuinely intended."
+  private val CpHatches =
+    "Escape hatches: (1) set maxBucket (500 kept 99.7% planted recall at the " +
+    "tier that killed uncapped char banding; token shingles are NOT an option " +
+    "here — codepoint-profile text is typically unsegmented, so whitespace " +
+    "tokenization degenerates); (2) raise graft.dedup.candidatePairBudget if " +
+    "this volume is genuinely intended."
+  private val TokenHatches =
+    "This is already the token profile, so the universe cannot saturate " +
+    "structurally — the volume is a genuine duplicate storm. Escape hatches: " +
+    "(1) set maxBucket (hot buckets here are exact-dup families, the " +
+    "low-information region); (2) raise graft.dedup.candidatePairBudget if " +
+    "this volume is genuinely intended."
+  private val IncrementalHatches =
+    "At the incremental call site the only knob is the budget itself: raise " +
+    "graft.dedup.candidatePairBudget if this within-batch volume is genuinely " +
+    "intended, or pre-deduplicate the batch (the batch is saturated/exact-dup " +
+    "heavy, so most of its pairs are internal)."
+
+  /** Most recent pre-flight guard measurement (estPairs, maxBucketSeen,
+    * nBuckets) — the Σ C(size,2) histogram summary the guard computed
+    * anyway, surfaced in the lastDistributedRounds observability mold
+    * (r14 verdict #1: the guard's one aggregate should serve
+    * observability too, not just the throw). (-1,-1,-1) = guard disabled
+    * on the last call. Diagnostics only, never control flow. */
+  def lastGuardStats: (Long, Long, Long) = lastGuard.get()
+  private val lastGuard =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long)]((-1L, -1L, -1L))
 
   /** Pre-flight candidate-budget guard for the banding self-join: on a
     * gram-universe-saturated corpus, uncapped banding is Ω(n²) in
     * candidates (round 13 measured 266.7M at 500k docs — 77 GB of
     * shuffle spill before the join died), and nothing used to warn
     * before the join was attempted. This runs the Σ C(size,2) histogram
-    * (one aggregate over the already-persisted band relation) and fails
-    * LOUDLY above the session budget, naming the escape hatches; a
-    * failed guard costs one cheap aggregate, a missed one costs the
-    * cluster's shuffle disk. Returns the estimate for observability. */
-  private def guardCandidateBudget(bandRel: DataFrame, maxBucket: Long): Long = {
+    * (one aggregate over the already-persisted band relation — or over a
+    * shared pre-computed histogram) and fails LOUDLY above the session
+    * budget, naming the call site's escape hatches; a failed guard costs
+    * one cheap aggregate, a missed one costs the cluster's shuffle disk.
+    * Returns the estimate for observability (also kept in
+    * [[lastGuardStats]]). */
+  private def guardCandidateBudget(bandRel: DataFrame, maxBucket: Long,
+                                   hatches: String = CharHatches,
+                                   sizes: Option[DataFrame] = None): Long = {
     val budget = bandRel.sparkSession.conf
       .getOption("graft.dedup.candidatePairBudget")
       .map(_.toLong).getOrElse(DefaultCandidatePairBudget)
-    if (budget <= 0L) return -1L
-    val (estPairs, maxBucketSeen, nBuckets) = candidatePairStats(bandRel, maxBucket)
+    if (budget <= 0L) { lastGuard.set((-1L, -1L, -1L)); return -1L }
+    val (estPairs, maxBucketSeen, nBuckets) = sizes match {
+      case Some(s) => candidatePairStatsFromSizes(s, maxBucket)
+      case None => candidatePairStats(bandRel, maxBucket)
+    }
+    lastGuard.set((estPairs, maxBucketSeen, nBuckets))
     if (estPairs > budget) {
       throw new IllegalStateException(
-        s"minHashLshPairs pre-flight: banding would generate ~$estPairs candidate " +
+        s"banding pre-flight: the self-join would generate ~$estPairs candidate " +
         s"pairs (largest visited bucket $maxBucketSeen of $nBuckets buckets), over " +
         s"the ${budget}-pair budget (graft.dedup.candidatePairBudget). This is the " +
         "gram-universe-saturation regime (SCALING.md round 13: a fixed shingle " +
         "universe concentrates minhashes into hot buckets and candidates grow " +
-        "quadratically under ANY (bands, rows)). Escape hatches, in preference " +
-        "order: (1) switch to token shingles — minHashLshPairsTokens, whose gram " +
-        "universe grows with the vocabulary so hot buckets cannot form (q199: max " +
-        "bucket 2 at every measured tier); (2) set maxBucket (500 kept 99.7% " +
-        "planted recall at the tier that killed uncapped char banding); (3) raise " +
-        "graft.dedup.candidatePairBudget if this volume is genuinely intended.")
+        s"quadratically under ANY (bands, rows)). $hatches")
     }
     estPairs
   }
@@ -553,6 +643,50 @@ object Dedup {
       estPairs = estPairs)
   }
 
+  /** The recommendation [[nearDupPairsAuto]] last acted on — WHY fields
+    * included — in the lastDistributedRounds observability mold.
+    * Diagnostics only, never control flow. */
+  def lastRecommendation: Option[DedupProfileRecommendation] = lastRec.get()
+  private val lastRec = new java.util.concurrent.atomic
+    .AtomicReference[Option[DedupProfileRecommendation]](None)
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** THE default near-dup entry point (r14 verdict #3): probe the corpus
+    * with [[recommendProfile]], then dispatch to the recommended shingle
+    * profile and bucket cap — so the scale-safety analysis that q202
+    * oracle-gates is what actually runs, not an advisory a caller must
+    * remember to consult. Dispatch table (AutoDispatchSpec pins
+    * dispatch-equals-manual on all three regimes):
+    *
+    *  - `token`     → [[minHashLshPairsTokens]] (Scaled banding, rec cap)
+    *  - `codepoint` → [[minHashLshPairsCp]] (rec cap)
+    *  - `char`      → [[minHashLshPairsScaled]]'s pipeline (Scaled
+    *                  banding — the large-corpus profile, and the one the
+    *                  probe's own Σ C(bucket,2) estimate was computed
+    *                  under) with the rec cap
+    *
+    * NOTE the returned `jaccard` is the CHOSEN profile's resemblance
+    * (char-3-gram, codepoint-gram, or token-shingle Jaccard) — callers
+    * needing one fixed measure should call that profile's entry point
+    * directly. The recommendation (with its WHY measurements) is logged
+    * and kept in [[lastRecommendation]]. */
+  def nearDupPairsAuto(docs: DataFrame, id: String, text: String,
+                       threshold: Double, sampleDocs: Int = 2048): DataFrame = {
+    val rec = recommendProfile(docs, id, text, sampleDocs)
+    lastRec.set(Some(rec))
+    log.info(s"nearDupPairsAuto: profile=${rec.profile} maxBucket=${rec.maxBucket} " +
+      f"(sample=${rec.sampleDocs} nonAsciiRate=${rec.nonAsciiRate}%.3f " +
+      f"newGramRate=${rec.newGramRate}%.3f estPairsPerDoc=${rec.estPairsPerDoc}%.1f)")
+    rec.profile match {
+      case "token" => minHashLshPairsTokens(docs, id, text, threshold,
+        k = 3, banding = LshBanding.Scaled, maxBucket = rec.maxBucket)
+      case "codepoint" => minHashLshPairsCp(docs, id, text, threshold,
+        maxBucket = rec.maxBucket)
+      case _ => minHashLshPairsManaged(docs, id, text, threshold,
+        BroadcastVerifyMaxBytes, LshBanding.Scaled, rec.maxBucket).df
+    }
+  }
+
   private def pairsFromBandsImpl(exploded: DataFrame, minSizeRatio: Double,
                                  sizeAware: Boolean): DataFrame = {
     val joinCond = {
@@ -652,8 +786,10 @@ object Dedup {
     // risk) must not leave corpus-sized intermediates persisted or a live
     // verify broadcast behind in a long-lived session
     try {
-      guardCandidateBudget(bandRel, maxBucket)
-      val cands = pairsFromBands(bandRel, threshold, sizeAware = true, maxBucket)
+      val sizes = sharedSizes(bandRel, maxBucket)
+      try {
+      val estPairs = guardCandidateBudget(bandRel, maxBucket, CharHatches, sizes)
+      val cands = pairsFromBands(bandRel, threshold, sizeAware = true, maxBucket, sizes)
       val integralId = docs.schema(id).dataType match {
         case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
         case _ => false
@@ -681,7 +817,7 @@ object Dedup {
           new ManagedPairs(mergeWalkScore(cands, bc, minSizeRatio = threshold)
             .select(col("id_a"), col("id_b"), jaccardCol)
             .filter(col("jaccard") >= threshold)
-            .transform(truncateLineage))
+            .transform(truncateLineage), estPairs)
         } finally {
           bc.destroy()
           liveBc.decrementAndGet()
@@ -693,8 +829,9 @@ object Dedup {
           truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
         new ManagedPairs(verified
           .select(col("id_a"), col("id_b"), jaccardCol)
-          .filter(col("jaccard") >= threshold))
+          .filter(col("jaccard") >= threshold), estPairs)
       }
+      } finally sizes.foreach(_.unpersist(blocking = false))
     } finally {
       sets.unpersist(blocking = false)
       bandRel.unpersist(blocking = false)
@@ -952,13 +1089,29 @@ object Dedup {
     * (the candidate-join probe side) and the gram-hash sets (the verify
     * side). Both are plain relations a pipeline persists as parquet
     * alongside the corpus and reuses for every incoming batch — at 100 TB
-    * you index the corpus ONCE and never re-read it per batch. */
-  final case class DedupIndex(bands: DataFrame, sets: DataFrame)
+    * you index the corpus ONCE and never re-read it per batch.
+    *
+    * `bandSizes` (optional, r15): the index's (sig, _bs) band-bucket
+    * histogram, computed once at INDEX-BUILD time ([[indexBandSizes]])
+    * and persisted alongside. When present, [[incrementalPairs]] also
+    * pre-flights the PROBE join (index×batch candidates = Σ over
+    * colliding sigs of n_index·n_batch) — the hot-index-bucket blow-up
+    * the within-batch guard cannot see (r14 advisor). It is opt-in
+    * because computing it per batch would re-scan the index — exactly
+    * the per-batch O(corpus) cost incrementalPairs exists to avoid; at
+    * build time it is one extra aggregate amortized over every batch. */
+  final case class DedupIndex(bands: DataFrame, sets: DataFrame,
+                              bandSizes: Option[DataFrame] = None)
 
   def dedupIndex(docs: DataFrame, id: String, text: String): DedupIndex = {
     val sets = gramSets(docs, id, text)
     DedupIndex(bandRelation(signaturesFromSets(sets), sizeAware = true), sets)
   }
+
+  /** The (sig, _bs) histogram for a [[DedupIndex]]'s band relation —
+    * compute once when building the index, persist with it, and pass as
+    * `DedupIndex.bandSizes` to enable the probe-side pre-flight. */
+  def indexBandSizes(bands: DataFrame): DataFrame = bucketSizes(bands)
 
   /** INCREMENTAL near-dup detection: pairs between an indexed existing
     * corpus and an incoming batch, plus pairs within the batch — without
@@ -1000,8 +1153,35 @@ object Dedup {
       val inBands = bandRelation(signaturesFromSets(inSets), sizeAware = true).persist()
       try {
         // same pre-flight as the batch pipelines: a saturated BATCH would
-        // quadratically blow up the within-batch self-join below
-        guardCandidateBudget(inBands, maxBucket = 0L)
+        // quadratically blow up the within-batch self-join below (message
+        // names only the knobs THIS site has — r14 advisor)
+        guardCandidateBudget(inBands, maxBucket = 0L, IncrementalHatches)
+        // probe-side pre-flight (opt-in via index.bandSizes): hot INDEX
+        // buckets hit by batch bands blow up the probe join even when the
+        // batch itself is healthy. Candidates = Σ over colliding sigs of
+        // n_index·n_batch — one aggregate joining the precomputed index
+        // histogram against the (tiny) batch histogram.
+        index.bandSizes.foreach { idxSizes =>
+          val budget = inBands.sparkSession.conf
+            .getOption("graft.dedup.candidatePairBudget")
+            .map(_.toLong).getOrElse(DefaultCandidatePairBudget)
+          if (budget > 0L) {
+            val r = idxSizes.select(col("sig"), col("_bs").as("_bsx"))
+              .join(bucketSizes(inBands), Seq("sig"))
+              .agg(sum(col("_bsx") * col("_bs")), max(col("_bsx")))
+              .collect()(0)
+            val est = if (r.isNullAt(0)) 0L else r.getLong(0)
+            if (est > budget) throw new IllegalStateException(
+              s"incremental probe pre-flight: the index×batch candidate join " +
+              s"would generate ~$est pairs (hottest colliding index bucket " +
+              s"${r.getLong(1)}), over the ${budget}-pair budget " +
+              "(graft.dedup.candidatePairBudget). The INDEX has hot band " +
+              "buckets (saturated or exact-dup-heavy corpus) that this batch " +
+              "collides with. Rebuild the index under the token profile or a " +
+              "bucket cap (recommendProfile / nearDupPairsAuto pick these), " +
+              "or raise the budget if this volume is genuinely intended.")
+          }
+        }
         // band id is baked into the xxhash64 sig, so sig equality alone is
         // the banding condition; the size-ratio prefilter drops pairs that
         // cannot reach the jaccard threshold before the distinct's shuffle

@@ -541,23 +541,33 @@ object Sampling {
     : org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, "dsirWeights needs buckets >= 2")
     // Two consumers read this exploded relation (the bucket-count
-    // aggregate and the per-doc fold join): truncate lineage so the
-    // corpus-wide token explode — the expensive scan — runs ONCE, the
-    // same two-consumer doctrine as minHashLshPairsTokens' gram sets.
-    val toks = Dedup.truncateLineage(docs
+    // aggregate and the per-doc fold join), so the corpus-wide token
+    // explode — the expensive scan — should run ONCE. persist(DISK_ONLY),
+    // not an eager localCheckpoint (r14 advisor): a checkpoint of the
+    // token relation pins O(total tokens) in executor block storage with
+    // NO lineage recompute on executor loss, the heaviest possible
+    // footprint for a transient intermediate; a disk-tier persist serves
+    // the same two consumers, keeps recompute-on-loss, and is RELEASED
+    // before this returns. The doc-sized RESULT is what gets the
+    // materialization barrier (the managed-pipeline doctrine: free every
+    // corpus-scale intermediate before the caller sees the plan).
+    val toks = docs
       .select(col(id).as("pid"), isTarget.as("_tgt"),
         explode(split(col(text), " ")).as("_t"))
       .filter(length(col("_t")) > 0)
       .select(col("pid"), col("_tgt"),
-        (TextAnalysis.md5Hash48(col("_t")) % buckets).as("_b")))
-    val counts = toks.groupBy(col("_b"))
-      .agg(count(lit(1)).as("_craw"),
-        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ctgt"))
-    toks.join(broadcast(counts), "_b")
-      .groupBy(col("pid"))
-      .agg(sum(col("_ctgt") + 1L).as("w_num"),
-        sum(col("_craw") + 1L).as("w_den"))
-      .withColumn("weight",
-        col("w_num").cast("double") / col("w_den").cast("double"))
+        (TextAnalysis.md5Hash48(col("_t")) % buckets).as("_b"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val counts = toks.groupBy(col("_b"))
+        .agg(count(lit(1)).as("_craw"),
+          sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ctgt"))
+      Dedup.truncateLineage(toks.join(broadcast(counts), "_b")
+        .groupBy(col("pid"))
+        .agg(sum(col("_ctgt") + 1L).as("w_num"),
+          sum(col("_craw") + 1L).as("w_den"))
+        .withColumn("weight",
+          col("w_num").cast("double") / col("w_den").cast("double")))
+    } finally toks.unpersist(blocking = false)
   }
 }

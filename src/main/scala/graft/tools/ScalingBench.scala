@@ -607,9 +607,13 @@ object ScalingBench {
               .select(col("doc_id"), col("source"), col("text"))
               .localCheckpoint()
           }
+          // r14 verdict #5: the measured path IS the product path — the
+          // dedup stage goes through nearDupPairsAuto (probe → dispatch),
+          // not a hand-picked profile; the probe's recommendation is
+          // printed per tier so SCALING.md can record whether it matches
+          // the hand-pick (token, uncapped) that r13/r14 measured.
           def composed(survivors: org.apache.spark.sql.DataFrame) = {
-            val pairs = Dedup.minHashLshPairsTokens(survivors, "doc_id", "text",
-              0.7, banding = LshBanding.Scaled)
+            val pairs = Dedup.nearDupPairsAuto(survivors, "doc_id", "text", 0.7)
             val clusters = Dedup.connectedComponents(pairs)
               .withColumnRenamed("doc_id", "_cid")
             val canonical = survivors
@@ -623,8 +627,12 @@ object ScalingBench {
           // boundary; the timed runs below carry none of these actions)
           val s0 = funnel()
           val n1 = s0.count()
-          val pairs0 = Dedup.minHashLshPairsTokens(s0, "doc_id", "text",
-            0.7, banding = LshBanding.Scaled).persist()
+          val pairs0 = Dedup.nearDupPairsAuto(s0, "doc_id", "text", 0.7).persist()
+          val rec = Dedup.lastRecommendation.get
+          println(f"[scaling] pipeline_composed probe $dir: profile=${rec.profile} " +
+            f"maxBucket=${rec.maxBucket} newGramRate=${rec.newGramRate}%.4f " +
+            f"nonAsciiRate=${rec.nonAsciiRate}%.4f estPairsPerDoc=${rec.estPairsPerDoc}%.2f " +
+            f"(hand-pick was token/uncapped; match=${rec.profile == "token" && rec.maxBucket == 0L})")
           val nPairs = pairs0.count()
           val clusters0 = Dedup.connectedComponents(pairs0)
             .withColumnRenamed("doc_id", "_cid")

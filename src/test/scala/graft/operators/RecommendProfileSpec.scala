@@ -13,12 +13,12 @@ import graft.TestSpark
   * gated fixtures here, in miniature via the same generator SHAPES
   * ScalingBench measured them with.
   */
-class RecommendProfileSpec extends AnyFunSuite {
-  private val spark = TestSpark.spark
-  import spark.implicits._
-
+/** The three measured corpus regimes as deterministic generators —
+  * shared by RecommendProfileSpec (the probe's decisions) and
+  * AutoDispatchSpec (the auto front door's dispatch). */
+object DedupSpecCorpora {
   /** splitmix64-style mix — the ScalingBench generator's, verbatim shape. */
-  private def mix(a: Long, b: Long): Long = {
+  def mix(a: Long, b: Long): Long = {
     var x = a * 0x9E3779B97F4A7C15L + b + 0x632BE59BD9B4E019L
     x ^= x >>> 32; x *= 0xD6E8FEB86659FD93L
     x ^= x >>> 32; x *= 0xD6E8FEB86659FD93L
@@ -26,7 +26,7 @@ class RecommendProfileSpec extends AnyFunSuite {
     x
   }
 
-  private val vocab = Array("batch", "part", "spark", "line", "column",
+  val vocab = Array("batch", "part", "spark", "line", "column",
     "order", "small", "sort", "vector", "scan", "fast", "query", "agg",
     "slow", "value", "filter", "customer", "stream", "table", "join",
     "group", "window", "shuffle", "merge", "hash", "range", "index",
@@ -35,7 +35,7 @@ class RecommendProfileSpec extends AnyFunSuite {
   /** Alphabet-bounded word salad: every token from a fixed 30-word vocab
     * — the char-3-gram universe is a few hundred grams and any half of
     * the corpus covers it (the saturated regime). */
-  private def saturatedDoc(id: Long): String =
+  def saturatedDoc(id: Long): String =
     (0 until (20 + (mix(id, 0).abs % 20).toInt))
       .map(p => vocab((mix(id, p + 1).abs % vocab.length).toInt))
       .mkString(" ")
@@ -43,7 +43,7 @@ class RecommendProfileSpec extends AnyFunSuite {
   /** Organic (Heaps-ish) text: every token is a fresh base-26 LETTER
     * string derived from (id, pos), so the gram universe keeps minting
     * new members with every doc — half the corpus misses a large share. */
-  private def organicDoc(id: Long): String =
+  def organicDoc(id: Long): String =
     (0 until (20 + (mix(id, 0).abs % 20).toInt)).map { p =>
       var h = mix(id, p + 1).abs
       val sb = new StringBuilder
@@ -52,7 +52,7 @@ class RecommendProfileSpec extends AnyFunSuite {
     }.mkString(" ")
 
   /** CJK text: tokens of BMP ideographs (0x4E00 block). */
-  private def cjkDoc(id: Long): String =
+  def cjkDoc(id: Long): String =
     (0 until 24).map { p =>
       val h = mix(id, p + 1).abs
       new String(Array(
@@ -61,8 +61,17 @@ class RecommendProfileSpec extends AnyFunSuite {
         (0x4E00 + ((h / 4000000) % 2000)).toChar))
     }.mkString(" ")
 
-  private def docs(f: Long => String, n: Int) =
+  def docs(f: Long => String, n: Int): org.apache.spark.sql.DataFrame = {
+    val spark = TestSpark.spark
+    import spark.implicits._
     (0L until n.toLong).map(i => (i, f(i))).toDF("doc_id", "text")
+  }
+}
+
+class RecommendProfileSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import DedupSpecCorpora.{docs, saturatedDoc, organicDoc, cjkDoc}
 
   test("saturated fixed-vocab corpus -> token profile (the q199 regime)") {
     val rec = Dedup.recommendProfile(docs(saturatedDoc, 600), "doc_id", "text",

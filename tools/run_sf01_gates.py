@@ -38,6 +38,10 @@ GATES = [
     "q173_semantic_decontam", "q173b_semantic_decontam_shuffle",
     "q174_leakage_safe_split", "q193_dedup_transitivity",
     "q196_winnow_neardup", "q199_dedup_minhash_tokens",
+    # r14 verdict #4: the profile decision is scale-sensitive by
+    # construction (gram-universe coverage changes with the corpus); the
+    # probe itself is bounded (2048 docs), so the gate costs ~nothing.
+    "q202_dedup_profile",
 ]
 
 
