@@ -465,11 +465,16 @@ object Bench {
     }
     // Subset runs for diagnostics (comma-separated prefixes, the
     // SPARK_GRAFT_ONLY convention); the driver's full capture leaves it
-    // unset. Controls/adjusted metrics are emitted only when present.
+    // unset. Selects from ALL registered queries, not just the headline
+    // set — diagnostic tables (e.g. the r15 guard-cost table) need the
+    // forced twins (q44b/q81b) the headline deliberately excludes.
+    // Controls/adjusted metrics are emitted only when present.
     val selected: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(sel) =>
         val pats = sel.split(',').map(_.trim).filter(_.nonEmpty)
-        headline.filter(q => pats.exists(q.startsWith))
+        val all = headline ++
+          SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
+        all.filter(q => pats.exists(q.startsWith))
       case None => headline
     }
 
