@@ -314,6 +314,10 @@ object Bench {
   // - q202_dedup_profile: a bounded 2048-doc probe (one top-k scan +
   //   three sample-sized aggregates) — times the sample, not a
   //   corpus-scale operator; it IS in the sf0.1 oracle-gate subset.
+  // - q203_dedup_auto: probe + dispatch = q202's bounded probe + q199's
+  //   token chain on this corpus; both components are timed (q199
+  //   headline, probe excluded per q202's line above), so the composite
+  //   would double-count q199's volume.
   // Forced-fallback twins (q44b/q70b/q72b/q81b/q120b) duplicate their
   // default entries' volume with a pinned physical strategy — headline
   // keeps the default; the exceptions are q170b/q173b, where the forced

@@ -153,6 +153,71 @@ object PipelineQueries extends QueryPack {
        |  WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.7)""".stripMargin
   }
 
+  // recommendProfile replay as a CTE chain ending in `${p}sel`
+  // (profile, na_num, na_den, n, universe, half_seen, est) — the q202
+  // oracle's body, with every CTE name prefixed so q203 can compose it
+  // with a full pair chain (whose toks/hs/mh/bands/cand names would
+  // otherwise collide). One definition, two consumers: q202 gates the
+  // probe's DECISION, q203 gates the decision ACTED ON.
+  private def probeDecisionCtes(p: String) =
+    s"""${p}smp AS MATERIALIZED (
+       |  SELECT doc_id, text AS t,
+       |         (${graft.operators.TextAnalysis.md5Hash48Sql("text")} % 2 = 0) AS half
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(text) > 0
+       |  ORDER BY ${graft.operators.TextAnalysis.md5Hash48Sql("text")}, doc_id
+       |  LIMIT 2048),
+       |${p}na AS (SELECT
+       |  CAST(coalesce(sum(length(regexp_replace(t, '[\\x00-\\x7F]', '', 'g'))), 0) AS BIGINT) AS na_num,
+       |  CAST(coalesce(sum(length(t)), 0) AS BIGINT) AS na_den,
+       |  CAST(count(*) AS BIGINT) AS n
+       |  FROM ${p}smp),
+       |${p}pos AS (SELECT doc_id, t, half,
+       |               unnest(generate_series(1, greatest(length(t)-2, 1))) AS i
+       |        FROM ${p}smp),
+       |${p}gr AS MATERIALIZED (SELECT DISTINCT doc_id, half, substr(t, i, 3) AS g
+       |                    FROM ${p}pos),
+       |${p}hs AS MATERIALIZED (SELECT doc_id, half,
+       |                           CAST(${gramHashSql("g")} AS BIGINT) AS h
+       |                    FROM ${p}gr),
+       |${p}uni AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS universe,
+       |               CAST(coalesce(count(DISTINCT h) FILTER (WHERE half), 0) AS BIGINT) AS half_seen
+       |        FROM ${p}hs),
+       |${p}mhc AS (SELECT doc_id, ${minSqlColsFor(LshBanding.Scaled.numHashes)}
+       |        FROM ${p}hs GROUP BY doc_id),
+       |${p}bndc AS (${bandSqlOver(s"${p}mhc", LshBanding.Scaled)}),
+       |${p}estc AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
+       |         FROM (SELECT count(*) AS cnt FROM ${p}bndc GROUP BY band, sig)),
+       |${p}tts AS (SELECT doc_id, string_split(t, ' ') AS ts FROM ${p}smp),
+       |${p}ttg AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+       |        FROM ${p}tts, unnest(range(1, greatest(len(ts) - 1, 2))) AS r(i)),
+       |${p}ths AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         CAST(${graft.operators.TextAnalysis.md5Hash48Sql("g")} AS BIGINT) AS h
+       |  FROM ${p}ttg),
+       |${p}mht AS (SELECT doc_id, ${(0 until LshBanding.Scaled.numHashes)
+                  .map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")}
+       |        FROM ${p}ths GROUP BY doc_id),
+       |${p}bndt AS (${bandSqlOver(s"${p}mht", LshBanding.Scaled)}),
+       |${p}estt AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
+       |         FROM (SELECT count(*) AS cnt FROM ${p}bndt GROUP BY band, sig)),
+       |${p}chs AS (SELECT doc_id, CAST(${cpGramHashSql("g")} AS BIGINT) AS h FROM ${p}gr),
+       |${p}mhcp AS (SELECT doc_id, $cpMinSqlCols FROM ${p}chs GROUP BY doc_id),
+       |${p}bndcp AS (${bandSqlOver(s"${p}mhcp", LshBanding.Default)}),
+       |${p}estcp AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
+       |          FROM (SELECT count(*) AS cnt FROM ${p}bndcp GROUP BY band, sig)),
+       |${p}dec AS (SELECT CASE WHEN na.na_num*10 >= na.na_den*3 THEN 'codepoint'
+       |                    WHEN uni.universe > 0
+       |                         AND (uni.universe - uni.half_seen)*50 < uni.universe THEN 'token'
+       |                    ELSE 'char' END AS profile,
+       |               na.na_num, na.na_den, na.n, uni.universe, uni.half_seen
+       |        FROM ${p}na na, ${p}uni uni),
+       |${p}sel AS (SELECT d.*,
+       |               CASE d.profile WHEN 'char' THEN (SELECT e FROM ${p}estc)
+       |                              WHEN 'token' THEN (SELECT e FROM ${p}estt)
+       |                              ELSE (SELECT e FROM ${p}estcp) END AS est
+       |        FROM ${p}dec d)""".stripMargin
+
   // aHash replay shared by the q121/q121b/q125 oracles: BMP fill
   // pattern -> gray sums -> floor grid -> cross-multiplied threshold
   // bits -> two 32-bit hash halves. One definition, three consumers --
@@ -2343,6 +2408,21 @@ object PipelineQueries extends QueryPack {
           r.totalChars, r.distinctGrams, r.halfSeenGrams, r.estPairs))
         .toDF("profile", "max_bucket", "sample_docs", "non_ascii_chars",
           "total_chars", "distinct_grams", "half_seen_grams", "est_pairs")
+    }),
+
+    // ---- THE auto front door itself (r15): nearDupPairsAuto = the q202
+    // probe ACTED ON — probe, then dispatch to the recommended profile
+    // and cap. The oracle replays the probe decision AND the recommended
+    // profile's full pair chain, with the decision as a TRIPWIRE: the
+    // final select is gated on (profile='token', cap=0) — the decision
+    // the probe provably makes on this corpus (q202's gate at all three
+    // SFs) — so if either the probe's decision or the dispatch ever
+    // drifts, this gate fails loudly (empty vs non-empty) instead of
+    // silently comparing the wrong chain.
+    "q203_dedup_auto" -> ((s, dir) => {
+      Dedup.nearDupPairsAuto(load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2559,69 +2639,29 @@ object PipelineQueries extends QueryPack {
     // xxhash64 — equal modulo a ~2⁻⁶⁴ hash collision, same argument as
     // every pair-chain oracle.
     "q202_dedup_profile" ->
-      s"""WITH smp AS MATERIALIZED (
-         |  SELECT doc_id, text AS t,
-         |         (${graft.operators.TextAnalysis.md5Hash48Sql("text")} % 2 = 0) AS half
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(text) > 0
-         |  ORDER BY ${graft.operators.TextAnalysis.md5Hash48Sql("text")}, doc_id
-         |  LIMIT 2048),
-         |na AS (SELECT
-         |  CAST(coalesce(sum(length(regexp_replace(t, '[\\x00-\\x7F]', '', 'g'))), 0) AS BIGINT) AS na_num,
-         |  CAST(coalesce(sum(length(t)), 0) AS BIGINT) AS na_den,
-         |  CAST(count(*) AS BIGINT) AS n
-         |  FROM smp),
-         |pos AS (SELECT doc_id, t, half,
-         |               unnest(generate_series(1, greatest(length(t)-2, 1))) AS i
-         |        FROM smp),
-         |gr AS MATERIALIZED (SELECT DISTINCT doc_id, half, substr(t, i, 3) AS g
-         |                    FROM pos),
-         |hs AS MATERIALIZED (SELECT doc_id, half,
-         |                           CAST(${gramHashSql("g")} AS BIGINT) AS h
-         |                    FROM gr),
-         |uni AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS universe,
-         |               CAST(coalesce(count(DISTINCT h) FILTER (WHERE half), 0) AS BIGINT) AS half_seen
-         |        FROM hs),
-         |mhc AS (SELECT doc_id, ${minSqlColsFor(LshBanding.Scaled.numHashes)}
-         |        FROM hs GROUP BY doc_id),
-         |bndc AS (${bandSqlOver("mhc", LshBanding.Scaled)}),
-         |estc AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
-         |         FROM (SELECT count(*) AS cnt FROM bndc GROUP BY band, sig)),
-         |tts AS (SELECT doc_id, string_split(t, ' ') AS ts FROM smp),
-         |ttg AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
-         |        FROM tts, unnest(range(1, greatest(len(ts) - 1, 2))) AS r(i)),
-         |ths AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id,
-         |         CAST(${graft.operators.TextAnalysis.md5Hash48Sql("g")} AS BIGINT) AS h
-         |  FROM ttg),
-         |mht AS (SELECT doc_id, ${(0 until LshBanding.Scaled.numHashes)
-                    .map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")}
-         |        FROM ths GROUP BY doc_id),
-         |bndt AS (${bandSqlOver("mht", LshBanding.Scaled)}),
-         |estt AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
-         |         FROM (SELECT count(*) AS cnt FROM bndt GROUP BY band, sig)),
-         |chs AS (SELECT doc_id, CAST(${cpGramHashSql("g")} AS BIGINT) AS h FROM gr),
-         |mhcp AS (SELECT doc_id, $cpMinSqlCols FROM chs GROUP BY doc_id),
-         |bndcp AS (${bandSqlOver("mhcp", LshBanding.Default)}),
-         |estcp AS (SELECT CAST(coalesce(sum(cnt*(cnt-1)//2), 0) AS BIGINT) AS e
-         |          FROM (SELECT count(*) AS cnt FROM bndcp GROUP BY band, sig)),
-         |dec AS (SELECT CASE WHEN na.na_num*10 >= na.na_den*3 THEN 'codepoint'
-         |                    WHEN uni.universe > 0
-         |                         AND (uni.universe - uni.half_seen)*50 < uni.universe THEN 'token'
-         |                    ELSE 'char' END AS profile,
-         |               na.na_num, na.na_den, na.n, uni.universe, uni.half_seen
-         |        FROM na, uni),
-         |sel AS (SELECT d.*,
-         |               CASE d.profile WHEN 'char' THEN (SELECT e FROM estc)
-         |                              WHEN 'token' THEN (SELECT e FROM estt)
-         |                              ELSE (SELECT e FROM estcp) END AS est
-         |        FROM dec d)
+      s"""WITH ${probeDecisionCtes("")}
          |SELECT profile,
          |       CAST(CASE WHEN est > 16*n THEN 500 ELSE 0 END AS BIGINT) AS max_bucket,
          |       n AS sample_docs, na_num AS non_ascii_chars,
          |       na_den AS total_chars, universe AS distinct_grams,
          |       half_seen AS half_seen_grams, est AS est_pairs
          |FROM sel""".stripMargin,
+
+    // Probe decision + the recommended chain, with the decision as the
+    // tripwire: on this corpus the probe provably recommends
+    // (token, uncapped) — q202 at sf0.001/sf0.01/sf0.1 — so the pair
+    // relation replayed here is q199's token chain, and the final select
+    // is gated on the decision actually being (token, 0). Any drift in
+    // the probe rules, the sample, or the dispatch turns this gate
+    // loudly red (empty vs non-empty) rather than comparing the wrong
+    // chain.
+    "q203_dedup_auto" ->
+      s"""WITH ${probeDecisionCtes("p_")},
+         |${tokenMinhashPairsCtes(LshBanding.Scaled, 3)}
+         |SELECT id_a, id_b, jaccard FROM pr, p_sel
+         |WHERE p_sel.profile = 'token'
+         |  AND CAST(CASE WHEN p_sel.est > 16*p_sel.n THEN 500 ELSE 0 END AS BIGINT) = 0
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by
