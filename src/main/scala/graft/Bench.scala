@@ -318,6 +318,9 @@ object Bench {
   //   token chain on this corpus; both components are timed (q199
   //   headline, probe excluded per q202's line above), so the composite
   //   would double-count q199's volume.
+  // - q204_dedup_canonical_auto: q203's chain + the q78-shape cluster/
+  //   keep join, whose corpus-scale legs are timed by q199 and
+  //   q66b/q78 — same double-count rationale.
   // Forced-fallback twins (q44b/q70b/q72b/q81b/q120b) duplicate their
   // default entries' volume with a pinned physical strategy — headline
   // keeps the default; the exceptions are q170b/q173b, where the forced

@@ -1259,6 +1259,21 @@ object Dedup {
       .drop("_cluster_id", "rep_id")
   }
 
+  /** [[canonicalize]] through the AUTO front door (r15): the full
+    * "dedup my corpus" one-liner — probe ([[recommendProfile]]) →
+    * recommended profile/cap pairs ([[nearDupPairsAuto]]) → clusters →
+    * keep-min-id — so the scale-safety analysis guards the most common
+    * END-TO-END operation, not just the pair stage. Gate q204 replays
+    * probe + dispatch + clusters + the kept corpus in one oracle. */
+  def canonicalizeAuto(docs: DataFrame, id: String, text: String,
+                       threshold: Double): DataFrame = {
+    val clusters = connectedComponents(nearDupPairsAuto(docs, id, text, threshold))
+      .withColumnRenamed("doc_id", "_cluster_id")
+    docs.join(clusters, docs(id) === col("_cluster_id"), "left")
+      .filter(col("rep_id").isNull || col("rep_id") === docs(id))
+      .drop("_cluster_id", "rep_id")
+  }
+
   /** [[canonicalize]] under the keep-BEST policy: each near-dup cluster
     * keeps its member with the greatest (`score`, id) instead of the
     * smallest id — the policy real curation pipelines usually want

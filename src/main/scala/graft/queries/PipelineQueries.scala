@@ -2423,6 +2423,18 @@ object PipelineQueries extends QueryPack {
       Dedup.nearDupPairsAuto(load(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- The auto front door APPLIED (q78's shape through the probe):
+    // probe → recommended-profile pairs → clusters → kept corpus, as
+    // the one call a curation pipeline makes. Oracle = probe tripwire +
+    // token pair chain + recursive reachability + keep-min-id join.
+    "q204_dedup_canonical_auto" -> ((s, dir) => {
+      Dedup.canonicalizeAuto(
+          load(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text", 0.7)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2662,6 +2674,27 @@ object PipelineQueries extends QueryPack {
          |WHERE p_sel.profile = 'token'
          |  AND CAST(CASE WHEN p_sel.est > 16*p_sel.n THEN 500 ELSE 0 END AS BIGINT) = 0
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q78's canonical-corpus oracle over the AUTO-dispatched (token)
+    // pair chain, with the same probe tripwire as q203.
+    "q204_dedup_canonical_auto" ->
+      s"""WITH RECURSIVE ${probeDecisionCtes("p_")},
+         |${tokenMinhashPairsCtes(LshBanding.Scaled, 3)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+         |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+         |       FROM reach GROUP BY v)
+         |SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |CROSS JOIN p_sel
+         |WHERE (cl.rep_id IS NULL OR cl.rep_id = d.doc_id)
+         |  AND p_sel.profile = 'token'
+         |  AND CAST(CASE WHEN p_sel.est > 16*p_sel.n THEN 500 ELSE 0 END AS BIGINT) = 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by

@@ -66,6 +66,26 @@ class AutoDispatchSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.candidatePairBudget")
   }
 
+  test("canonicalizeAuto == clusters-over-auto-pairs keep-min (the q204 shape)") {
+    // 8-copy families (400 docs, 50 distinct texts): the probe still
+    // picks token/uncapped (saturated universe, est under the 16/doc cap
+    // trigger) and the dispatched chain must collapse each family to its
+    // min id
+    val d = docs(i => saturatedDoc(i % 50), 400)
+    val auto = Dedup.canonicalizeAuto(d, "doc_id", "text", 0.7)
+    val pairs = Dedup.nearDupPairsAuto(d, "doc_id", "text", 0.7)
+    val clusters = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "_cid")
+    val manual = d.join(clusters, d("doc_id") === org.apache.spark.sql.functions.col("_cid"), "left")
+      .filter(org.apache.spark.sql.functions.col("rep_id").isNull ||
+        org.apache.spark.sql.functions.col("rep_id") === d("doc_id"))
+      .drop("_cid", "rep_id")
+    val a = auto.select("doc_id").collect().map(_.getLong(0)).toSet
+    val m = manual.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === m)
+    assert(a.size < 400, "the saturated corpus has near-dups to drop")
+  }
+
   test("guard observability: lastGuardStats carries the histogram summary") {
     val d = docs(organicDoc, 200)
     val mp = Dedup.minHashLshPairsManaged(d, "doc_id", "text", 0.7)
