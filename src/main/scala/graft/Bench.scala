@@ -679,6 +679,19 @@ object Bench {
       System.err.println(s"[bench] FAILED: ${failed.size} queries errored deterministically: " +
         failed.mkString(","))
     println(line)
+    // The driver's BENCH_rN.json records only a 2000-char tail of this
+    // process's output, which the full JSON line outgrows ("parsed":
+    // null every round — r14 verdict wrinkle #4; the driver side is not
+    // editable). Full-sweep runs therefore ALSO write the structured
+    // line to a stable repo-root file, which the driver's end-of-round
+    // commit then lands in git automatically. Subset (diagnostic) runs
+    // skip the write so they can never masquerade as a full capture.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_latest_local.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] artifact write skipped: ${e.getMessage}") }
     spark.stop()
     if (contaminated || failed.nonEmpty) sys.exit(1)
   }
