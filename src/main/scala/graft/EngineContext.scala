@@ -699,6 +699,25 @@ class EngineContext(val spark: SparkSession) {
     if (viewName.nonEmpty) df.createOrReplaceTempView(viewName)
     df
   }
+
+  /** Record a dedup-probe recommendation in the engine log (r15 verdict
+    * #5): the WHY fields (non-ASCII rate, gram-universe growth, estimated
+    * pairs/doc) used to live only in a JVM-global register
+    * (Dedup.lastRecommendation — last-writer-wins under concurrency) and
+    * an slf4j line; a pipeline that just ran an auto dedup passes the
+    * recommendation it was HANDED here and gets a durable row next to the
+    * run's query records. Returns the recommendation for call chaining.
+    * rows = the probed sample size, in the row-count column's spirit. */
+  def logDedupRecommendation(rec: operators.Dedup.DedupProfileRecommendation)
+      : operators.Dedup.DedupProfileRecommendation = {
+    queryLog.annotate("dedup.recommendProfile",
+      f"profile=${rec.profile} maxBucket=${rec.maxBucket} " +
+        f"sampleDocs=${rec.sampleDocs} nonAsciiRate=${rec.nonAsciiRate}%.4f " +
+        f"newGramRate=${rec.newGramRate}%.4f estPairs=${rec.estPairs} " +
+        f"estPairsPerDoc=${rec.estPairsPerDoc}%.2f",
+      rows = rec.sampleDocs)
+    rec
+  }
 }
 
 object EngineContext {

@@ -43,6 +43,16 @@ class QueryLog(spark: SparkSession, maxEntries: Int = 10000) {
 
   spark.listenerManager.register(listener)
 
+  /** Operator-supplied annotation row (r15 verdict #5): pipelines record
+    * WHY-decisions (e.g. the dedup probe's recommendation) NEXT TO the
+    * query rows the listener captures, so the run's record carries its
+    * own attribution — the reference's bc.log takes engine-side log lines
+    * the same way. `detail` lands in plan_head (the free-text column);
+    * status is "note" so consumers can filter annotations from actions. */
+  def annotate(func: String, detail: String, rows: Long = -1L): Unit =
+    add(Entry(System.currentTimeMillis(), func, 0.0, rows, "note", "",
+      detail.take(500)))
+
   /** The log as a queryable DataFrame. */
   def table(): DataFrame = {
     import spark.implicits._

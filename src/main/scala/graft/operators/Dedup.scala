@@ -153,7 +153,16 @@ object Dedup {
     * hatch (token shingles degenerate on unsegmented text), so the auto
     * front door needs it dispatchable here too (r15). */
   def minHashLshPairsCp(docs: DataFrame, id: String, text: String,
-                        threshold: Double, maxBucket: Long): DataFrame = {
+                        threshold: Double, maxBucket: Long): DataFrame =
+    minHashLshPairsCpManaged(docs, id, text, threshold, maxBucket).df
+
+  /** [[minHashLshPairsCp]] with a deterministic-release handle (and the
+    * guard's candidate estimate) — the [[ManagedPairs]] contract for the
+    * codepoint profile, so [[nearDupPairsAutoManaged]] can hand back a
+    * handle whatever profile the probe dispatches to (r15 advisor). */
+  def minHashLshPairsCpManaged(docs: DataFrame, id: String, text: String,
+                               threshold: Double,
+                               maxBucket: Long = 0L): ManagedPairs = {
     val sets = truncateLineage(gramSetsCp(docs, id, text))
     val sigs = sets.select(col("sid") +: size(col("gs")).as("gn") +:
       MinHashParams.indices.map(j =>
@@ -166,12 +175,13 @@ object Dedup {
     try {
       val sizes = sharedSizes(bandRel, maxBucket)
       try {
-        guardCandidateBudget(bandRel, maxBucket, CpHatches, sizes)
+        val estPairs = guardCandidateBudget(bandRel, maxBucket, CpHatches, sizes)
         val cands = pairsFromBands(bandRel, threshold, sizeAware = true,
           maxBucket, sizes)
-        truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
-          .select(col("id_a"), col("id_b"), jaccardCol)
-          .filter(col("jaccard") >= threshold)
+        new ManagedPairs(
+          truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
+            .select(col("id_a"), col("id_b"), jaccardCol)
+            .filter(col("jaccard") >= threshold), estPairs)
       } finally sizes.foreach(_.unpersist(blocking = false))
     } finally bandRel.unpersist(blocking = false)
   }
@@ -230,19 +240,31 @@ object Dedup {
   def minHashLshPairsTokens(docs: DataFrame, id: String, text: String,
                             threshold: Double, k: Int = 3,
                             banding: LshBanding = LshBanding.Scaled,
-                            maxBucket: Long = 0L): DataFrame = {
+                            maxBucket: Long = 0L): DataFrame =
+    minHashLshPairsTokensManaged(docs, id, text, threshold, k, banding,
+      maxBucket).df
+
+  /** [[minHashLshPairsTokens]] with a deterministic-release handle (and
+    * the guard's candidate estimate) — the [[ManagedPairs]] contract for
+    * the token profile (r15 advisor: the auto front door needs a handle
+    * on every dispatch path). */
+  def minHashLshPairsTokensManaged(docs: DataFrame, id: String, text: String,
+                                   threshold: Double, k: Int = 3,
+                                   banding: LshBanding = LshBanding.Scaled,
+                                   maxBucket: Long = 0L): ManagedPairs = {
     val sets = truncateLineage(tokenShingleSets(docs, id, text, k))
     val bandRel = bandRelation(wideSignaturesFromSets(sets, banding),
       sizeAware = true, banding).persist()
     try {
       val sizes = sharedSizes(bandRel, maxBucket)
       try {
-        guardCandidateBudget(bandRel, maxBucket, TokenHatches, sizes)
+        val estPairs = guardCandidateBudget(bandRel, maxBucket, TokenHatches, sizes)
         val cands = pairsFromBands(bandRel, threshold, sizeAware = true,
           maxBucket, sizes)
-        truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
-          .select(col("id_a"), col("id_b"), jaccardCol)
-          .filter(col("jaccard") >= threshold)
+        new ManagedPairs(
+          truncateLineage(minHashVerify(cands, sets, useBroadcastMap = false, threshold))
+            .select(col("id_a"), col("id_b"), jaccardCol)
+            .filter(col("jaccard") >= threshold), estPairs)
       } finally sizes.foreach(_.unpersist(blocking = false))
     } finally bandRel.unpersist(blocking = false)
   }
@@ -476,7 +498,14 @@ object Dedup {
     * anyway, surfaced in the lastDistributedRounds observability mold
     * (r14 verdict #1: the guard's one aggregate should serve
     * observability too, not just the throw). (-1,-1,-1) = guard disabled
-    * on the last call. Diagnostics only, never control flow. */
+    * on the last call. Diagnostics only, never control flow.
+    *
+    * ==Last-writer-wins== (r15 advisor): this is a JVM-global register —
+    * concurrent dedup pipelines in one session clobber each other's
+    * reading, so it attributes correctly only when calls are serialized
+    * (the ScalingBench pattern). Callers needing PER-CALL attribution
+    * should read the value threaded through return types instead:
+    * [[ManagedPairs.guardEstPairs]] (every managed/auto pipeline). */
   def lastGuardStats: (Long, Long, Long) = lastGuard.get()
   private val lastGuard =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long)]((-1L, -1L, -1L))
@@ -643,9 +672,17 @@ object Dedup {
       estPairs = estPairs)
   }
 
-  /** The recommendation [[nearDupPairsAuto]] last acted on — WHY fields
-    * included — in the lastDistributedRounds observability mold.
-    * Diagnostics only, never control flow. */
+  /** The recommendation the auto front door ([[nearDupPairsAuto]] /
+    * [[canonicalizeAuto]] / [[dedupIndexAuto]]) last acted on — WHY
+    * fields included — in the lastDistributedRounds observability mold.
+    * Diagnostics only, never control flow.
+    *
+    * ==Last-writer-wins== (r15 advisor): JVM-global — concurrent auto
+    * calls in one session clobber each other's reading; attribution is
+    * only per-call when calls are serialized. For durable per-run
+    * attribution next to the query record, use
+    * [[graft.EngineContext.logDedupRecommendation]], which writes the
+    * recommendation it is HANDED (not this register) to the engine log. */
   def lastRecommendation: Option[DedupProfileRecommendation] = lastRec.get()
   private val lastRec = new java.util.concurrent.atomic
     .AtomicReference[Option[DedupProfileRecommendation]](None)
@@ -671,19 +708,30 @@ object Dedup {
     * directly. The recommendation (with its WHY measurements) is logged
     * and kept in [[lastRecommendation]]. */
   def nearDupPairsAuto(docs: DataFrame, id: String, text: String,
-                       threshold: Double, sampleDocs: Int = 2048): DataFrame = {
+                       threshold: Double, sampleDocs: Int = 2048): DataFrame =
+    nearDupPairsAutoManaged(docs, id, text, threshold, sampleDocs).df
+
+  /** [[nearDupPairsAuto]] with a deterministic-release handle (r15
+    * advisor: the advertised default entry point used to discard the
+    * [[ManagedPairs]] on the char path, so long-lived sessions had no
+    * `close()` and lost the guard's candidate estimate). Every dispatch
+    * path now returns the handle; `guardEstPairs` carries the chosen
+    * profile's pre-flight estimate per call (no shared-register race). */
+  def nearDupPairsAutoManaged(docs: DataFrame, id: String, text: String,
+                              threshold: Double,
+                              sampleDocs: Int = 2048): ManagedPairs = {
     val rec = recommendProfile(docs, id, text, sampleDocs)
     lastRec.set(Some(rec))
     log.info(s"nearDupPairsAuto: profile=${rec.profile} maxBucket=${rec.maxBucket} " +
       f"(sample=${rec.sampleDocs} nonAsciiRate=${rec.nonAsciiRate}%.3f " +
       f"newGramRate=${rec.newGramRate}%.3f estPairsPerDoc=${rec.estPairsPerDoc}%.1f)")
     rec.profile match {
-      case "token" => minHashLshPairsTokens(docs, id, text, threshold,
+      case "token" => minHashLshPairsTokensManaged(docs, id, text, threshold,
         k = 3, banding = LshBanding.Scaled, maxBucket = rec.maxBucket)
-      case "codepoint" => minHashLshPairsCp(docs, id, text, threshold,
+      case "codepoint" => minHashLshPairsCpManaged(docs, id, text, threshold,
         maxBucket = rec.maxBucket)
       case _ => minHashLshPairsManaged(docs, id, text, threshold,
-        BroadcastVerifyMaxBytes, LshBanding.Scaled, rec.maxBucket).df
+        BroadcastVerifyMaxBytes, LshBanding.Scaled, rec.maxBucket)
     }
   }
 
@@ -1101,11 +1149,54 @@ object Dedup {
     * the per-batch O(corpus) cost incrementalPairs exists to avoid; at
     * build time it is one extra aggregate amortized over every batch. */
   final case class DedupIndex(bands: DataFrame, sets: DataFrame,
-                              bandSizes: Option[DataFrame] = None)
+                              bandSizes: Option[DataFrame] = None,
+                              /** Shingle profile the index was built under
+                                * ("char" | "codepoint" | "token") — recorded
+                                * IN the index so every incoming batch is
+                                * shingled/banded the same way (r15 verdict
+                                * #4: the batch side must dispatch off the
+                                * index, or a token-profile index would be
+                                * probed with char bands and match nothing). */
+                              profile: String = "char",
+                              banding: LshBanding = LshBanding.Default,
+                              maxBucket: Long = 0L)
 
   def dedupIndex(docs: DataFrame, id: String, text: String): DedupIndex = {
     val sets = gramSets(docs, id, text)
     DedupIndex(bandRelation(signaturesFromSets(sets), sizeAware = true), sets)
+  }
+
+  /** [[dedupIndex]] through the auto front door (r15 verdict #4): probe
+    * the corpus ONCE at index-build time ([[recommendProfile]]) and build
+    * the index under the recommended shingle profile, banding, and bucket
+    * cap — recorded in the returned [[DedupIndex]] so every
+    * [[incrementalPairs]] batch dispatches consistently for the index's
+    * whole lifetime (re-probing per batch could flip the profile
+    * mid-stream and silently stop matching the indexed bands). The
+    * build-time band histogram ([[indexBandSizes]]) is always attached:
+    * its cost is one aggregate amortized over every batch, and it enables
+    * both the probe-side pre-flight and the recorded cap's index-side
+    * prune. Dispatch table mirrors [[nearDupPairsAuto]] (char probes
+    * recommend the Scaled banding — the large-corpus profile the probe's
+    * own Σ C(bucket,2) estimate was computed under). */
+  def dedupIndexAuto(docs: DataFrame, id: String, text: String,
+                     sampleDocs: Int = 2048): DedupIndex = {
+    val rec = recommendProfile(docs, id, text, sampleDocs)
+    lastRec.set(Some(rec))
+    log.info(s"dedupIndexAuto: profile=${rec.profile} maxBucket=${rec.maxBucket} " +
+      f"(sample=${rec.sampleDocs} nonAsciiRate=${rec.nonAsciiRate}%.3f " +
+      f"newGramRate=${rec.newGramRate}%.3f estPairsPerDoc=${rec.estPairsPerDoc}%.1f)")
+    val (sets, banding) = rec.profile match {
+      case "token"     => (tokenShingleSets(docs, id, text), LshBanding.Scaled)
+      case "codepoint" => (gramSetsCp(docs, id, text), LshBanding.Default)
+      case _           => (gramSets(docs, id, text), LshBanding.Scaled)
+    }
+    val sigs =
+      if (rec.profile == "char") signaturesFromSets(sets, banding)
+      else wideSignaturesFromSets(sets, banding)
+    val bands = bandRelation(sigs, sizeAware = true, banding)
+    DedupIndex(bands, sets, Some(indexBandSizes(bands)),
+      rec.profile, banding, rec.maxBucket)
   }
 
   /** The (sig, _bs) histogram for a [[DedupIndex]]'s band relation —
@@ -1133,7 +1224,15 @@ object Dedup {
     * at scale (the q44b-proven strategy), so it is also the one proven
     * here (q81 oracle). The sets side is first pruned to candidate ids by
     * a broadcast semi join, so the verify exchange moves batch-sized data
-    * regardless of index size (SCALING.md's fixed-batch curve). */
+    * regardless of index size (SCALING.md's fixed-batch curve).
+    *
+    * ==Profile dispatch (r15 verdict #4)==: the batch is shingled and
+    * banded under `index.profile`/`index.banding` — the profile recorded
+    * at build time ([[dedupIndexAuto]] probes it; [[dedupIndex]] pins the
+    * classic char default) — and the recorded `index.maxBucket` applies
+    * to both the within-batch self-join and (via the build-time
+    * histogram) the probe join's index side. The returned `jaccard` is
+    * therefore the INDEX profile's resemblance measure. */
   def incrementalPairs(index: DedupIndex, incoming: DataFrame, id: String,
                        text: String, threshold: Double): DataFrame =
     incrementalPairs(index, incoming, id, text, threshold,
@@ -1145,28 +1244,59 @@ object Dedup {
   def incrementalPairs(index: DedupIndex, incoming: DataFrame, id: String,
                        text: String, threshold: Double,
                        forceSemiPrune: Boolean): DataFrame = {
-    val inSets = gramSets(incoming, id, text).persist()
+    // The batch is shingled/banded under the INDEX's recorded profile
+    // (r15 verdict #4): band sigs only collide within one (profile,
+    // banding) family, so a mismatched batch would silently probe nothing
+    // — consistency is the index's contract, not a caller obligation.
+    val inSets = (index.profile match {
+      case "token"     => tokenShingleSets(incoming, id, text)
+      case "codepoint" => gramSetsCp(incoming, id, text)
+      case _           => gramSets(incoming, id, text)
+    }).persist()
     try {
       // Persisted for the same reason as the main pipeline's band relation:
       // the probe join and the within-batch self-join (both sides) share
       // one signature pass over the batch.
-      val inBands = bandRelation(signaturesFromSets(inSets), sizeAware = true).persist()
+      val inSigs =
+        if (index.profile == "char") signaturesFromSets(inSets, index.banding)
+        else wideSignaturesFromSets(inSets, index.banding)
+      val inBands = bandRelation(inSigs, sizeAware = true, index.banding).persist()
       try {
         // same pre-flight as the batch pipelines: a saturated BATCH would
         // quadratically blow up the within-batch self-join below (message
-        // names only the knobs THIS site has — r14 advisor)
-        guardCandidateBudget(inBands, maxBucket = 0L, IncrementalHatches)
+        // names only the knobs THIS site has — r14 advisor). The index's
+        // recorded cap applies to the batch self-join exactly as in the
+        // batch pipelines.
+        guardCandidateBudget(inBands, maxBucket = index.maxBucket,
+          IncrementalHatches)
+        // The recorded cap's INDEX-side prune (r15 verdict #4): an
+        // auto-built capped index drops its over-cap band buckets from the
+        // probe join — the same hot-bucket/low-precision trade the batch
+        // pipelines make, decided once at build time by the probe. Needs
+        // the build-time histogram; dedupIndexAuto always attaches it (a
+        // hand-built capped index without bandSizes keeps its full band
+        // relation — there is no way to prune it without re-scanning).
+        val idxBands = index.bandSizes match {
+          case Some(idxSizes) if index.maxBucket > 0L =>
+            index.bands.join(
+              idxSizes.filter(col("_bs") <= index.maxBucket).select(col("sig")),
+              Seq("sig"))
+          case _ => index.bands
+        }
         // probe-side pre-flight (opt-in via index.bandSizes): hot INDEX
         // buckets hit by batch bands blow up the probe join even when the
         // batch itself is healthy. Candidates = Σ over colliding sigs of
         // n_index·n_batch — one aggregate joining the precomputed index
-        // histogram against the (tiny) batch histogram.
+        // histogram against the (tiny) batch histogram. Estimated over the
+        // buckets the probe join will actually visit (≤ cap when capped).
         index.bandSizes.foreach { idxSizes =>
           val budget = inBands.sparkSession.conf
             .getOption("graft.dedup.candidatePairBudget")
             .map(_.toLong).getOrElse(DefaultCandidatePairBudget)
           if (budget > 0L) {
-            val r = idxSizes.select(col("sig"), col("_bs").as("_bsx"))
+            val visited = if (index.maxBucket > 0L)
+              idxSizes.filter(col("_bs") <= index.maxBucket) else idxSizes
+            val r = visited.select(col("sig"), col("_bs").as("_bsx"))
               .join(bucketSizes(inBands), Seq("sig"))
               .agg(sum(col("_bsx") * col("_bs")), max(col("_bsx")))
               .collect()(0)
@@ -1178,20 +1308,21 @@ object Dedup {
               "(graft.dedup.candidatePairBudget). The INDEX has hot band " +
               "buckets (saturated or exact-dup-heavy corpus) that this batch " +
               "collides with. Rebuild the index under the token profile or a " +
-              "bucket cap (recommendProfile / nearDupPairsAuto pick these), " +
+              "bucket cap (recommendProfile / dedupIndexAuto pick these), " +
               "or raise the budget if this volume is genuinely intended.")
           }
         }
         // band id is baked into the xxhash64 sig, so sig equality alone is
         // the banding condition; the size-ratio prefilter drops pairs that
         // cannot reach the jaccard threshold before the distinct's shuffle
-        val probe = index.bands.as("x").join(inBands.as("y"),
+        val probe = idxBands.as("x").join(inBands.as("y"),
             col("x.sig") === col("y.sig") &&
               least(col("x.gn"), col("y.gn")).cast("double") >=
                 lit(threshold) * greatest(col("x.gn"), col("y.gn")))
           .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
           .distinct()
-        val intra = pairsFromBands(inBands, threshold, sizeAware = true)
+        val intra = pairsFromBands(inBands, threshold, sizeAware = true,
+          index.maxBucket)
         val cand = probe.unionByName(intra).persist()
         try {
           // The verify join must NOT shuffle the whole index: candidates

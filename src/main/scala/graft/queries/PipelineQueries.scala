@@ -128,10 +128,11 @@ object PipelineQueries extends QueryPack {
   // candidate skeleton; the degenerate <k-token doc keeps ONE whole-doc
   // shingle via greatest(…, 2) on the range bound, mirroring the Spark
   // side's greatest(size−k+1, 1).
-  private def tokenMinhashPairsCtes(banding: LshBanding, k: Int) = {
+  private def tokenMinhashPairsCtes(banding: LshBanding, k: Int,
+                                    src: String = "documents") = {
     val wideMin = (0 until banding.numHashes)
       .map(j => s"min(${minHashJWideSql("h", j)}) AS m$j").mkString(", ")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
        |tg AS (SELECT doc_id, array_to_string(ts[i:i+${k - 1}], ' ') AS g
        |       FROM toks, unnest(range(1, greatest(len(ts) - ${k - 2}, 2))) AS r(i)),
        |hs AS MATERIALIZED (
@@ -159,11 +160,11 @@ object PipelineQueries extends QueryPack {
   // with a full pair chain (whose toks/hs/mh/bands/cand names would
   // otherwise collide). One definition, two consumers: q202 gates the
   // probe's DECISION, q203 gates the decision ACTED ON.
-  private def probeDecisionCtes(p: String) =
+  private def probeDecisionCtes(p: String, src: String = "documents") =
     s"""${p}smp AS MATERIALIZED (
        |  SELECT doc_id, text AS t,
        |         (${graft.operators.TextAnalysis.md5Hash48Sql("text")} % 2 = 0) AS half
-       |  FROM documents
+       |  FROM $src
        |  WHERE text IS NOT NULL AND length(text) > 0
        |  ORDER BY ${graft.operators.TextAnalysis.md5Hash48Sql("text")}, doc_id
        |  LIMIT 2048),
@@ -2435,6 +2436,25 @@ object PipelineQueries extends QueryPack {
           "doc_id", "text", 0.7)
         .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- The INCREMENTAL path through the auto front door (r15 verdict
+    // #4): the index is built by dedupIndexAuto — probe at BUILD time,
+    // profile/cap recorded IN the index — and q81's batch arrives against
+    // it, dispatching off the recorded profile (token on this corpus; the
+    // probe over the <400 slice measures universe 377, half-covered ⇒
+    // saturated, at every SF). Oracle = probe tripwire over the indexed
+    // slice + the full-corpus TOKEN pair chain filtered to batch-touching
+    // pairs (q81's equivalence argument, q199's resemblance).
+    "q205_dedup_index_auto" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val existing = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400).unionByName(
+        docs.filter(col("doc_id") < 30).withColumn("doc_id", col("doc_id") + 300000L))
+      Dedup.incrementalPairs(
+          Dedup.dedupIndexAuto(existing, "doc_id", "text"), batch,
+          "doc_id", "text", 0.7)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2695,6 +2715,26 @@ object PipelineQueries extends QueryPack {
          |  AND p_sel.profile = 'token'
          |  AND CAST(CASE WHEN p_sel.est > 16*p_sel.n THEN 500 ELSE 0 END AS BIGINT) = 0
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Probe replay over the INDEXED slice (existing = doc_id < 400) as
+    // the tripwire — (token, cap 0) is the decision the probe provably
+    // makes on that slice at every SF — plus the full-corpus token pair
+    // chain filtered to batch-touching pairs: existing ids are all <400
+    // and batch ids ≥400, so "id_b ≥ 400" ⇔ "at least one endpoint
+    // incoming" (q81's equivalence argument under q199's resemblance).
+    "q205_dedup_index_auto" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id < 30),
+         |existing AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |${probeDecisionCtes("p_", "existing")},
+         |${tokenMinhashPairsCtes(LshBanding.Scaled, 3, "corpus")}
+         |SELECT id_a, id_b, jaccard FROM pr, p_sel
+         |WHERE id_b >= 400
+         |  AND p_sel.profile = 'token'
+         |  AND CAST(CASE WHEN p_sel.est > 16*p_sel.n THEN 500 ELSE 0 END AS BIGINT) = 0
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components as min-reachable-id: u's representative is the
     // smallest id reachable through the symmetrized pair graph. Shared by

@@ -335,6 +335,28 @@ class EngineContextSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("status") == "success"))
   }
 
+  test("logDedupRecommendation: probe WHY fields land as a note row next to the run (r15 verdict #5)") {
+    val c = ctx
+    c.queryLog.clear()
+    // the recommendation the pipeline was HANDED — per-call attribution,
+    // not the JVM-global last-writer-wins register
+    val rec = operators.Dedup.DedupProfileRecommendation(
+      profile = "token", maxBucket = 0L, sampleDocs = 2048L,
+      nonAsciiChars = 12L, totalChars = 123585L,
+      distinctGrams = 377L, halfSeenGrams = 377L, estPairs = 93L)
+    assert(c.logDedupRecommendation(rec) eq rec, "returns its argument for chaining")
+    // annotations are synchronous (no listener bus hop)
+    val notes = c.log().filter("status = 'note' AND func = 'dedup.recommendProfile'")
+      .collect()
+    assert(notes.length == 1)
+    val detail = notes(0).getAs[String]("plan_head")
+    assert(detail.contains("profile=token") && detail.contains("maxBucket=0"))
+    assert(detail.contains("newGramRate=0.0000"),
+      s"fully-covered half ⇒ newGramRate 0, got: $detail")
+    assert(detail.contains("estPairs=93"))
+    assert(notes(0).getAs[Long]("rows") == 2048L, "rows column carries the probed sample size")
+  }
+
   test("query log records output row counts from executed-plan metrics") {
     val c = ctx
     c.queryLog // install listener before the query runs

@@ -126,6 +126,79 @@ class AutoDispatchSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.candidatePairBudget")
   }
 
+  test("nearDupPairsAutoManaged: handle on the auto path carries the guard estimate (r15 advisor)") {
+    val d = docs(saturatedDoc, 300)
+    val mp = Dedup.nearDupPairsAutoManaged(d, "doc_id", "text", 0.7, sampleDocs = 256)
+    try {
+      assert(mp.guardEstPairs >= 0L,
+        "auto handle must surface the chosen profile's pre-flight estimate per call")
+      assert(rows(mp.df) ===
+        rows(Dedup.nearDupPairsAuto(d, "doc_id", "text", 0.7, sampleDocs = 256)))
+    } finally mp.close()
+  }
+
+  test("dedupIndexAuto: probe at BUILD time → token index; batches dispatch off the recorded profile (q205 shape)") {
+    import org.apache.spark.sql.functions.col
+    val existing = docs(saturatedDoc, 400)
+    val batch = docs(i => saturatedDoc(i % 40), 100)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val idx = Dedup.dedupIndexAuto(existing, "doc_id", "text", sampleDocs = 256)
+    assert(idx.profile === "token" && idx.maxBucket === 0L,
+      s"saturated varied corpus → (token, uncapped); got (${idx.profile}, ${idx.maxBucket})")
+    assert(idx.bandSizes.nonEmpty, "auto index always attaches the build-time histogram")
+    val inc = Dedup.incrementalPairs(idx, batch, "doc_id", "text", 0.7)
+    // oracle-style equivalence (the q81 argument under q199's resemblance):
+    // full-corpus token pairs restricted to batch-touching pairs — band
+    // collisions are identical in both paths, verify is exact
+    val full = Dedup.minHashLshPairsTokens(existing.unionByName(batch),
+        "doc_id", "text", 0.7, k = 3, banding = TextHashing.LshBanding.Scaled)
+      .filter(col("id_b") >= 5000L)
+    assert(rows(inc) === rows(full))
+    assert(rows(inc).nonEmpty, "the %40 batch repeats existing texts — pairs must exist")
+  }
+
+  test("dedupIndexAuto: CJK corpus → codepoint index, batch dispatches codepoint") {
+    import org.apache.spark.sql.functions.col
+    val existing = docs(cjkDoc, 200)
+    val batch = docs(i => cjkDoc(i % 20), 60)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val idx = Dedup.dedupIndexAuto(existing, "doc_id", "text", sampleDocs = 128)
+    assert(idx.profile === "codepoint",
+      s"CJK corpus must build a codepoint index; got ${idx.profile}")
+    val inc = Dedup.incrementalPairs(idx, batch, "doc_id", "text", 0.7)
+    val full = Dedup.minHashLshPairsCp(existing.unionByName(batch),
+        "doc_id", "text", 0.7, maxBucket = idx.maxBucket)
+      .filter(col("id_b") >= 5000L)
+    assert(rows(inc) === rows(full))
+    assert(rows(inc).nonEmpty, "the %20 batch repeats existing texts — pairs must exist")
+  }
+
+  test("dedupIndexAuto: dup-storm index RECORDS the cap, and the recorded cap governs the probe side") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs(i => saturatedDoc(0) + " x" + (i % 3), 300)
+    val batch = docs(i => saturatedDoc(0) + " x" + (i % 3), 50)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val idx = Dedup.dedupIndexAuto(corpus, "doc_id", "text", sampleDocs = 256)
+    assert(idx.maxBucket === 500L, s"storm must record the cap (got ${idx.maxBucket})")
+    spark.conf.set("graft.dedup.candidatePairBudget", "10000")
+    try {
+      // uncapped twin of the same index: the ~100-doc hot buckets put the
+      // probe estimate (Σ n_idx·n_batch over colliding sigs ≈ 30k) over
+      // the budget — the r14 pre-flight fires
+      intercept[IllegalStateException] {
+        Dedup.incrementalPairs(idx.copy(maxBucket = 0L), batch,
+          "doc_id", "text", 0.7).count()
+      }
+      // a cap tighter than every storm bucket prunes ALL hot buckets on
+      // the index side (and the batch self-join): the same batch now
+      // passes the same budget and the pipeline completes — the recorded
+      // cap, not the caller, governs the probe join
+      val capped = Dedup.incrementalPairs(idx.copy(maxBucket = 2L), batch,
+        "doc_id", "text", 0.7)
+      assert(capped.count() === 0L, "every storm bucket is hot: cap 2 prunes all candidates")
+    } finally spark.conf.unset("graft.dedup.candidatePairBudget")
+  }
+
   test("incremental within-batch guard message names only this site's knobs") {
     val idx = Dedup.dedupIndex(docs(organicDoc, 50), "doc_id", "text")
     val hotBatch = docs(i => saturatedDoc(0) + " z" + (i % 3), 300)

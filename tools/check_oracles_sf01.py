@@ -26,13 +26,40 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+CACHE_DIR = "/root/.cache/graft_oracle_sf01"
+
+
+def _cache_key(name: str, sql: str, sf_dir: str) -> str:
+    """Oracle-result cache key (r15 verdict #6: q44's oracle alone is
+    52 min of DuckDB per sf0.1 recheck, and the fixtures are static
+    across rounds): md5 over the oracle SQL + the fixture identity
+    (per-table path+size — the driver-generated parquet never changes in
+    place, and an edited oracle re-keys automatically)."""
+    import hashlib
+    import os
+    h = hashlib.md5()
+    h.update(sql.encode())
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            h.update(f"{p}:{os.path.getsize(p)}".encode())
+        except OSError:
+            h.update(f"{p}:absent".encode())
+    return f"{name}_{h.hexdigest()}"
+
+
 def check_one(name: str, sf_dir: str, out_dir: str, oracles=None) -> dict:
     """Compare one Verify parquet against its DuckDB oracle.
 
     Returns {"status": "ok"|"fail", "rows": int, "oracle_sec": float,
-    "detail": str?}. A fresh bounded connection per query: the suffix
-    oracles spill hundreds of GB on an unbounded one.
+    "detail": str?, "oracle_cached": bool}. A fresh bounded connection
+    per query: the suffix oracles spill hundreds of GB on an unbounded
+    one. Oracle RESULTS are cached keyed on (sql, fixture identity) —
+    the SPARK side is always re-read fresh, so a Spark regression still
+    fails against a cached oracle; only the (static-input, deterministic)
+    DuckDB recompute is skipped.
     """
+    import os
     if oracles is None:
         with open(f"{out_dir}/oracle_sql.json") as f:
             oracles = json.load(f)
@@ -40,24 +67,37 @@ def check_one(name: str, sf_dir: str, out_dir: str, oracles=None) -> dict:
         got = pd.read_parquet(f"{out_dir}/{name}")
     except Exception as e:
         return {"status": "fail", "detail": f"no spark output ({e})"}
-    con = duckdb.connect()  # fresh connection: bounded, isolated spill
-    con.execute("SET memory_limit='48GB'")
-    con.execute("SET temp_directory='/tmp/duck_sf01_spill'")
-    con.execute("SET max_temp_directory_size='60GB'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    t0 = time.time()
-    try:
-        exp = con.execute(oracles[name]).df()
-    except Exception as e:
+    cache_path = os.path.join(CACHE_DIR, _cache_key(name, oracles[name], sf_dir) + ".parquet")
+    cached = os.path.exists(cache_path)
+    if cached:
+        t0 = time.time()
+        exp = pd.read_parquet(cache_path)
+        oracle_sec = round(time.time() - t0, 1)
+    else:
+        con = duckdb.connect()  # fresh connection: bounded, isolated spill
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duck_sf01_spill'")
+        con.execute("SET max_temp_directory_size='60GB'")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        t0 = time.time()
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            con.close()
+            return {"status": "fail", "oracle_sec": round(time.time() - t0, 1),
+                    "detail": f"oracle error: {e}"}
         con.close()
-        return {"status": "fail", "oracle_sec": round(time.time() - t0, 1),
-                "detail": f"oracle error: {e}"}
-    con.close()
-    oracle_sec = round(time.time() - t0, 1)
+        oracle_sec = round(time.time() - t0, 1)
+        try:
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            exp.to_parquet(cache_path)
+        except Exception as e:
+            print(f"[oracle-cache] skip write for {name}: {e}", flush=True)
     g, x = norm(got), norm(exp)
     if list(g.columns) != list(x.columns) or len(g) != len(x):
         return {"status": "fail", "oracle_sec": oracle_sec,
+                "oracle_cached": cached,
                 "detail": f"shape {g.shape} vs {x.shape}"}
     bad = []
     for c in g.columns:
@@ -76,8 +116,9 @@ def check_one(name: str, sf_dir: str, out_dir: str, oracles=None) -> dict:
             bad.append(c)
     if bad:
         return {"status": "fail", "oracle_sec": oracle_sec,
-                "detail": f"value mismatch in {bad}"}
-    return {"status": "ok", "rows": int(len(g)), "oracle_sec": oracle_sec}
+                "oracle_cached": cached, "detail": f"value mismatch in {bad}"}
+    return {"status": "ok", "rows": int(len(g)), "oracle_sec": oracle_sec,
+            "oracle_cached": cached}
 
 
 def main() -> int:

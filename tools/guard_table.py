@@ -33,7 +33,13 @@ def main():
     print("|---|---|---|---|---|")
     tot_on = tot_off = 0.0
     for q in sorted(on):
-        a, b = on[q], off.get(q, float("nan"))
+        # a gate missing/failed on the OFF side would make b NaN and
+        # silently poison the totals row — skip it with a warning instead
+        if q not in off:
+            print(f"| {q} | {on[q]:.3f} | (absent in guard-off captures — "
+                  "skipped from totals) | | |")
+            continue
+        a, b = on[q], off[q]
         tot_on += a
         tot_off += b
         print(f"| {q} | {a:.3f} | {b:.3f} | {a - b:+.3f} | {a / b:.2f}x |")

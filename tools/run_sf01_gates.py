@@ -42,6 +42,10 @@ GATES = [
     # construction (gram-universe coverage changes with the corpus); the
     # probe itself is bounded (2048 docs), so the gate costs ~nothing.
     "q202_dedup_profile",
+    # r15 verdict #4 (added r16): the auto-built incremental index — the
+    # probe decision AND the q81-shape incremental chain both flex with
+    # scale, and the oracle's token chain is cheap next to q44's.
+    "q205_dedup_index_auto",
 ]
 
 
