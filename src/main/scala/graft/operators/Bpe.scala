@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
  *   combinable aggregate whose output is the Heaps-bounded vocabulary
  *   (≪ corpus). Every subsequent round runs on that vocabulary only.
  * - Per round: one vocabulary-sized pair-count aggregate (weighted by
- *   word count, map-side combinable), a 1-row argmax, and a row-local
- *   array rewrite under a broadcast of that single row. No round touches
- *   corpus-sized data; no driver pull is on the answer path (the winning
- *   pair reaches the rewrite as a broadcast 1-row cross join).
+ *   word count, map-side combinable) whose 1-row argmax is COLLECTED
+ *   (a bounded driver pull of one row — the codebook-pull class the
+ *   collect audit sanctions) and inlined into the row-local array
+ *   rewrite as literals, plus the rewrite's lineage-truncation barrier.
+ *   That is 2 driver-visible jobs per round; the earlier form spent 3
+ *   (checkpoint of the 1-row argmax + its broadcast-exchange collect +
+ *   the rewrite barrier), which made this the sweep's most
+ *   job-count-sensitive query under driver/scheduler-latency drift
+ *   (r15 verdict #3 — the q140 audit). No round touches corpus-sized
+ *   data either way; the learned merge list itself is driver-side and
+ *   costs zero jobs to emit.
  * - Lineage is truncated per round (the labelPropagation doctrine), so
  *   plan depth stays O(1) per round instead of O(rounds).
  *
@@ -35,9 +42,11 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
-  /** The learned state: one 1-row relation per round's winning merge,
+  /** The learned state: (round, sym_a, sym_b, pair_count) per winning
+    * merge — driver-side values, the 1-row-per-round argmax collects —
     * plus the vocabulary rewritten through all of them. */
-  private case class Learned(bests: Seq[DataFrame], vocab: DataFrame)
+  private case class Learned(bests: Seq[(Int, String, String, Long)],
+                             vocab: DataFrame)
 
   private def learn(docs: DataFrame, text: String, rounds: Int): Learned = {
     require(rounds >= 1, "need at least one merge round")
@@ -53,30 +62,48 @@ object Bpe {
         """transform(slice(syms, 1, size(syms) - 1),
           |  (s, i) -> named_struct('sa', s, 'sb', element_at(syms, i + 2)))"""
           .stripMargin)).as("pr"))
-      val best = Dedup.truncateLineage(pairs
+      // the 1-row argmax is pulled to the driver (bounded, codebook-pull
+      // class) and the winning pair enters the rewrite as LITERALS — one
+      // job here, one for the rewrite barrier below, and nothing else
+      // per round (r15 verdict #3: the checkpointed-best + broadcast
+      // form cost a third job per round for no answer-path benefit)
+      val bestRow = pairs
         .groupBy(col("pr.sa").as("sa"), col("pr.sb").as("sb"))
         .agg(sum(col("c")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("sa"), col("sb"))
-        .limit(1))
-      syms = Dedup.truncateLineage(syms
-        .crossJoin(broadcast(best.select(col("sa"), col("sb"))))
-        .select(col("w"), col("c"), expr(
-          """aggregate(syms,
-            |  named_struct('out', cast(array() as array<string>), 'just', false),
-            |  (acc, s) -> IF(NOT acc.just AND size(acc.out) > 0
-            |                 AND element_at(acc.out, -1) = sa AND s = sb,
-            |    named_struct('out', concat(slice(acc.out, 1, size(acc.out) - 1),
-            |      array(concat(sa, sb))), 'just', true),
-            |    named_struct('out', concat(acc.out, array(s)), 'just', false)),
-            |  acc -> acc.out)""".stripMargin).as("syms")))
-      best.select(lit(r).as("round"), col("sa").as("sym_a"),
-        col("sb").as("sym_b"), col("pair_count"))
+        .limit(1).collect()(0)
+      val (sa, sb) = (bestRow.getString(0), bestRow.getString(1))
+      val saL = lit(sa)
+      val sbL = lit(sb)
+      val rewrite = aggregate(col("syms"),
+        struct(array().cast("array<string>").as("out"), lit(false).as("just")),
+        (acc, s) => when(!acc.getField("just") && size(acc.getField("out")) > 0 &&
+            element_at(acc.getField("out"), -1) === saL && s === sbL,
+          struct(
+            concat(slice(acc.getField("out"), lit(1),
+                size(acc.getField("out")) - 1),
+              array(concat(saL, sbL))).as("out"),
+            lit(true).as("just")))
+          .otherwise(struct(
+            concat(acc.getField("out"), array(s)).as("out"),
+            lit(false).as("just"))),
+        acc => acc.getField("out"))
+      syms = Dedup.truncateLineage(
+        syms.select(col("w"), col("c"), rewrite.as("syms")))
+      (r, sa, sb, bestRow.getLong(2))
     }
     Learned(merges, syms)
   }
 
-  def bpeMerges(docs: DataFrame, text: String, rounds: Int): DataFrame =
-    learn(docs, text, rounds).bests.reduce(_ unionByName _)
+  def bpeMerges(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // driver-side values → a local relation: emitting the learned table
+    // costs zero jobs (the old form unioned `rounds` checkpointed 1-row
+    // frames)
+    learn(docs, text, rounds).bests
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+  }
 
   /** Tokenize the corpus under the learned merges — per doc, the BPE
     * token and word counts. The scale insight: no document is ever
