@@ -137,7 +137,12 @@ object Bench {
     * blessed capture containing all five). Re-pin on any round that
     * touches one of these code paths. */
   val Controls: Map[String, Double] = Map(
-    "q143_suffix_ranks" -> 9.433,
+    // q143 RE-PINNED r16: its code path changed this round (SuffixIndex
+    // startWidth-32 build — the round's headline optimization), so the
+    // r13 reference (9.433) no longer describes the same computation.
+    // New reference from the round-16 post-change capture on a quiet
+    // host (control_ratio of the other four ≈ 0.97, PE 0.73).
+    "q143_suffix_ranks" -> 7.094,
     "q176_top_pc"       -> 2.980,
     "q170_ann_ivfpq"    -> 3.489,
     "q_tpch_09"         -> 1.067,
@@ -169,7 +174,10 @@ object Bench {
     * Maintenance rule as for [[Controls]]: a round that touches one of
     * these code paths must drop it from the set for that round. */
   val StableTwoRuns: Set[String] = Set(
-    "q143_suffix_ranks", "q144_lcp_repeats", // SuffixIndex.scala, frozen since r10
+    // q143/q144 DROPPED for r16 per the maintenance rule below: this
+    // round rebuilt SuffixIndex.build (startWidth-32 round 1) — they
+    // re-earn the 2-run form once their new medians prove flat across
+    // committed captures.
     "q170_ann_ivfpq", "q170b_ann_ivfpq_shuffle") // SimilaritySearch/PqKernels, frozen since r12
 
   /** Plan measured runs per query against the wall budget (r15 verdict
@@ -645,7 +653,22 @@ object Bench {
     // kind moved individual queries by 5-14 s.
     def spreadOf(ts: Seq[Double]): Double = {
       val ok = ts.drop(1).filter(_ > 0)
-      if (ok.size < 2 || ok.max - ok.min <= 1.0) 1.0
+      if (ok.size < 2) {
+        // REDUCED (2-run) measurements (r16 measurement-bug fix): with one
+        // steady run the old gate was inert, so a contended LAST run became
+        // the blessed median unchallenged — the r16 baseline capture
+        // blessed q143 at 40.8 s off runs [12.9, 40.8] on a quiet host
+        // (every boundary probe silent). Run 1 is warmup-biased (≤
+        // JitImprovementCeiling faster later is expected), so an
+        // IMPROVEMENT says nothing — but run 2 SLOWER than the warmup run
+        // beyond the 2× trigger (and the 1 s floor) is contention by
+        // construction, the same monotone-JIT argument the 3-run gate
+        // uses. Flagging re-measures the query on the next attempt.
+        val all = ts.filter(_ > 0)
+        if (all.size < 2 || all.last - all.head <= 1.0) 1.0
+        else math.max(1.0, all.last / all.head)
+      }
+      else if (ok.max - ok.min <= 1.0) 1.0
       else {
         val ratio = ok.max / ok.min
         val slowdown = ok.indexOf(ok.max) > ok.indexOf(ok.min)
