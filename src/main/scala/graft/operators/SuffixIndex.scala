@@ -58,10 +58,44 @@ object SuffixIndex {
     * corpus is known-bounded and whole-doc suffix identity matters. */
   val DefaultCapTokens: Int = 1 << 16
 
+  /** Default [[build]] starting width (r16 optimization): round 1 ranks
+    * width-32 token SLICES computed row-locally from the split array, so
+    * prefix doubling starts at h = 32 instead of h = 1 — the first five
+    * doubling rounds (1→2→4→8→16→32), each a corpus-wide {equi-join +
+    * range rank} with its own lineage barrier, collapse into one wider
+    * round-1 sort key (≤32 short tokens instead of 1). Levels BELOW the
+    * start width, which only the LCP walk consumes and only through rank
+    * EQUALITY, become lazy row-local slice tables (array equality is
+    * rank equality for them — exact, no hashing). Ranks are provably
+    * identical: the dense rank of (r_h(p), r_h(p+h)) pairs IS the dense
+    * rank of 2h-token prefixes cut at doc/segment end, which is what the
+    * slice ranks compute directly (SuffixIndexSpec's brute-force corpora
+    * + the q143/q144 oracle gates pin it). Must be a power of two so the
+    * level ladder stays {1, 2, 4, …} for the walk's binary
+    * decomposition.
+    *
+    * Sizing the default (measured at sf0.1, paired 2-run captures):
+    * q143 13.0→9.1→8.4→7.1→6.6 s and q144 22.2→18.7→16.4→15.5→16.5 s at
+    * w = 1(old)/8/16/32/64 — q143 keeps improving with fewer rounds, but
+    * past w = 32 the LCP walk's slice-level join payloads (w/2-token
+    * arrays vs 8-byte ranks) start costing q144 more than the saved
+    * round, so 32 is the balanced default. The trade moves the same way
+    * at cluster scale: round-1 exchange bytes grow linearly in w while
+    * rounds saved grow only logarithmically — callers with very long
+    * shared prefixes (log-structured corpora) can lower it, callers
+    * ranking short records can raise it. */
+  val DefaultStartWidth: Int = 32
+
   /** Rank tables from one build: `ranks` = (d, p, r) final suffix ranks
     * (dense; ties = genuinely equal suffixes), `levels` = (h, table) for
     * h = 1, 2, 4, … — level h ranks compare suffix prefixes of length h
     * (cut at doc end) — and `maxLen` the longest document in tokens.
+    * Levels BELOW the build's `startWidth` carry the width-h token SLICE
+    * as `r` instead of a dense rank (r16): their only consumer is the
+    * LCP walk's equality test, and slice equality ⟺ level-rank equality
+    * exactly (same doc/segment cut), so they need no corpus-wide rank
+    * round — they are lazy row-local projections, not materialized
+    * tables.
     *
     * The level tables are lineage-truncated materializations: ⌈log2
     * maxDocLen⌉ corpus-position-sized block sets that live until the
@@ -99,14 +133,25 @@ object SuffixIndex {
     * identical to DuckDB's), scale-safe per the object doc. Output adds
     * `out` (LongType, 1-based) and drops nothing else. */
   private[operators] def rangeDenseRank(df: DataFrame, keys: Seq[String],
-                                        out: String): DataFrame =
-    rangeDenseRankN(df, keys, out)._1
+                                        out: String,
+                                        pinInput: Boolean = true): DataFrame =
+    rangeDenseRankN(df, keys, out, pinInput)._1
 
   /** [[rangeDenseRank]] plus the number of distinct keys (the last offset
     * cumsum — free observability the doubling loop uses for its
-    * all-unique early exit without an extra action). */
+    * all-unique early exit without an extra action).
+    *
+    * `pinInput = false` (r16): skip the input barrier when the input is
+    * CHEAP to execute twice — a row-local projection off a scan (round
+    * 1's slice stream) or an already-checkpointed block scan
+    * (crossDocRepeats' total-order rank over `Tables.ranks`). For those,
+    * the sampling pass re-reads source/blocks instead of paying a full
+    * corpus-position block write + read; the doubling loop's successor
+    * JOIN keeps the barrier (re-executing a two-exchange join for the
+    * sampling pass is the cost the barrier was measured against). */
   private def rangeDenseRankN(df: DataFrame, keys: Seq[String],
-                              out: String): (DataFrame, Long) = {
+                              out: String,
+                              pinInput: Boolean = true): (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // materialize the INPUT before the range exchange: RangePartitioner
@@ -116,8 +161,10 @@ object SuffixIndex {
     // checkpoint turns both passes into cached-block reads. Local sf0.1
     // timing is flat (per-job fixed costs dominate 270k-row shuffles);
     // the point is the cluster regime, where this is the difference
-    // between one and two corpus shuffles per doubling round.
-    val pinnedIn = Dedup.truncateLineage(df)
+    // between one and two corpus shuffles per doubling round. (Dense
+    // ranks are range-boundary-invariant, so an unpinned double
+    // execution is a pure cost question, never a correctness one.)
+    val pinnedIn = if (pinInput) Dedup.truncateLineage(df) else df
     val sorted = pinnedIn.repartitionByRange(p, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val schema = df.schema.add("gdr_pid", IntegerType).add("gdr_lr", LongType)
@@ -151,12 +198,30 @@ object SuffixIndex {
       .drop("gdr_pid", "gdr_lr", "gdr_off"), acc)
   }
 
-  /** (d, p, t) token-position stream, p 1-based; empty text contributes one
-    * empty token (split('') = ['']) — the DuckDB string_split convention,
-    * kept identical so positions line up cross-engine. */
-  private def tokenStream(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id).as("d"), posexplode(split(col(text), " ")).as(Seq("p0", "t")))
-      .select(col("d"), (col("p0") + 1).as("p"), col("t"))
+  /** (d, ts) split-token arrays, one row per doc; empty text contributes
+    * one empty token (split('') = ['']) — the DuckDB string_split
+    * convention, kept identical so positions line up cross-engine. The
+    * projection barrier matters: every slice consumer below references
+    * `ts` as an ATTRIBUTE, so the split runs once per row, not once per
+    * lambda element (the q142 HOF-CSE lesson). */
+  private def tokenArrays(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("d"), split(col(text), " ").as("ts"))
+
+  /** (d, p, sw) width-`w` suffix-prefix slices, p 1-based: sw = the
+    * min(w, tokens-to-cut) leading tokens of the suffix at p, cut at
+    * min(doc end, containing cap-aligned segment end) — exactly the cut
+    * [[build]]'s successor join applies, so the dense rank of `sw` IS
+    * the level-w rank table. ROW-LOCAL: one transform + posexplode off
+    * the split array; no join, no shuffle, no corpus-wide round. */
+  private def sliceStream(arr: DataFrame, w: Int, capTokens: Int): DataFrame = {
+    def cut(i: Column): Column =
+      if (capTokens > 0)
+        least(size(col("ts")), i - (i % capTokens) + capTokens) - i
+      else size(col("ts")) - i
+    arr.select(col("d"), posexplode(transform(col("ts"), (_, i) =>
+        slice(col("ts"), i + 1, least(lit(w), cut(i))))).as(Seq("p0", "sw")))
+      .select(col("d"), (col("p0") + 1).as("p"), col("sw"))
+  }
 
   /** Build the index: O(⌈log2 maxDocLen⌉) doubling rounds. Early exit when
     * every rank is unique (all suffixes distinguished).
@@ -177,25 +242,50 @@ object SuffixIndex {
     * (every suffix's doc-end cut lands before its segment cut —
     * spec-pinned). */
   def build(docs: DataFrame, id: String, text: String,
-            capTokens: Int = DefaultCapTokens): Tables = {
+            capTokens: Int = DefaultCapTokens,
+            startWidth: Int = DefaultStartWidth): Tables = {
     require(capTokens >= 0, "capTokens must be >= 0 (0 = uncapped)")
-    val toks = tokenStream(docs, id, text)
+    require(startWidth >= 1 && (startWidth & (startWidth - 1)) == 0,
+      "startWidth must be a power of two (the level ladder is binary)")
+    val arr = tokenArrays(docs, id, text)
     // 1-row sizing pull (sanctioned): longest doc bounds the rounds; total
-    // positions bounds the all-unique early exit
-    val sizing = toks.agg(max(col("p")), count(lit(1))).collect()(0)
-    val n = sizing.getLong(1)
+    // positions bounds the all-unique early exit. Computed on the per-DOC
+    // relation (pre-explode) — one narrow pass.
+    val sizing = arr.agg(max(size(col("ts"))),
+      sum(size(col("ts")).cast("long"))).collect()(0)
+    val n = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
     if (n == 0L) {
-      val empty = toks.select(col("d"), col("p"), lit(0L).as("r")).limit(0)
+      val empty = arr.select(col("d"), lit(1).as("p"), lit(0L).as("r")).limit(0)
       lastRounds = 0
       return Tables(empty, Seq(1 -> empty), 0, capTokens)
     }
     val maxLen = sizing.getInt(0)
     val effLen = if (capTokens > 0) math.min(maxLen, capTokens) else maxLen
-    val (r0, n0) = rangeDenseRankN(toks, Seq("t"), "r")
+    // Round 1 at width `startWidth` (r16, [[DefaultStartWidth]] scaladoc):
+    // rank the row-local width-w slices — the first log2(w) doubling
+    // rounds never run. Levels BELOW w exist only for the LCP walk's
+    // EQUALITY tests, so they are lazy slice tables (col `r` is the slice
+    // array; array equality ⟺ level-rank equality, exactly — identical
+    // doc/segment cut, see [[sliceStream]]). pinInput = false: the slice
+    // stream is a projection off the scan, so the range sampler's second
+    // execution re-reads the source instead of paying a corpus-position
+    // block write.
+    val w = startWidth
+    val (r0, n0) =
+      rangeDenseRankN(sliceStream(arr, w, capTokens), Seq("sw"), "r",
+        pinInput = false)
     var r = r0.select(col("d"), col("p"), col("r"))
     var nDistinct = n0
-    var levels = Vector(1 -> r)
-    var h = 1
+    var levels = Vector.empty[(Int, DataFrame)]
+    var lh = 1
+    while (lh < w) {
+      levels = levels :+ (lh ->
+        sliceStream(arr, lh, capTokens)
+          .select(col("d"), col("p"), col("sw").as("r")))
+      lh *= 2
+    }
+    levels = levels :+ (w -> r)
+    var h = w
     var rounds = 1
     while (h < effLen && nDistinct < n) {
       var succ = r.select(col("d"), (col("p") - h).as("p"), col("r").as("rs"))
@@ -265,8 +355,11 @@ object SuffixIndex {
                       levelStats: Boolean = false): DataFrame = {
     val t = build(docs, id, text, capTokens)
     val lens = docs.select(col(id).as("d"), size(split(col(text), " ")).as("len"))
-    // total order (r, d, p) -> srow; keys are unique so dense rank = row number
-    val rn = rangeDenseRank(t.ranks, Seq("r", "d", "p"), "srow")
+    // total order (r, d, p) -> srow; keys are unique so dense rank = row
+    // number. pinInput = false (r16): t.ranks is already a checkpointed
+    // block scan, so re-pinning it would write a second copy of the
+    // corpus-position table just for the range sampler.
+    val rn = rangeDenseRank(t.ranks, Seq("r", "d", "p"), "srow", pinInput = false)
     val a = rn.select(col("d").as("da"), col("p").as("pa"), col("srow"))
     val b = rn.select(col("d").as("db"), col("p").as("pb"), (col("srow") - 1).as("srow"))
     def effEnd(len: Column, pos: Column): Column =
