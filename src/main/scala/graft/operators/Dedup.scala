@@ -1354,13 +1354,53 @@ object Dedup {
                   .isInCollection(probed.map(_.getLong(0)).toIndexedSeq))
               else semiPruned
             }
-          val verified = minHashVerify(cand, neededSets,
-            useBroadcastMap = false, threshold)
-          val result = verified
-            .select(col("id_a"), col("id_b"), jaccardCol)
-            .filter(col("jaccard") >= threshold)
-          lastIncPlan.set(result.queryExecution.executedPlan.toString)
-          truncateLineage(result)
+          // VERIFY strategy, byte-gated like the batch pipeline's
+          // (minHashLshPairsManaged: the q44/q44b contract makes the two
+          // physical strategies output-identical). The pruned sets side is
+          // candidate-id-bounded — batch-sized plus the few index
+          // collisions, NOT index-sized — so for ordinary incremental
+          // batches it fits the broadcast budget and the verify runs as
+          // one mapPartitions merge-walk over the candidate pairs: no
+          // SHUFFLE_HASH exchanges of candidates or sets at all (r16;
+          // measured 8.9 → 6.3 s on the q81 corpus at sf0.1). The sizing
+          // aggregate runs on the PRUNED relation (cheap by construction);
+          // over-budget or non-integral-id batches keep the shuffle path,
+          // and q81b still pins it via forceSemiPrune's semi-join chain.
+          val integralId = incoming.schema(id).dataType match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType => true
+            case _ => false
+          }
+          val estBytes = if (!integralId || forceSemiPrune) Long.MaxValue else {
+            val s = neededSets.agg(count(lit(1)), sum(size(col("gs")))).collect()(0)
+            (if (s.isNullAt(1)) 0L else s.getLong(1)) * 8L + s.getLong(0) * 64L
+          }
+          val result =
+            if (estBytes <= BroadcastVerifyMaxBytes) {
+              val bc = collectAndBroadcast(neededSets)
+              liveBc.incrementAndGet()
+              try {
+                val verified = mergeWalkScore(cand, bc, minSizeRatio = threshold)
+                  .select(col("id_a"), col("id_b"), jaccardCol)
+                  .filter(col("jaccard") >= threshold)
+                lastIncPlan.set(verified.queryExecution.executedPlan.toString)
+                // materialize BEFORE destroying the broadcast (the managed
+                // pipeline's lifecycle: the returned plan is a checkpoint
+                // scan, unreachable from the broadcast)
+                truncateLineage(verified)
+              } finally {
+                bc.destroy()
+                liveBc.decrementAndGet()
+              }
+            } else {
+              val verified = minHashVerify(cand, neededSets,
+                useBroadcastMap = false, threshold)
+                .select(col("id_a"), col("id_b"), jaccardCol)
+                .filter(col("jaccard") >= threshold)
+              lastIncPlan.set(verified.queryExecution.executedPlan.toString)
+              truncateLineage(verified)
+            }
+          result
         } finally cand.unpersist(blocking = false)
       } finally inBands.unpersist(blocking = false)
     } finally inSets.unpersist(blocking = false)

@@ -176,20 +176,28 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
-  test("q81 incremental verify: forced SHUFFLE_HASH on the pair key, never broadcast or cartesian") {
+  test("q81 incremental verify: byte-gated merge-walk — no verify exchange, never cartesian") {
     plan("q81_dedup_incremental") // building the query captures the pre-checkpoint plan
     val p = graft.operators.Dedup.lastIncrementalPlan
     assert(p.nonEmpty)
-    // the verify stage must run the q44b-proven shuffle plan: an
-    // incremental index is big by definition, so the broadcast-map fast
-    // path (a corpus-sized driver collect) must not appear
-    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    // r16 re-pin: the verify's sets side is candidate-id-pruned — batch-
+    // sized plus index collisions, NOT index-sized — so under the byte
+    // budget the verify runs as the batch pipeline's broadcast merge-walk
+    // (one mapPartitions pass, zero verify exchanges); the old
+    // always-SHUFFLE_HASH plan cost two candidate-sized exchanges per
+    // batch. The driver-collect concern the old pin encoded is carried by
+    // the byte gate (over-budget → shuffle verify, q81b's pinned chain).
+    assert(p.contains("MapPartitions"), p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(3000))
-    // under-budget default: the sets side is pruned by the collected-id
-    // scan filter, not a join (no extra exchange in the prune)
-    assert(p.contains("insetsortedinlist") || p.contains(" IN ") ||
-      p.contains("INSET"), p.take(3000))
+    // the merge-walk consumes the PERSISTED candidate relation — the
+    // probe/intra union is computed once, not replayed per verify pass
+    // (the InMemoryRelation's own cached plan is printed below it; any
+    // joins THERE are candidate generation, not verify). No verify-stage
+    // join above the scan: MapPartitions reads the cache directly.
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!joinOps.findFirstIn(p.substring(0, p.indexOf("InMemoryTableScan")))
+      .isDefined, p.take(3000))
   }
 
   test("q81b forced semi prune: left-semi pruning of the verify sets, same SHUFFLE_HASH verify") {
