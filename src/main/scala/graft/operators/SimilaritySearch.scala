@@ -799,50 +799,109 @@ object SimilaritySearch {
     // Uniform-dimension guard: the position→(i,j) decode below fixes d
     // from ONE row, so a mixed-length corpus would silently assign
     // products to wrong cells — fail loudly instead. d comes from a
-    // 1-row pull (one split read, not a corpus scan), and every corpus
-    // row then carries a row-local assert_true(size == d) FUSED into the
-    // product expansion's own scan — uniformity is enforced at full
-    // corpus coverage for zero extra passes (a min/max sizing aggregate
-    // would read the whole array column once more).
+    // 1-row pull (one split read, not a corpus scan); every corpus row is
+    // then length-checked inside the accumulation pass itself —
+    // uniformity is enforced at full corpus coverage for zero extra
+    // passes.
     val dRow = df.select(size(col(vec)).as("d")).limit(1).collect()
     val dLit = if (dRow.isEmpty) 0 else dRow(0).getInt(0)
-    val v6 = df
-      .select(transform(col(vec), x =>
-        round(x.cast("double") * 1e6).cast("long")).as("v6"))
-      .filter(assert_true(size(col("v6")) === dLit,
-        concat(lit(s"embeddingCovariance: mixed vector lengths (first row d=$dLit, got "),
-          size(col("v6")).cast("string"),
-          lit(") — covariance cells are positional; pad or filter to a " +
-            "uniform dimension first"))).isNull)
-    // The hot path explodes PURE LONGS, nothing else: per row, one
-    // flattened upper-triangle product array (element arithmetic stays in
-    // long — micro-products are ≤ 1e12, nowhere near 2^63; Decimal's
-    // object arithmetic inside the lambda measured 1.25× slower, and a
-    // 5-field struct per element another 2× on top). posexplode tags each
-    // product with its triangle POSITION; (i, j) are decoded after the
-    // aggregate by joining the 2080-cell result against a position→(i,j)
-    // mapping built once from a 1-row relation (broadcast — it is
-    // d(d+1)/2 rows of three ints). Per-dim sums Σx come from a separate
-    // 64-cell posexplode aggregate joined in the same way; the DECIMAL
-    // conversion happens once per VALUE inside the aggregates, keeping
-    // every sum order-free and exact.
-    val prods = v6
-      .select(posexplode(flatten(transform(
-        sequence(lit(0), size(col("v6")) - 1), i =>
-          transform(sequence(i, size(col("v6")) - 1), j =>
-            element_at(col("v6"), i + 1) * element_at(col("v6"), j + 1))))))
-      .groupBy(col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(38,0)")).as("sxy"))
-    val dimSums = v6
-      .select(posexplode(col("v6")))
-      .groupBy(col("pos").as("dim"))
-      .agg(sum(col("col").cast("decimal(38,0)")).as("s"))
-    // position → (i, j) mapping: same nested-sequence shape as the
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v6 = df.select(transform(col(vec), x =>
+      round(x.cast("double") * 1e6).cast("long")).as("v6"))
+    // HOT PATH (r16 rewrite; the sanctioned imperative-per-partition
+    // class, rangeDenseRank's scaladoc): ONE mapPartitions pass
+    // accumulates the d(d+1)/2 upper-triangle product sums, the d per-dim
+    // sums, and the row count into per-partition LONG arrays, emitting
+    // d(d+1)/2 + d + 1 partial rows per partition. The previous form —
+    // posexplode over a per-row nested-HOF product array into a
+    // corpus×2080-row hash aggregate — kept the exchange tiny (map-side
+    // combine) but paid interpreted higher-order-function evaluation per
+    // element (HOFs do not whole-stage-codegen) plus one Decimal
+    // conversion and one aggregate hash probe per element: measured 2.8 s
+    // (q176) for 2000×2080 cells at sf0.1, ~60 ns/element of pure
+    // overhead against ~1 ns of real multiply-add. This pass does the
+    // same integer arithmetic order-free (sums of longs, flushed exactly
+    // into BigInteger on overflow via addExact/multiplyExact — beyond
+    // ~9e6 unit-norm rows per partition a cell's long range saturates, so
+    // exactness never depends on row count), and the exchange carries
+    // only the per-partition partials exactly as before. Emitted partial
+    // values travel as STRINGS and are cast to DECIMAL(38,0) — exact for
+    // any magnitude the 38-digit doctrine already assumed.
+    val d = dLit
+    val nTri = d * (d + 1) / 2
+    val guardMsg = s"embeddingCovariance: mixed vector lengths (first row d=$dLit, got "
+    val partialRows = v6.select(col("v6")).as[Array[Long]].mapPartitions { it =>
+      val sxy = new Array[Long](nTri)
+      val sx = new Array[Long](d)
+      // exact overflow spill (null = zero): the common path never touches it
+      val sxyBig = new Array[java.math.BigInteger](nTri)
+      val sxBig = new Array[java.math.BigInteger](d)
+      def spillTri(k: Int, v: java.math.BigInteger): Unit = {
+        val cur = if (sxyBig(k) == null) java.math.BigInteger.ZERO else sxyBig(k)
+        sxyBig(k) = cur.add(java.math.BigInteger.valueOf(sxy(k))).add(v)
+        sxy(k) = 0L
+      }
+      var n = 0L
+      while (it.hasNext) {
+        val v = it.next()
+        if (v.length != d) throw new IllegalStateException(
+          guardMsg + v.length + ") — covariance cells are positional; pad " +
+            "or filter to a uniform dimension first")
+        n += 1
+        var i = 0
+        var k = 0
+        while (i < d) {
+          val xi = v(i)
+          try sx(i) = Math.addExact(sx(i), xi)
+          catch { case _: ArithmeticException =>
+            val cur = if (sxBig(i) == null) java.math.BigInteger.ZERO else sxBig(i)
+            sxBig(i) = cur.add(java.math.BigInteger.valueOf(sx(i)))
+            sx(i) = xi
+          }
+          var j = i
+          while (j < d) {
+            try {
+              val p = Math.multiplyExact(xi, v(j))
+              try sxy(k) = Math.addExact(sxy(k), p)
+              catch { case _: ArithmeticException =>
+                spillTri(k, java.math.BigInteger.ZERO); sxy(k) = p }
+            } catch { case _: ArithmeticException =>
+              spillTri(k, java.math.BigInteger.valueOf(xi)
+                .multiply(java.math.BigInteger.valueOf(v(j))))
+            }
+            j += 1; k += 1
+          }
+          i += 1
+        }
+      }
+      def cell(arr: Array[Long], big: Array[java.math.BigInteger], k: Int): String = {
+        val b = if (big(k) == null) java.math.BigInteger.ZERO else big(k)
+        b.add(java.math.BigInteger.valueOf(arr(k))).toString
+      }
+      Iterator.tabulate(nTri)(k => (0, k, cell(sxy, sxyBig, k))) ++
+        Iterator.tabulate(d)(i => (1, i, cell(sx, sxBig, i))) ++
+        Iterator.single((2, 0, n.toString))
+    }.toDF("_pk", "pos", "_pv")
+      .withColumn("_pv", col("_pv").cast("decimal(38,0)"))
+    // ONE corpus pass total: the partials relation is partition-count-
+    // bounded (32×(2080+64+1) rows here), so materialize it once behind a
+    // lineage barrier and let all three consumers below read blocks — the
+    // return-and-forget lifecycle (minHashLshPairs doctrine).
+    val partials = Dedup.truncateLineage(partialRows)
+    val nDf = partials.filter(col("_pk") === 2)
+      .agg(sum(col("_pv")).cast("long").as("n"))
+    val prods = partials.filter(col("_pk") === 0)
+      .groupBy(col("pos")).agg(sum(col("_pv")).as("sxy"))
+      .crossJoin(broadcast(nDf))
+    val dimSums = partials.filter(col("_pk") === 1)
+      .groupBy(col("pos").as("dim")).agg(sum(col("_pv")).as("s"))
+    // position → (i, j) mapping: same nested-sequence shape as the old
     // product expansion, evaluated once over a single literal row
-    val d = size(col("v6"))
+    val dc = size(col("v6"))
     val posMap = v6.limit(1)
-      .select(posexplode(flatten(transform(sequence(lit(0), d - 1), i =>
-        transform(sequence(i, d - 1), j => struct(i.as("i"), j.as("j")))))))
+      .select(posexplode(flatten(transform(sequence(lit(0), dc - 1), i =>
+        transform(sequence(i, dc - 1), j => struct(i.as("i"), j.as("j")))))))
       .select(col("pos"), col("col.i").as("i"), col("col.j").as("j"))
     prods.join(broadcast(posMap), "pos")
       .join(broadcast(dimSums.select(col("dim").as("i"), col("s").as("sx"))), "i")
