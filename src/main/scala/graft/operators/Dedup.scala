@@ -1761,16 +1761,24 @@ object Dedup {
           .as("novelty"))
   }
 
-  /** Positional token n-gram fingerprints: (sid, 0-based pos, md5 gram)
-    * from a (sid, ts: array&lt;string&gt;) frame. posexplode_OUTER + null
-    * filter for the same InferFiltersFromGenerate reason as q72's explode
-    * (a pushed size()>0 filter would clone the md5 chain). */
+  /** Positional token n-gram fingerprints: (sid, 0-based pos, gram) from a
+    * (sid, ts: array&lt;string&gt;) frame. posexplode_OUTER + null filter
+    * for the same InferFiltersFromGenerate reason as q72's explode (a
+    * pushed size()>0 filter would clone the gram chain).
+    *
+    * The gram travels as the RAW space-joined string (r16): every
+    * consumer (duplicatedSpans, removeDuplicatedSpans, gramNovelty) uses
+    * it only as an equality key, and raw-string equality IS the md5
+    * equality the oracles compute — identical classes, no hash CPU, and
+    * no collision caveat at any scale. The md5 this used to apply cost
+    * one digest per corpus gram for at most a ~1.5× shuffle-byte
+    * narrowing on typical 8-grams. */
   private def positionalGrams(toks: DataFrame, n: Int): DataFrame =
     toks
       .select(col("sid"), posexplode_outer(
         when(size(col("ts")) < n, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("ts"), i, lit(n))))))).as(Seq("pos", "g")))
+            i => concat_ws(" ", slice(col("ts"), i, lit(n)))))).as(Seq("pos", "g")))
       .filter(col("g").isNotNull)
 
   def duplicatedSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
