@@ -144,9 +144,13 @@ object Bench {
     // host (control_ratio of the other four ≈ 0.97, PE 0.73).
     "q143_suffix_ranks" -> 7.094,
     // q176 RE-PINNED r16 for the same reason: embeddingCovariance (its
-    // corpus-scale leg) was rewritten this round. Reference from the
-    // round-16 post-change full capture.
-    "q176_top_pc"       -> 1.039,
+    // corpus-scale leg) was rewritten this round. 0.571 measured in the
+    // round-16 final full capture whose control median read 1.196 —
+    // normalized to the quiet-host convention (0.571/1.196). Re-pin from
+    // the next genuinely quiet committed capture (the r13-reference
+    // convention; the median-of-5 is robust to this one ref being
+    // approximate in the meantime).
+    "q176_top_pc"       -> 0.477,
     "q170_ann_ivfpq"    -> 3.489,
     "q_tpch_09"         -> 1.067,
     "q_tpch_21"         -> 1.221)
