@@ -46,9 +46,13 @@ import org.apache.spark.sql.SparkSession
  * measurement that the final floor would call clean); the committed line
  * picks, per query, the best measurement against the FINAL session
  * stats. "contaminated" is true only if some query NEVER produced a
- * clean median — in which case its least-dirty attempt is reported and
- * main() exits non-zero, so a noisy number still can't become a blessed
- * artifact.
+ * clean median — in which case its least-dirty attempt is reported with
+ * the flag visible in both printed lines. A completed-but-noisy sweep
+ * exits 0 (r16 verdict #1: nonzero is reserved for deterministic
+ * failures; rc=1 on honest noise made three consecutive driver captures
+ * unreadable), and main() additionally prints a COMPACT (<1 KB) summary
+ * line last so the driver's 2000-char output tail always ends with one
+ * parseable JSON object.
  *
  * A query whose runs ERROR (median -1) is a deterministic failure, not
  * noise: it is not re-measured, it is excluded from the totals, and it is
@@ -895,12 +899,35 @@ object Bench {
     val contaminated = dirty.nonEmpty
     val line = buildLine(partial = false, inProgress = "", calEnd = calEnd)
     if (contaminated)
-      System.err.println(s"[bench] FAILED: ${dirty.size} queries never produced a clean median: " +
+      System.err.println(s"[bench] CONTAMINATED: ${dirty.size} queries never produced a clean " +
+        s"median (completed sweep — reported with contaminated:true, exit 0): " +
         dirty.map(_._1).mkString(","))
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED: ${failed.size} queries errored deterministically: " +
         failed.mkString(","))
     println(line)
+    // COMPACT summary line, printed LAST (r16 verdict #1): the full line
+    // above (~23 KB at 142 queries) outgrows the driver's 2000-char output
+    // tail, so BENCH_rN.json has carried "parsed":null since r14. This
+    // line keeps the totals, the control normalization, and the failure
+    // state under 1 KB so the tail capture ends with one parseable JSON
+    // object; the per-query map stays in the full line and in the
+    // committed BENCH_latest_local.json artifact (named here). No
+    // "queries" key on purpose — a truncated per-query subset could read
+    // as dropped queries downstream, absence cannot.
+    locally {
+      val total = results.map(_._2.med).filter(_ >= 0).sum
+      val (controlRatio, _) =
+        controlAdjust(results.map { case (k, m) => k -> m.med }.toMap)
+      val adjTotal = if (controlRatio > 0) total / controlRatio else 0.0
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"""" +
+        f""","control_ratio":$controlRatio%.3f,"control_adjusted_total_sec":$adjTotal%.3f""" +
+        f""","effective_core_sec":${total * parEff}%.3f,"parallel_efficiency":$parEff%.2f""" +
+        f""","measured":${results.size},"of":${selected.size},"contaminated":$contaminated""" +
+        f""","failed":$failedJson,"compact":true,"full_line":"BENCH_latest_local.json"}""")
+    }
     // The driver's BENCH_rN.json records only a 2000-char tail of this
     // process's output, which the full JSON line outgrows ("parsed":
     // null every round — r14 verdict wrinkle #4; the driver side is not
@@ -917,6 +944,13 @@ object Bench {
       catch { case e: Exception =>
         System.err.println(s"[bench] artifact write skipped: ${e.getMessage}") }
     spark.stop()
-    if (contaminated || failed.nonEmpty) sys.exit(1)
+    // Exit policy (r16 verdict #1): nonzero is reserved for DETERMINISTIC
+    // failures (a query that errors every run, or an empty selection —
+    // rc=2 above). A completed sweep whose medians never all went quiet is
+    // honest data, visibly flagged contaminated:true in both printed lines
+    // and absorbed by the driver's cross-round tolerance; exiting 1 on it
+    // (the old behavior) converted honesty into a third consecutive round
+    // of driver-side blindness (r14 tail overflow, r15 rc=124, r16 rc=1).
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
