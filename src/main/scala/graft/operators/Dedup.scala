@@ -59,6 +59,19 @@ object Dedup {
     if (reliable) df.checkpoint() else df.localCheckpoint()
   }
 
+  /** Lazy variant of [[truncateLineage]]: the lineage is truncated at call
+    * time but the blocks materialize with the CALLER's next action instead
+    * of an eager checkpoint job — for call sites that immediately run an
+    * action of their own (connectedComponents' convergence checksum), the
+    * barrier and that action share one job instead of paying two
+    * (guide §2: per-round job overhead in iterative operators). */
+  private[operators] def truncateLineageLazy(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val reliable = sess.conf.getOption("graft.dedup.reliableCheckpoint").contains("true") &&
+      sess.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+  }
+
   /** Exact dedup: group identical texts (by md5 + length to keep the
     * group key narrow), keep min doc id — the Spark-native analog of a
     * hash-based DISTINCT at corpus scale. */
@@ -1006,6 +1019,63 @@ object Dedup {
     * for the driver hop: the map is collected once before re-broadcast. */
   val BroadcastVerifyMaxBytes: Long = 300L * 1024 * 1024
 
+  /** Canonical edge set: no self-loops, no duplicates. */
+  private[graft] def ccCanon(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v")).distinct()
+
+  /** Symmetrized edge set — explode-based, NOT a self-union: `e` appears
+    * once in the plan, so symmetrizing an expensive subtree (a star step's
+    * output) does not duplicate that subtree's exchanges/sorts the way
+    * `e.union(e.swap)` did (the r17 before-plan carried largeStar 4×
+    * inside one round for exactly this reason). Generate(explode) is
+    * whole-stage-codegen friendly. */
+  private[graft] def ccSym(e: DataFrame): DataFrame =
+    e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+
+  /** m(u) = min(N(u) ∪ {u}) attached to every symmetrized edge via ONE
+    * window pass — Exchange(u) + Sort(u) + WindowExec — instead of the
+    * former groupBy(u) + self-join(u), which cost two exchanges of the
+    * same rows (the partial-agg below the agg exchange defeats
+    * ReuseExchange against the join-side exchange) plus the join itself.
+    * Hot keys (a hub vertex) land one window partition per key — the same
+    * co-location the published MR shape (Kiveris et al. SoCC'14) demands
+    * of its per-vertex reduce; WindowExec buffers spill gracefully and
+    * large-star is itself the step that dissolves high degrees
+    * (ConnectedComponentsSpec's 1e5-edge giant-star pins the wall). */
+  private def ccWithMinWindow(s: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    s.withColumn("m", least(min(col("v")).over(w), col("u")))
+  }
+
+  /** Large-star step: larger neighbors v > u re-attach to m(u). No canon():
+    * self-loops are impossible (m ≤ u < v) and duplicates are harmless —
+    * smallStar's min is duplicate-insensitive and its canon() dedupes the
+    * round's output — so skipping the distinct here removes one full
+    * shuffle per round without changing any round's edge set. */
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame =
+    ccWithMinWindow(ccSym(e))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+
+  /** Small-star step: smaller-or-equal neighbors AND u itself attach to
+    * m(u). Each windowed row emits two candidate edges in one Generate
+    * pass — (v, m) when v ≤ u (else a duplicate of the second element)
+    * and (u, m) always — and canon()'s distinct collapses the duplicates
+    * (its map-side partial aggregate drops most of them before the
+    * exchange). Same output set as the former join + m-table union, with
+    * one exchange instead of three. */
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame =
+    ccCanon(
+      ccWithMinWindow(ccSym(e))
+        .select(explode(array(
+          when(col("v") <= col("u"), struct(col("v").as("u"), col("m").as("v")))
+            .otherwise(struct(col("u"), col("m").as("v"))),
+          struct(col("u"), col("m").as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v")))
+
   /** Connected components over a near-dup pair graph — the step that turns
     * pairwise similarity output (minHashLshPairs / simHashPairs /
     * cosineDupPairs) into dedup CLUSTERS with a canonical representative
@@ -1037,32 +1107,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIter: Int = 25,
                           smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
-    def canon(e: DataFrame) = e.filter(col("u") =!= col("v")).distinct()
-    def sym(e: DataFrame) = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    // m(u) = min(N(u) ∪ {u}) over the symmetrized neighborhood
-    def withMin(s: DataFrame) =
-      s.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-
-    // large-star: larger neighbors v > u re-attach to m(u). No canon():
-    // self-loops are impossible (m ≤ u < v) and duplicates are harmless —
-    // smallStar's min-aggregates are duplicate-insensitive and its canon()
-    // dedupes the round's output — so skipping the distinct here removes
-    // one full shuffle per round without changing any round's edge set.
-    def largeStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
-      s.join(withMin(s), "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-    }
-    // small-star: smaller-or-equal neighbors AND u itself attach to m(u)
-    def smallStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
-      val m = withMin(s)
-      canon(
-        s.join(m, "u").filter(col("v") <= col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .union(m.select(col("u"), col("m").as("v"))))
-    }
+    def canon(e: DataFrame) = ccCanon(e)
+    def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
+    def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -1071,8 +1118,12 @@ object Dedup {
     val edges0 = canon(
       pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v")))
     // the initial checksum's count doubles as the fast-path gate — no
-    // extra job beyond what convergence detection already pays
-    var edges = edges0.transform(truncateLineage)
+    // extra job beyond what convergence detection already pays. LAZY
+    // barrier (r17): the checksum action right below materializes the
+    // checkpoint blocks, so barrier + checksum share one job instead of
+    // paying an eager checkpoint job AND a checksum job (guide §2 —
+    // per-round job overhead; the same fold runs in the loop body).
+    var edges = edges0.transform(truncateLineageLazy)
     var last = checksum(edges)
     if (last._1 <= smallGraphMaxEdges && smallGraphMaxEdges > 0) {
       val spark = edges.sparkSession
@@ -1111,7 +1162,10 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prev = edges
       val next = smallStar(largeStar(edges))
-      edges = if ((i + 1) % ckptEvery == 0) truncateLineage(next) else next
+      // lazy barrier: the round's convergence checksum below is the
+      // materializing action — one job per round where the eager form
+      // paid two (checkpoint job + checksum job)
+      edges = if ((i + 1) % ckptEvery == 0) truncateLineageLazy(next) else next
       val cur = checksum(edges)
       // The (count, hash-sum) checksum is a cheap screen; the DETERMINISTIC
       // stop is set equality, checked only at the (usually single) round
