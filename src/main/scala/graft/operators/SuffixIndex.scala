@@ -243,11 +243,34 @@ object SuffixIndex {
     * spec-pinned). */
   def build(docs: DataFrame, id: String, text: String,
             capTokens: Int = DefaultCapTokens,
-            startWidth: Int = DefaultStartWidth): Tables = {
+            startWidth: Int = DefaultStartWidth,
+            pinSlices: Boolean = false): Tables = {
     require(capTokens >= 0, "capTokens must be >= 0 (0 = uncapped)")
     require(startWidth >= 1 && (startWidth & (startWidth - 1)) == 0,
       "startWidth must be a power of two (the level ladder is binary)")
-    val arr = tokenArrays(docs, id, text)
+    // SCAN-PARALLELISM floor (r17, guide §2.5 input skew): a compact
+    // corpus arrives as one splittable unit (sf0.1's documents.parquet is
+    // a single 584 KB file → ONE scan task) while the row-local slice
+    // passes below explode it ~80× — measured 47.8 MB of round-1 slices
+    // written by a single task, and every sub-width slice level replayed
+    // the same single-threaded posexplode (~1 s apiece, serial, the bulk
+    // of q144's walk tail). Hash-repartition the per-DOC token relation
+    // (small rows, cheap exchange) up to the session's parallelism before
+    // exploding; on corpora whose scan already carries ≥ that many
+    // partitions this is a no-op, so nothing is hard-coded to local mode.
+    val arr0 = tokenArrays(docs, id, text)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val arr1 =
+      if (arr0.rdd.getNumPartitions < par) arr0.repartition(par, col("d"))
+      else arr0
+    // pinSlices (r17): the LCP walk consumes every sub-width slice level
+    // TWICE (A/B sides) — without a pin that is 2·log2(startWidth)
+    // corpus-wide split+posexplode replays. A LAZY barrier materializes
+    // the token-array relation with the sizing action below and the walk
+    // reads blocks; rank-only consumers (suffixRanks/q143) keep the
+    // unpinned form — for them the r16 pinInput=false measurement stands
+    // (one extra source replay beats a corpus block write).
+    val arr = if (pinSlices) Dedup.truncateLineageLazy(arr1) else arr1
     // 1-row sizing pull (sanctioned): longest doc bounds the rounds; total
     // positions bounds the all-unique early exit. Computed on the per-DOC
     // relation (pre-explode) — one narrow pass.
@@ -353,7 +376,7 @@ object SuffixIndex {
                       minLen: Int = 3, topK: Int = 10,
                       capTokens: Int = DefaultCapTokens,
                       levelStats: Boolean = false): DataFrame = {
-    val t = build(docs, id, text, capTokens)
+    val t = build(docs, id, text, capTokens, pinSlices = true)
     val lens = docs.select(col(id).as("d"), size(split(col(text), " ")).as("len"))
     // total order (r, d, p) -> srow; keys are unique so dense rank = row
     // number. pinInput = false (r16): t.ranks is already a checkpointed
